@@ -1,0 +1,114 @@
+"""Per-page payload → passages composition (the full extraction kernel).
+
+One pure function ``extract_page`` = payload dispatch (HTML vs PDF vs
+broken) → main-text extraction → document gate → passage split.  This is
+the single-row unit the Spark ``mapInPandas`` batch kernel iterates over an
+Arrow batch, and the pytest oracle calls row-by-row — same function, so the
+outputs agree byte-for-byte.
+
+Parity map (behavior, not code):
+* dispatch/decode slot        — /root/reference/src/gen-sods-doc-image-ray.py:76-95
+* broken-payload quarantine   — /root/reference/src/gen-sods-doc-image-ray.py:102-106
+  (reference swallows to zero rows; we additionally emit one quarantine row
+  carrying the error string so failures are queryable, never task-fatal)
+* gate + split + link         — kernels.textproc (see its parity notes)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, NamedTuple, Optional
+
+from document_automation_spark.kernels.html_extract import extract_main_text_html
+from document_automation_spark.kernels.pdf_extract import extract_text_pdf, looks_like_pdf
+from document_automation_spark.kernels.textproc import (
+    DEFAULT_MAX_LEN,
+    DEFAULT_MIN_CHARS,
+    DEFAULT_OVERLAP,
+    extract_document,
+    link_from_url,
+)
+
+
+class DocRow(NamedTuple):
+    """One output row of the documents table (FIXTURES.md §2)."""
+
+    url: str
+    doc_id: Optional[str]
+    passage_idx: Optional[int]
+    content: Optional[str]
+    char_start: Optional[int]
+    char_end: Optional[int]
+    link: str
+    n_passages: int
+    error: Optional[str]
+
+
+def doc_id_for(url: str, content: str) -> str:
+    """Content-hash id: sha256(url || content) hex (FIXTURES.md §2)."""
+    return hashlib.sha256((url + content).encode("utf-8")).hexdigest()
+
+
+def extract_payload_text(payload: bytes) -> str:
+    """Dispatch a binary payload to the matching extractor.
+
+    Raises on undecodable/unsupported payloads — callers quarantine.
+    """
+    if looks_like_pdf(payload):
+        return extract_text_pdf(payload)
+    html = payload.decode("utf-8")  # strict: invalid UTF-8 → quarantine
+    return extract_main_text_html(html)
+
+
+def extract_page(
+    url: str,
+    payload: Optional[bytes],
+    max_len: int = DEFAULT_MAX_LEN,
+    overlap: int = DEFAULT_OVERLAP,
+    min_chars: int = DEFAULT_MIN_CHARS,
+    split_doc: bool = True,
+) -> List[DocRow]:
+    """One page → its passage rows (or one quarantine row, or nothing).
+
+    * extraction error → single row with ``error`` set, null content;
+    * text shorter than the gate → zero rows (reference-quirk parity);
+    * otherwise one row per split window, with code-point spans.
+    """
+    link = link_from_url(url)
+    try:
+        if payload is None:
+            raise ValueError("null payload")
+        text = extract_payload_text(payload)
+    except Exception as err:  # noqa: BLE001 — quarantine, never task-fatal
+        return [
+            DocRow(
+                url=url,
+                doc_id=None,
+                passage_idx=None,
+                content=None,
+                char_start=None,
+                char_end=None,
+                link=link,
+                n_passages=0,
+                error=f"{type(err).__name__}: {err}",
+            )
+        ]
+
+    passages = extract_document(
+        text, max_len=max_len, overlap=overlap, min_chars=min_chars, split_doc=split_doc
+    )
+    n = len(passages)
+    return [
+        DocRow(
+            url=url,
+            doc_id=doc_id_for(url, p.content),
+            passage_idx=p.passage_idx,
+            content=p.content,
+            char_start=p.char_start,
+            char_end=p.char_end,
+            link=link,
+            n_passages=n,
+            error=None,
+        )
+        for p in passages
+    ]

@@ -1,0 +1,138 @@
+"""The flagship extraction operator: pages → documents (passages) table.
+
+Spark shape of the reference's indexing pipeline
+(/root/reference/src/gen-sods-doc-image-ray.py:203-231):
+
+    scan pages → repartition(xxhash64(url)) → mapInPandas(extract kernel)
+    → documents table (+ bucket column for idempotent per-bucket resume)
+
+Key design points for 100 TB scale:
+
+* **One lineage, no driver funnel** — the reference re-materializes all
+  docs on the head node between stages (:240-242) and funnels writes
+  through a single actor (:223-227); here extraction and write are one
+  distributed plan with as many parallel writers as partitions.
+* **Salted repartition on url hash** — host-level Zipf skew cannot stall a
+  partition because the partitioner key is the (uniform) url hash, not the
+  host; `N_BUCKETS` also defines the resume granularity.
+* **Arrow-vectorized kernel** — one Python dispatch per *batch* (1024 rows),
+  not per row; the per-row pure kernel (`kernels.page.extract_page`) is the
+  same function the pytest oracle calls, so distributed output is
+  byte-identical to the oracle by construction.
+* **Quarantine, never fail** — malformed payloads yield an ``error`` row
+  (reference tolerance: /root/reference/src/gen-sods-doc-image-ray.py:102-106),
+  so one bad page can't kill a 10^12-row job.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from document_automation_spark.kernels.page import extract_page
+from document_automation_spark.kernels.textproc import (
+    DEFAULT_MAX_LEN,
+    DEFAULT_MIN_CHARS,
+    DEFAULT_OVERLAP,
+)
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("doc_id", T.StringType(), True),
+        T.StructField("passage_idx", T.IntegerType(), True),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("char_start", T.LongType(), True),
+        T.StructField("char_end", T.LongType(), True),
+        T.StructField("link", T.StringType(), False),
+        T.StructField("n_passages", T.IntegerType(), False),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+@dataclass(frozen=True)
+class ExtractConfig:
+    """Split/gate parameters (reference CLI defaults,
+    /root/reference/src/gen-sods-doc-image-ray.py:292-296)."""
+
+    max_len: int = DEFAULT_MAX_LEN
+    overlap: int = DEFAULT_OVERLAP
+    min_chars: int = DEFAULT_MIN_CHARS
+    split_doc: bool = True
+    n_buckets: int = 64  # resume granularity; scale with cluster size
+
+
+def extract_documents(pages: DataFrame, cfg: ExtractConfig = ExtractConfig()) -> DataFrame:
+    """pages ``(url, warc_ts, html, ...)`` → documents (one row per passage).
+
+    Only ``(url, warc_ts, html)`` survive the scan (column pruning reaches
+    the parquet reader); rows are redistributed by url hash before the
+    Python stage so payload-size skew spreads uniformly.
+    """
+    import pandas as pd
+
+    max_len, overlap, min_chars, split_doc = (
+        cfg.max_len,
+        cfg.overlap,
+        cfg.min_chars,
+        cfg.split_doc,
+    )
+
+    def extract_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = [f.name for f in DOCUMENTS_SCHEMA.fields]
+        for batch in batches:
+            out_rows = []
+            for url, warc_ts, bucket, payload in zip(
+                batch["url"], batch["warc_ts"], batch["bucket"], batch["html"]
+            ):
+                for row in extract_page(
+                    url,
+                    payload,
+                    max_len=max_len,
+                    overlap=overlap,
+                    min_chars=min_chars,
+                    split_doc=split_doc,
+                ):
+                    out_rows.append(
+                        (
+                            row.url,
+                            warc_ts,
+                            bucket,
+                            row.doc_id,
+                            row.passage_idx,
+                            row.content,
+                            row.char_start,
+                            row.char_end,
+                            row.link,
+                            row.n_passages,
+                            row.error,
+                        )
+                    )
+            yield pd.DataFrame(out_rows, columns=cols)
+
+    keyed = pages.select(
+        "url",
+        "warc_ts",
+        "html",
+        F.pmod(F.xxhash64("url"), F.lit(cfg.n_buckets)).cast("int").alias("bucket"),
+    )
+    return keyed.repartition(cfg.n_buckets, "bucket").mapInPandas(
+        extract_batches, DOCUMENTS_SCHEMA
+    )
+
+
+def passage_counts(documents: DataFrame) -> DataFrame:
+    """Per-url passage accounting (reference print at
+    /root/reference/src/utils.py:342 → a queryable metrics aggregate)."""
+    return documents.groupBy("url").agg(
+        F.max("n_passages").alias("n_passages"),
+        F.count(F.col("doc_id")).alias("rows_emitted"),
+        F.max(F.when(F.col("error").isNotNull(), F.col("error"))).alias("error"),
+    )
