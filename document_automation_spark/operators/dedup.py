@@ -1,0 +1,184 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, each with the scale path spelled out:
+
+* **exact**          — hash-groupBy on content; one shuffle on a uniform
+  hash key.  At 100 TB: group on ``xxhash64(text)`` (8 bytes) instead of
+  the raw text so the shuffle moves hashes, not documents.
+* **minhash_lsh**    — shingle → MinHash signature (Arrow-batched kernel)
+  → band keys → explode → groupBy band key.  Candidate pairs only ever
+  form WITHIN a band bucket, so the shuffle is bounded by bucket sizes
+  (the classic scalable near-dup design; no all-pairs join anywhere).
+* **simhash**        — 64-bit fingerprint; near-dup = same fingerprint
+  bucket (or Hamming ≤ t via multi-probe on bit-band keys).
+* **ngram_jaccard**  — exact Jaccard on character n-grams for candidate
+  pairs produced by cheap blocking (lang, n_chars) — the verify stage that
+  follows LSH candidate generation in a production pipeline.
+* **embedding near-dup** — cosine over the embeddings table with a
+  blocking key (label) — see operators/similarity.py for the ANN path.
+
+All signature computation is deterministic/process-stable
+(kernels.fingerprint), a hard cluster requirement.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Keep the lowest-doc_id representative of each exact-text group.
+
+    ``min(doc_id) over (partition by text)`` picks the canonical row; at
+    scale, pre-hash the text so the shuffle key is 8 bytes.
+    """
+    w = Window.partitionBy("text")
+    return (
+        documents.withColumn("keep_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+
+
+def duplicate_groups(documents: DataFrame) -> DataFrame:
+    """Exact-dup accounting: one row per text with >1 occurrence."""
+    return (
+        documents.groupBy("text")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+        .select("canonical_doc_id", "n_dups")
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame, num_perm: int = 32, k: int = 5, seed: int = 42
+) -> DataFrame:
+    """(doc_id, signature:array<long>) via the Arrow-batched MinHash kernel."""
+    import pandas as pd
+
+    from document_automation_spark.kernels.fingerprint import minhash_signature
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("signature", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def sig_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].values,
+                    "signature": [
+                        minhash_signature(t, num_perm=num_perm, k=k, seed=seed)
+                        for t in batch["text"]
+                    ],
+                }
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(sig_batches, schema)
+
+
+def minhash_lsh_candidates(
+    documents: DataFrame, num_perm: int = 32, bands: int = 8, k: int = 5, seed: int = 42
+) -> DataFrame:
+    """LSH candidate pairs: signature → band keys → explode → self-group.
+
+    The only shuffle is the groupBy on band key; pairs are emitted inside
+    each bucket (sorted doc_id pairs, deduped across bands).  Bucket-size
+    skew (a boilerplate-heavy band bucket) is the scale risk — cap with a
+    bucket-size limit in production; here buckets are tiny.
+    """
+    import pandas as pd
+
+    from document_automation_spark.kernels.fingerprint import lsh_band_keys, minhash_signature
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("band_key", T.StringType()),
+        ]
+    )
+
+    def band_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for batch in batches:
+            ids, keys = [], []
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                sig = minhash_signature(text, num_perm=num_perm, k=k, seed=seed)
+                for key in lsh_band_keys(sig, bands=bands):
+                    ids.append(doc_id)
+                    keys.append(key)
+            yield pd.DataFrame({"doc_id": ids, "band_key": keys})
+
+    banded = documents.select("doc_id", "text").mapInPandas(band_batches, schema)
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on="band_key")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash_fingerprints(documents: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, simhash:long) — 64-bit fingerprint, bucketable directly.
+
+    Stored as signed int64 (bit-pattern reinterpret) to stay Spark/Parquet
+    native."""
+    from document_automation_spark.kernels.fingerprint import simhash64
+
+    def to_signed64(value: int) -> int:
+        return value - (1 << 64) if value >= (1 << 63) else value
+
+    @F.pandas_udf(T.LongType())
+    def simhash_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: to_signed64(simhash64(t, k=k)))
+
+    return documents.select(
+        "doc_id", simhash_udf(F.col("text")).alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs under (lang, n_chars) blocking.
+
+    Spark-native set algebra: n-gram arrays via slice-transform, then
+    ``array_intersect``/``array_union`` sizes — no Python in the join path.
+    Blocking bounds the pair count; at scale feed LSH candidates instead.
+    """
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - (n - 1), F.lit(1))),
+            lambda i: F.col("text").substr(i, F.lit(n)),
+        )
+    )
+    with_grams = documents.select("doc_id", "lang", "n_chars", grams.alias("grams"))
+    a, b = with_grams.alias("a"), with_grams.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.n_chars") == F.col("b.n_chars")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,116 @@
+"""Text-analysis operators over the documents table (training-data pipeline).
+
+JVM-side (built-in ``pyspark.sql.functions``, whole-stage codegen) wherever
+expressible — token counts, quality ratios, script-based language ID, and
+the polynomial rolling fingerprint are all pure column expressions, so the
+hot path ships NO Python.  The richer kernels (n-gram language hints, BPE
+tokenization, composite quality) run as Arrow-batched pandas UDFs built on
+``kernels.textstats`` and are cross-checked against the pure kernels in
+pytest rather than DuckDB.
+
+Scale note: every operator here is a narrow map over the scan — no shuffle
+at all; at 100 TB these run at parquet-read speed.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ROLLING_BASE = 31
+ROLLING_MOD = 140_737_488_355_213  # ≈2^47: intermediates stay < 2^53
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Whitespace token count + length stats — pure column expressions."""
+    return documents.select(
+        "doc_id",
+        F.length("text").alias("n_chars_measured"),
+        F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .alias("n_tokens_ws"),
+        F.round(
+            F.length(F.regexp_replace(F.col("text"), r"[^ ]", "")) / F.length("text"), 6
+        ).alias("space_ratio"),
+    )
+
+
+def detect_language_script(documents: DataFrame) -> DataFrame:
+    """Script-range language ID as a CASE expression (JVM-side fast path;
+    the finer stopword heuristic lives in kernels.textstats for UDF use)."""
+    text = F.col("text")
+    return documents.select(
+        "doc_id",
+        F.when(text.rlike("[぀-ヿ]"), F.lit("ja"))
+        .when(text.rlike("[一-鿿]"), F.lit("zh"))
+        .when(text.rlike("[가-힯]"), F.lit("ko"))
+        .when(text.rlike("[Ѐ-ӿ]"), F.lit("ru"))
+        .otherwise(F.lit("latin"))
+        .alias("detected_script"),
+    )
+
+
+def rolling_fingerprint_col(documents: DataFrame) -> DataFrame:
+    """Polynomial rolling hash over code points as a fold expression —
+    ``h = (h*31 + cp) % (~2^47)`` via ``F.aggregate`` (identical math to
+    kernels.fingerprint.rolling_fingerprint and to DuckDB list_reduce)."""
+    fold = F.aggregate(
+        F.split(F.col("text"), ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * ROLLING_BASE + F.ascii(ch)) % F.lit(ROLLING_MOD),
+    )
+    return documents.select("doc_id", fold.alias("fingerprint"))
+
+
+def quality_features(documents: DataFrame) -> DataFrame:
+    """Composite quality scoring via the Python kernel (Arrow-batched).
+
+    The part SQL can't express cleanly (stopword sets, composite scoring
+    policy) stays in ``kernels.textstats.quality_score`` — one Python
+    dispatch per Arrow batch, not per row."""
+    import pandas as pd
+
+    from document_automation_spark.kernels.textstats import quality_score
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_tokens", T.DoubleType()),
+            T.StructField("punct_ratio", T.DoubleType()),
+            T.StructField("stopword_ratio", T.DoubleType()),
+            T.StructField("mean_word_len", T.DoubleType()),
+            T.StructField("quality", T.DoubleType()),
+        ]
+    )
+
+    def score_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for batch in batches:
+            feats = [quality_score(t) for t in batch["text"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].values,
+                    "n_tokens": [f["n_tokens"] for f in feats],
+                    "punct_ratio": [f["punct_ratio"] for f in feats],
+                    "stopword_ratio": [f["stopword_ratio"] for f in feats],
+                    "mean_word_len": [f["mean_word_len"] for f in feats],
+                    "quality": [f["quality"] for f in feats],
+                }
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(score_batches, schema)
+
+
+def language_id_kernel(documents: DataFrame) -> DataFrame:
+    """Full n-gram-heuristic language ID (kernels.textstats.detect_language)
+    as an Arrow-batched pandas UDF."""
+    from document_automation_spark.kernels.textstats import detect_language
+
+    @F.pandas_udf(T.StringType())
+    def lang_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(detect_language)
+
+    return documents.select("doc_id", lang_udf(F.col("text")).alias("detected_lang"))

@@ -1,0 +1,158 @@
+"""Dedup + similarity operators vs pure-Python oracles."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_automation_spark.kernels.fingerprint import (
+    char_shingles,
+    jaccard,
+    lsh_band_keys,
+    minhash_signature,
+    simhash64,
+)
+from document_automation_spark.operators.dedup import (
+    duplicate_groups,
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from document_automation_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_bucketed_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows = [
+        (1, base * 5, "en", "s0", len(base * 5)),
+        (2, base * 5, "en", "s1", len(base * 5)),  # exact dup of 1
+        (3, (base * 5).replace("lazy", "tired"), "en", "s0", len(base * 5)),  # near dup
+        (4, "completely different text about spark and distributed joins " * 5, "en", "s0", 300),
+        (5, "tiny", "en", "s0", 4),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).cache()
+
+
+class TestExactDedup:
+    def test_keeps_canonical_min_id(self, docs):
+        kept = {r.doc_id for r in exact_dedup(docs).collect()}
+        assert kept == {1, 3, 4, 5}  # 2 removed (dup of 1)
+
+    def test_duplicate_groups(self, docs):
+        groups = duplicate_groups(docs).collect()
+        assert len(groups) == 1
+        assert (groups[0].canonical_doc_id, groups[0].n_dups) == (1, 2)
+
+
+class TestMinHash:
+    def test_signatures_match_kernel(self, docs):
+        got = {r.doc_id: list(r.signature) for r in minhash_signatures(docs).collect()}
+        rows = docs.collect()
+        for r in rows:
+            assert got[r.doc_id] == minhash_signature(r.text), r.doc_id
+
+    def test_lsh_finds_near_dups_not_far(self, docs):
+        pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_candidates(docs).collect()}
+        assert (1, 2) in pairs  # exact dup always a candidate
+        assert (1, 3) in pairs or (2, 3) in pairs  # near dup shares a band
+        assert (1, 4) not in pairs and (3, 4) not in pairs  # unrelated
+
+
+class TestSimHash:
+    def test_matches_kernel_signed(self, docs):
+        got = {r.doc_id: r.simhash for r in simhash_fingerprints(docs).collect()}
+        for r in docs.collect():
+            raw = simhash64(r.text, k=3)
+            signed = raw - (1 << 64) if raw >= (1 << 63) else raw
+            assert got[r.doc_id] == signed
+
+    def test_dups_same_fingerprint(self, docs):
+        got = {r.doc_id: r.simhash for r in simhash_fingerprints(docs).collect()}
+        assert got[1] == got[2]
+
+
+class TestNgramJaccard:
+    def test_matches_python_jaccard(self, docs):
+        out = {(r.doc_a, r.doc_b): r.jaccard
+               for r in ngram_jaccard_pairs(docs, n=3, threshold=0.0).collect()}
+        rows = {r.doc_id: r for r in docs.collect()}
+        # blocking: same (lang, n_chars) → pairs (1,2), (1,3), (2,3)
+        for a, b in [(1, 2), (1, 3), (2, 3)]:
+            expected = jaccard(set(char_shingles(rows[a].text, 3)), set(char_shingles(rows[b].text, 3)))
+            assert out[(a, b)] == pytest.approx(round(expected, 6), abs=1e-6)
+        assert (1, 2) in out and out[(1, 2)] == 1.0
+
+    def test_threshold_filters(self, docs):
+        out = ngram_jaccard_pairs(docs, n=3, threshold=0.9).collect()
+        assert {(r.doc_a, r.doc_b) for r in out} >= {(1, 2)}
+        assert all(r.jaccard >= 0.9 for r in out)
+
+
+def _cosine(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(y * y for y in b))
+    return dot / (na * nb)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+class TestSimilarity:
+    def test_brute_force_topk_matches_python(self, spark, emb):
+        queries = (
+            emb.filter(F.col("vec_id") < 3)
+            .select(F.col("vec_id").alias("query_vec_id"), F.col("embedding").alias("query_embedding"))
+        )
+        got = {}
+        for r in brute_force_topk(emb, queries, k=5).collect():
+            got.setdefault(r.query_vec_id, []).append((r.rank, r.vec_id, r.cosine))
+        vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+        for q in range(3):
+            sims = sorted(
+                ((round(_cosine(vecs[q], v), 6), -i) for i, v in vecs.items()),
+                reverse=True,
+            )[:5]
+            expected_ids = [-neg for _, neg in sims]
+            got_ids = [vid for _, vid, _ in sorted(got[q])]
+            assert got_ids == expected_ids, q
+
+    def test_lsh_bucketed_subset_of_exact_space(self, spark, emb):
+        queries = (
+            emb.filter(F.col("vec_id") < 2)
+            .select(F.col("vec_id").alias("query_vec_id"), F.col("embedding").alias("query_embedding"))
+        )
+        out = lsh_bucketed_topk(emb, queries, k=5, n_planes=3).collect()
+        assert out, "bucketed search must return results"
+        # self-similarity must survive bucketing (query vec is in its own bucket)
+        self_hits = {r.query_vec_id for r in out if r.vec_id == r.query_vec_id}
+        assert self_hits == {0, 1}
+        for r in out:
+            if r.vec_id == r.query_vec_id:
+                assert r.cosine == pytest.approx(1.0, abs=1e-5)
+
+    def test_embedding_near_dup_self_blocking(self, spark):
+        rows = [
+            (1, [1.0, 0.0, 0.0], 7),
+            (2, [1.0, 0.001, 0.0], 7),  # near dup of 1, same block
+            (3, [0.0, 1.0, 0.0], 7),
+            (4, [1.0, 0.0, 0.001], 8),  # near dup of 1 but different block
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        pairs = {(r.vec_a, r.vec_b) for r in embedding_near_dup_pairs(df, 0.99).collect()}
+        assert (1, 2) in pairs
+        assert (1, 3) not in pairs
+        assert (1, 4) not in pairs  # blocked away
