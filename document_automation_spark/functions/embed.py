@@ -1,0 +1,81 @@
+"""Deterministic hashing embedder + dense id assignment.
+
+Fills the embedding-stage slot (/root/reference/src/gen-sods-doc-image-ray.py:23-47,
+batch_size=50 Arrow analogue) WITHOUT a model download: a feature-hashing
+vectorizer (token → bucket ± sign, L2-normalized) that is a pure function
+of the text — deterministic across executors, so it exercises the exact
+same dataflow (mapInPandas batching, embedding column, id assignment,
+similarity joins) as a real encoder; swap ``embed_text`` for a model call
+and nothing else changes.
+
+``assign_dense_vector_ids`` reproduces the reference's *global dense*
+vector_id counter (/root/reference/src/gen-sods-doc-image-ray.py:180-190):
+a driver-sequential loop there, a ``row_number() OVER (ORDER BY doc_id)``
+here.  Scale note: a global dense id needs a total order (single-partition
+window) — at 10^12 rows use zipWithIndex-style partition offsets or accept
+``monotonically_increasing_id`` (sparse but parallel); dense-ness is only
+needed when an external ANN file demands contiguous ids.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from typing import Iterator, List
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_TOKEN = re.compile(r"\w+", re.UNICODE)
+
+
+def embed_text(text: str, dim: int = 16) -> List[float]:
+    """Feature-hashing embedding: token hash → bucket, sign bit, L2 norm."""
+    vec = [0.0] * dim
+    for token in _TOKEN.findall(text.lower()):
+        digest = hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest()
+        h = int.from_bytes(digest, "big")
+        bucket = h % dim
+        sign = 1.0 if (h >> 62) & 1 else -1.0
+        vec[bucket] += sign
+    norm = math.sqrt(sum(v * v for v in vec))
+    if norm > 0:
+        vec = [v / norm for v in vec]
+    return [float(f"{v:.6f}") for v in vec]  # quantize → float32-safe
+
+
+def embed_documents(documents: DataFrame, dim: int = 16) -> DataFrame:
+    """(doc_id, text) → (doc_id, embedding:array<float>) via Arrow batches."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def embed_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].values,
+                    "embedding": [embed_text(t, dim) for t in batch["text"]],
+                }
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(embed_batches, schema)
+
+
+def assign_dense_vector_ids(embedded: DataFrame, order_col: str = "doc_id") -> DataFrame:
+    """Dense 0-based vector_id over a deterministic total order (A9)."""
+    w = Window.orderBy(order_col)
+    return embedded.withColumn("vector_id", F.row_number().over(w) - F.lit(1))
+
+
+def missing_embeddings(documents: DataFrame, embedded: DataFrame) -> DataFrame:
+    """The resume predicate (F3 parity: ``vector_id IS NULL``,
+    /root/reference/src/sql.py:313-314): docs not yet embedded, via
+    anti-join instead of a NULL scan."""
+    return documents.join(embedded.select("doc_id"), "doc_id", "left_anti")

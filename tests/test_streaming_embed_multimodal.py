@@ -1,0 +1,147 @@
+"""Streaming extraction, hashing embedder, multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_automation_spark.functions.embed import (
+    assign_dense_vector_ids,
+    embed_documents,
+    embed_text,
+    missing_embeddings,
+)
+from document_automation_spark.operators.extract import ExtractConfig, extract_documents
+from document_automation_spark.operators.multimodal import (
+    crop_box,
+    decode_image_stub,
+    media_metadata,
+    sniff_format,
+)
+from document_automation_spark.sources.pages import pages_df
+from document_automation_spark.streaming.pipeline import (
+    start_streaming_extraction,
+    streaming_event_rollup,
+)
+
+
+class TestStreamingExtraction:
+    def test_stream_matches_batch(self, spark, tmp_path):
+        input_dir = str(tmp_path / "pages_in")
+        output_dir = str(tmp_path / "docs_out")
+        checkpoint = str(tmp_path / "ckpt")
+
+        pages = pages_df(spark, 80, partitions=4)
+        pages.write.parquet(input_dir)
+
+        q = start_streaming_extraction(
+            spark, input_dir, output_dir, checkpoint, ExtractConfig(n_buckets=4)
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        got = sorted(
+            (r.url, r.passage_idx, r.content)
+            for r in spark.read.parquet(output_dir).collect()
+        )
+        expected = sorted(
+            (r.url, r.passage_idx, r.content)
+            for r in extract_documents(pages, ExtractConfig(n_buckets=4)).collect()
+        )
+        assert got == expected
+
+    def test_event_rollup_watermarked(self, spark, sf_dir, tmp_path):
+        # the streaming file source wants a directory of drops
+        events_dir = str(tmp_path / "events_in")
+        spark.read.parquet(f"{sf_dir}/events.parquet").write.parquet(events_dir)
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+            )
+            .parquet(events_dir)
+        )
+        agg = streaming_event_rollup(stream)
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("rollup_out")
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = spark.sql("SELECT * FROM rollup_out")
+        batch = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        # append mode only emits windows closed by the watermark; every
+        # emitted row must match the batch aggregate exactly.
+        got_rows = {(r.hour, r.event_type): r.n_events for r in got.collect()}
+        batch_rows = {(r.hour, r.event_type): r.n_events for r in batch.collect()}
+        assert got_rows
+        for key, n in got_rows.items():
+            assert batch_rows[key] == n
+
+
+class TestEmbed:
+    def test_embed_deterministic_normalized(self):
+        v1 = embed_text("spark distributed dataframe engine")
+        v2 = embed_text("spark distributed dataframe engine")
+        assert v1 == v2
+        norm = math.sqrt(sum(x * x for x in v1))
+        assert norm == pytest.approx(1.0, abs=1e-3)
+
+    def test_embed_documents_matches_kernel(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+        got = {r.doc_id: list(r.embedding) for r in embed_documents(docs).collect()}
+        for r in docs.collect():
+            expected = embed_text(r.text)
+            assert got[r.doc_id] == pytest.approx(expected, abs=1e-6)
+
+    def test_dense_vector_ids(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+        out = assign_dense_vector_ids(embed_documents(docs)).collect()
+        ids = sorted(r.vector_id for r in out)
+        assert ids == list(range(len(out)))  # dense 0-based (A9 parity)
+        by_doc = sorted(out, key=lambda r: r.doc_id)
+        assert [r.vector_id for r in by_doc] == ids  # ordered by doc_id
+
+    def test_missing_embeddings_resume_predicate(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+        partial = embed_documents(docs.filter(F.col("doc_id") < 10))
+        missing = missing_embeddings(docs, partial)
+        assert {r.doc_id for r in missing.select("doc_id").collect()} == {
+            r.doc_id for r in docs.filter(F.col("doc_id") >= 10).collect()
+        }
+
+
+class TestMultimodal:
+    def test_sniff_and_crop(self):
+        assert sniff_format(b"\x89PNG\r\n") == "png"
+        assert sniff_format(b"\xff\xd8\xff\xe0") == "jpeg"
+        assert sniff_format(b"plain") is None
+        # crop parity: int truncation (utils.py:31-34)
+        assert crop_box(1000, 800) == (0, 40, 700, 720)
+        assert crop_box(333, 555) == (0, 27, 233, 499)
+
+    def test_decode_stub_raises_without_fake(self):
+        with pytest.raises(NotImplementedError):
+            decode_image_stub(b"\x89PNG")
+
+    def test_media_metadata_pipeline(self, spark):
+        rows = [
+            ("m1", bytearray(b"\x89PNG\r\n\x1a\nrest")),
+            ("m2", bytearray(b"\xff\xd8\xff\xe0data")),
+            ("m3", None),
+        ]
+        df = spark.createDataFrame(rows, "media_id string, payload binary")
+        got = {r.media_id: r for r in media_metadata(df).collect()}
+        assert got["m1"].media_format == "png"
+        assert got["m2"].media_format == "jpeg"
+        assert got["m1"].width == 320 + 0x89 * 4
+        assert got["m1"].crop_right == int(got["m1"].width * 0.70)
+        assert got["m3"].error is not None
