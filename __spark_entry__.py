@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+Implementation lives in ``document_automation_spark``; this module is the
+thin wiring layer.  See ``document_automation_spark/queries.py`` for the
+registry (one entry per implemented operator from SURVEY.md §2, plus the
+training-data-pipeline operators: dedup, similarity, text analysis).
 """
 
 from __future__ import annotations
@@ -13,26 +17,33 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from document_automation_spark import queries as _registry
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full extraction pipeline (pages → passages table).
+
+    Loads sf0.001 parquet to size the run, synthesizes the deterministic
+    Common-Crawl-style pages table (FIXTURES.md §1 — seed-pinned, no
+    external data), and runs the mapInPandas extraction: HTML boilerplate
+    strip / PDF parse → ad-filter → 500/10/5 passage split with char spans,
+    quarantine rows for malformed payloads.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from document_automation_spark.operators.extract import ExtractConfig, extract_documents
+    from document_automation_spark.sources.pages import pages_df
+
+    sf_dir = "/root/testdata/sf0.001"
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    pages = pages_df(spark, max(200, n_docs))
+    return extract_documents(pages, ExtractConfig(n_buckets=16))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator (SURVEY.md §2 + pipeline extras)."""
+    return _registry.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twins for every SQL-expressible query."""
+    return _registry.oracle_sql()

@@ -119,13 +119,20 @@ def top_events_per_type(events: DataFrame, k: int = 5) -> DataFrame:
 def lineitem_running_order_total(lineitem: DataFrame) -> DataFrame:
     """Sequence-id window (§2.9 parity: row_number over a total order,
     /root/reference/src/sql.py:775) — dense per-order line numbering plus a
-    running quantity sum, expressed as window functions."""
+    running quantity sum, expressed as window functions.
+
+    (l_orderkey, l_linenumber) is NOT unique in the testdata, so the rows
+    are pre-aggregated to that key first — a running sum over a non-total
+    order would be engine-dependent."""
     from pyspark.sql import Window
 
+    per_line = lineitem.groupBy("l_orderkey", "l_linenumber").agg(
+        F.sum("l_quantity").alias("line_qty")
+    )
     w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
-    return lineitem.select(
+    return per_line.select(
         "l_orderkey",
         "l_linenumber",
         F.row_number().over(w).alias("line_seq"),
-        F.round(F.sum("l_quantity").over(w), 2).alias("running_qty"),
+        F.round(F.sum("line_qty").over(w), 2).alias("running_qty"),
     )

@@ -42,8 +42,14 @@ def _norm(a):
 
 
 def cosine_col(a, b):
-    """Cosine similarity of two array<float> columns, computed in double."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity of two array<float> columns, computed in double.
+
+    The float32 inputs are widened BEFORE the products — Spark's
+    float*float stays float32, which would diverge from a double-math
+    oracle; casting the arrays makes every multiply/add an IEEE double op."""
+    a_d = a.cast("array<double>")
+    b_d = b.cast("array<double>")
+    return _dot(a_d, b_d) / (_norm(a_d) * _norm(b_d))
 
 
 def brute_force_topk(

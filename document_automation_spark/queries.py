@@ -1,0 +1,758 @@
+"""Driver-contract query registry: Spark callables + DuckDB oracle SQL.
+
+Every implemented operator from SURVEY.md §2 gets a named entry here; the
+driver runs the Spark callable and the oracle SQL side-by-side at sf=0.01
+and compares row-count + schema + order-insensitive value hash
+(CORRECTNESS_r{N}.json).  Conventions that make the comparison exact:
+
+* integer arithmetic until the final projection wherever possible
+  (bit-exact regardless of aggregation order — see operators/derived.py);
+* double outputs rounded (6-9 dp) in BOTH engines so summation order can
+  never flip the hash;
+* all integer outputs cast to BIGINT on both sides (DuckDB's SUM/HUGEINT
+  and Spark's int32 row_numbers would otherwise mismatch schemas);
+* session timezone pinned to UTC inside every callable (DuckDB timestamps
+  are UTC-naive);
+* ranking windows order by ROUNDED values with explicit id tie-breaks, so
+  near-equal doubles rank identically in both engines.
+
+Python-kernel operators with no SQL equivalent (MinHash/SimHash signatures,
+HTML extraction, model-style embedding) register WITHOUT an oracle → the
+driver records the weaker rows-only check; their strong checks are the
+pytest oracles (same kernel, byte-compare).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Dict, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from document_automation_spark.operators.derived import (
+    GOLD_SQL,
+    SCORES_SQL,
+    derived_scores,
+    gold_labels,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# registry: name -> (spark_fn, oracle_sql | None)
+_REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {}
+
+
+def register(name: str, oracle: Optional[str]):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def queries() -> Dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> Dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# Relational core (TPC-H-ish breadth)
+# =====================================================================
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_automation_spark.operators.relational import pricing_summary
+
+    return pricing_summary(_t(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "top_customers",
+    """
+    WITH revenue AS (
+        SELECT o_custkey,
+               ROUND(SUM(o_totalprice), 2) AS revenue,
+               COUNT(*) AS num_orders
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT c_custkey, c_name, c_mktsegment, revenue, num_orders
+    FROM revenue JOIN customer ON o_custkey = c_custkey
+    ORDER BY revenue DESC, c_custkey LIMIT 10
+    """,
+)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_automation_spark.operators.relational import top_customers_by_revenue
+
+    return top_customers_by_revenue(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer"), k=10
+    )
+
+
+@register(
+    "customers_with_open_orders",
+    """
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    """,
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_automation_spark.operators.relational import customers_with_open_orders
+
+    return customers_with_open_orders(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_automation_spark.operators.relational import customers_without_orders
+
+    return customers_without_orders(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "max_value_per_user",
+    """
+    SELECT user_id, ROUND(MAX(value), 6) AS max_value, COUNT(*) AS num_events
+    FROM events GROUP BY user_id
+    """,
+)
+def q_max_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_automation_spark.operators.relational import max_value_per_user
+
+    return max_value_per_user(_t(spark, sf_dir, "events"))
+
+
+@register("distinct_sources", "SELECT DISTINCT source FROM documents")
+def q_distinct_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_automation_spark.operators.relational import distinct_sources
+
+    return distinct_sources(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "hourly_event_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_automation_spark.operators.relational import hourly_event_rollup
+
+    return hourly_event_rollup(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "top_events_per_type",
+    """
+    SELECT event_type, event_id, ROUND(value, 6) AS value, rank FROM (
+        SELECT event_type, event_id, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY value DESC NULLS LAST, event_id
+               ) AS rank
+        FROM events
+    ) WHERE rank <= 5
+    """,
+)
+def q_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_automation_spark.operators.relational import top_events_per_type
+
+    out = top_events_per_type(_t(spark, sf_dir, "events"), k=5)
+    return out.select("event_type", "event_id", "value", F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "lineitem_running_total",
+    """
+    WITH per_line AS (
+        SELECT l_orderkey, l_linenumber, SUM(l_quantity) AS line_qty
+        FROM lineitem GROUP BY l_orderkey, l_linenumber
+    )
+    SELECT l_orderkey, l_linenumber,
+           ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS line_seq,
+           ROUND(SUM(line_qty) OVER (
+               PARTITION BY l_orderkey ORDER BY l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+    FROM per_line
+    """,
+)
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_automation_spark.operators.relational import lineitem_running_order_total
+
+    out = lineitem_running_order_total(_t(spark, sf_dir, "lineitem"))
+    return out.select(
+        "l_orderkey", "l_linenumber", F.col("line_seq").cast("long").alias("line_seq"), "running_qty"
+    )
+
+
+# =====================================================================
+# Fusion + eval metrics (derived integer scores fixture)
+# =====================================================================
+
+@register(
+    "comb_sum_fusion",
+    f"""
+    WITH scores AS ({SCORES_SQL})
+    SELECT query_id, doc_id,
+           CAST(SUM(score_num * CASE retriever WHEN 'bm25' THEN 2 ELSE 3 END) AS BIGINT)
+               / (1000003.0 * 5) AS fused_score
+    FROM scores GROUP BY query_id, doc_id
+    """,
+)
+def q_comb_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_automation_spark.operators.fusion import comb_sum
+
+    scores = derived_scores(_t(spark, sf_dir, "documents"))
+    return comb_sum(scores, {"bm25": 2, "dpr": 3}, 5)
+
+
+@register(
+    "rrf_fusion",
+    f"""
+    WITH scores AS ({SCORES_SQL}),
+    ranked AS (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id, retriever
+                   ORDER BY score_num DESC, doc_id
+               ) - 1 AS rank0
+        FROM scores
+    )
+    SELECT query_id, doc_id,
+           ROUND(SUM(1.0 / (61.0 + rank0)), 9) AS rrf_score
+    FROM ranked GROUP BY query_id, doc_id
+    """,
+)
+def q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_automation_spark.operators.fusion import rrf
+
+    return rrf(derived_scores(_t(spark, sf_dir, "documents")))
+
+
+@register(
+    "concatenate_dedup",
+    f"""
+    WITH scores AS ({SCORES_SQL})
+    SELECT query_id, doc_id, score_num, retriever FROM (
+        SELECT query_id, doc_id, score_num, retriever,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id, doc_id ORDER BY retriever DESC
+               ) AS rn
+        FROM scores
+    ) WHERE rn = 1
+    """,
+)
+def q_concat_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_automation_spark.operators.fusion import concatenate_dedup
+
+    return concatenate_dedup(derived_scores(_t(spark, sf_dir, "documents")))
+
+
+_HYBRID_SQL_BODY = f"""
+    WITH scores AS ({SCORES_SQL}),
+    per_image AS (
+        SELECT query_id, image_id,
+               2 * COALESCE(MAX(CASE WHEN retriever = 'bm25' THEN score_num END), 0)
+             + 3 * COALESCE(MAX(CASE WHEN retriever = 'dpr' THEN score_num END), 0)
+               AS final_num
+        FROM scores GROUP BY query_id, image_id
+    ),
+    ranked AS (
+        SELECT query_id, image_id, final_num,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY final_num DESC, image_id
+               ) AS img_rank
+        FROM per_image
+    )
+"""
+
+@register(
+    "hybrid_image_fusion",
+    _HYBRID_SQL_BODY
+    + """
+    SELECT query_id, image_id, img_rank,
+           final_num / (1000003.0 * 2) AS final_score
+    FROM ranked WHERE img_rank <= 10
+    """,
+)
+def q_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_automation_spark.operators.fusion import hybrid_image_fusion
+
+    out = hybrid_image_fusion(
+        derived_scores(_t(spark, sf_dir, "documents")), 3, 2, rerank_topk=10
+    )
+    return out.select(
+        "query_id", "image_id", F.col("img_rank").cast("long").alias("img_rank"), "final_score"
+    )
+
+
+@register(
+    "retrieval_recall_mrr",
+    _HYBRID_SQL_BODY
+    + f""",
+    gold AS ({GOLD_SQL}),
+    found AS (
+        SELECT g.query_id, MIN(r.img_rank) AS found_rank
+        FROM gold g JOIN ranked r
+          ON r.query_id = g.query_id AND r.image_id = g.gold_image_id
+             AND r.img_rank <= 10
+        GROUP BY g.query_id
+    ),
+    per_query AS (
+        SELECT g.query_id,
+               CASE WHEN f.found_rank IS NULL THEN 0 ELSE 1 END AS hit,
+               CAST(COALESCE(f.found_rank, 20000) AS BIGINT) AS rank
+        FROM gold g LEFT JOIN found f ON g.query_id = f.query_id
+    )
+    SELECT ROUND(AVG(CAST(hit AS DOUBLE)), 9) AS recall,
+           ROUND(AVG(1.0 / rank), 9) AS mrr,
+           COUNT(*) AS num_queries
+    FROM per_query
+    """,
+)
+def q_recall_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_automation_spark.operators.eval_metrics import hits_and_ranks, recall_and_mrr
+    from document_automation_spark.operators.fusion import hybrid_image_fusion
+
+    ranked = hybrid_image_fusion(
+        derived_scores(_t(spark, sf_dir, "documents")), 3, 2, rerank_topk=10
+    )
+    gold = gold_labels(spark)
+    return recall_and_mrr(hits_and_ranks(ranked, gold, topk=10))
+
+
+# =====================================================================
+# Passage split + positive passage (byte-exact kernel vs SQL re-derivation)
+# =====================================================================
+
+# The SQL below independently re-derives get_split's window math
+# (max_len 500 / stride 490 / strict > 5 remainder gate) so the Python
+# kernel and a second implementation cross-check each other.
+_SPLIT_SQL = """
+    SELECT doc_id, CAST(0 AS BIGINT) AS passage_idx, text AS passage
+    FROM documents WHERE length(text) <= 500
+    UNION ALL
+    SELECT d.doc_id, g.w AS passage_idx,
+           substring(d.text, CAST(g.w * 490 + 1 AS INT), 500) AS passage
+    FROM documents d,
+         LATERAL (SELECT unnest(generate_series(0,
+                      CAST(floor(length(d.text) / 490.0) AS BIGINT) - 1)) AS w) g
+    WHERE length(d.text) > 500
+    UNION ALL
+    SELECT doc_id,
+           CAST(floor(length(text) / 490.0) AS BIGINT) AS passage_idx,
+           substring(text,
+               CAST(500 + (CAST(floor(length(text) / 490.0) AS BIGINT) - 1) * 490 + 1 AS INT),
+               length(text)) AS passage
+    FROM documents
+    WHERE length(text) > 500
+      AND length(text) - (500 + (CAST(floor(length(text) / 490.0) AS BIGINT) - 1) * 490) > 5
+"""
+
+
+@register("split_passages", _SPLIT_SQL)
+def q_split_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_automation_spark.operators.positive_passage import explode_passages
+
+    out = explode_passages(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", F.col("passage_idx").cast("long").alias("passage_idx"), "passage"
+    )
+
+
+_QA_SQL = """
+    SELECT doc_id % 20 AS query_id, doc_id,
+           substring(text, 21, 10) AS answer
+    FROM documents WHERE length(text) >= 40 AND doc_id % 5 = 0
+"""
+
+
+@register(
+    "positive_passage",
+    f"""
+    WITH split AS ({_SPLIT_SQL}),
+    qa AS ({_QA_SQL}),
+    joined AS (
+        SELECT qa.query_id, qa.doc_id, s.passage_idx, s.passage,
+               COUNT(*) OVER (PARTITION BY qa.query_id, qa.doc_id) AS n_passages,
+               CASE WHEN position(qa.answer IN s.passage) > 0 THEN 1 ELSE 0 END AS has_answer,
+               length(list_intersect(list_distinct(str_split(s.passage, '')),
+                                     list_distinct(str_split(qa.answer, '')))) AS char_overlap
+        FROM qa JOIN split s ON qa.doc_id = s.doc_id
+    ),
+    picked AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY query_id, doc_id
+                   ORDER BY has_answer DESC, char_overlap DESC, passage_idx
+               ) AS pick
+        FROM joined
+    )
+    SELECT query_id, doc_id,
+           CASE WHEN n_passages > 1 AND has_answer = 0 AND char_overlap = 0
+                THEN NULL ELSE CAST(passage_idx AS BIGINT) END AS passage_idx,
+           CASE WHEN n_passages > 1 AND has_answer = 0 AND char_overlap = 0
+                THEN '' ELSE passage END AS positive_passage
+    FROM picked WHERE pick = 1
+    """,
+)
+def q_positive_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_automation_spark.operators.positive_passage import find_positive_passages
+
+    docs = _t(spark, sf_dir, "documents")
+    qa = docs.filter((F.length("text") >= 40) & (F.col("doc_id") % 5 == 0)).select(
+        (F.col("doc_id") % 20).alias("query_id"),
+        "doc_id",
+        F.col("text").substr(21, 10).alias("answer"),
+    )
+    out = find_positive_passages(docs, qa)
+    return out.select(
+        "query_id",
+        "doc_id",
+        F.col("passage_idx").cast("long").alias("passage_idx"),
+        "positive_passage",
+    )
+
+
+# =====================================================================
+# Dedup suite
+# =====================================================================
+
+@register(
+    "exact_dedup",
+    """
+    SELECT doc_id, text, lang, source, n_chars FROM (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS keep_id FROM documents
+    ) WHERE doc_id = keep_id
+    """,
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_automation_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "duplicate_groups",
+    """
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY text HAVING COUNT(*) > 1
+    """,
+)
+def q_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_automation_spark.operators.dedup import duplicate_groups
+
+    return duplicate_groups(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    """
+    WITH grams AS (
+        SELECT doc_id, lang, n_chars,
+               list_distinct(list_transform(
+                   generate_series(1, GREATEST(length(text) - 2, 1)),
+                   i -> substring(text, CAST(i AS INT), 3))) AS gs
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(length(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+                 (length(a.gs) + length(b.gs) - length(list_intersect(a.gs, b.gs))),
+                 6) AS jaccard
+    FROM grams a JOIN grams b
+      ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+    WHERE ROUND(CAST(length(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+                (length(a.gs) + length(b.gs) - length(list_intersect(a.gs, b.gs))),
+                6) >= 0.5
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_automation_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.5)
+
+
+# Python-kernel dedup (blake2b hashing — not SQL-expressible → rows-only):
+@register("minhash_lsh_candidates", None)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_automation_spark.operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
+
+
+@register("simhash_fingerprints", None)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_automation_spark.operators.dedup import simhash_fingerprints
+
+    return simhash_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+# =====================================================================
+# Similarity search
+# =====================================================================
+
+_COSINE_PAIR_SQL = """
+        SELECT q.vec_id AS query_vec_id, e.vec_id,
+               ROUND(
+                   list_reduce(list_prepend(0.0,
+                       list_transform(generate_series(1, len(e.embedding)),
+                           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))),
+                       (a, b) -> a + b)
+                   / (sqrt(list_reduce(list_prepend(0.0,
+                          list_transform(generate_series(1, len(e.embedding)),
+                              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+                          (a, b) -> a + b))
+                    * sqrt(list_reduce(list_prepend(0.0,
+                          list_transform(generate_series(1, len(q.embedding)),
+                              i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))),
+                          (a, b) -> a + b))),
+                   6) AS cosine
+        FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+"""
+
+
+@register(
+    "similarity_topk",
+    f"""
+    WITH scored AS ({_COSINE_PAIR_SQL})
+    SELECT query_vec_id, vec_id, cosine, rank FROM (
+        SELECT query_vec_id, vec_id, cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_vec_id ORDER BY cosine DESC, vec_id
+               ) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_automation_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_vec_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    out = brute_force_topk(emb, queries_df, k=10)
+    return out.select(
+        "query_vec_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@register(
+    "embedding_near_dup",
+    """
+    SELECT * FROM (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(
+               list_reduce(list_prepend(0.0,
+                   list_transform(generate_series(1, len(a.embedding)),
+                       i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+                   (x, y) -> x + y)
+               / (sqrt(list_reduce(list_prepend(0.0,
+                      list_transform(generate_series(1, len(a.embedding)),
+                          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))),
+                      (x, y) -> x + y))
+                * sqrt(list_reduce(list_prepend(0.0,
+                      list_transform(generate_series(1, len(b.embedding)),
+                          i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+                      (x, y) -> x + y))),
+               6) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.3
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_automation_spark.operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+@register("lsh_bucketed_topk", None)  # hyperplane constants → rows-only check
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_automation_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_vec_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    out = lsh_bucketed_topk(emb, queries_df, k=10, n_planes=4)
+    return out.select(
+        "query_vec_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+# =====================================================================
+# Text analysis
+# =====================================================================
+
+@register(
+    "token_stats",
+    r"""
+    SELECT doc_id,
+           length(text) AS n_chars_measured,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens_ws,
+           ROUND(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+                 / length(text), 6) AS space_ratio
+    FROM documents
+    """,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_automation_spark.operators.text_analysis import token_stats
+
+    out = token_stats(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_chars_measured").cast("long").alias("n_chars_measured"),
+        F.col("n_tokens_ws").cast("long").alias("n_tokens_ws"),
+        "space_ratio",
+    )
+
+
+@register(
+    "detect_language_script",
+    """
+    SELECT doc_id,
+           CASE WHEN regexp_matches(text, '[぀-ヿ]') THEN 'ja'
+                WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                WHEN regexp_matches(text, '[가-힯]') THEN 'ko'
+                WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
+                ELSE 'latin' END AS detected_script
+    FROM documents
+    """,
+)
+def q_detect_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_automation_spark.operators.text_analysis import detect_language_script
+
+    return detect_language_script(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "rolling_fingerprint",
+    """
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(str_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 140737488355213) AS fingerprint
+    FROM documents
+    """,
+)
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_automation_spark.operators.text_analysis import rolling_fingerprint_col
+
+    return rolling_fingerprint_col(_t(spark, sf_dir, "documents"))
+
+
+@register("quality_features", None)  # Python composite policy → rows-only
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_automation_spark.operators.text_analysis import quality_features
+
+    return quality_features(_t(spark, sf_dir, "documents"))
+
+
+@register("language_id_kernel", None)  # stopword-hint kernel → rows-only
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_automation_spark.operators.text_analysis import language_id_kernel
+
+    return language_id_kernel(_t(spark, sf_dir, "documents"))
+
+
+# =====================================================================
+# Embedding stage + resume predicates
+# =====================================================================
+
+@register(
+    "missing_embeddings",
+    """
+    SELECT d.doc_id FROM documents d
+    LEFT JOIN (SELECT vec_id FROM embeddings WHERE vec_id % 7 <> 0) e
+      ON d.doc_id = e.vec_id
+    WHERE e.vec_id IS NULL
+    """,
+)
+def q_missing_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_automation_spark.functions.embed import missing_embeddings
+
+    docs = _t(spark, sf_dir, "documents")
+    embedded = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 7 != 0)
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    return missing_embeddings(docs, embedded).select("doc_id")
+
+
+@register(
+    "order_restore_by_ids",
+    """
+    SELECT e.vec_id, p.pos, e.label FROM embeddings e
+    JOIN (VALUES (42, 0), (7, 1), (99, 2), (3, 3)) AS p(vec_id, pos)
+      ON e.vec_id = p.vec_id
+    """,
+)
+def q_order_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_automation_spark.operators.topk import restore_order_by_ids
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    out = restore_order_by_ids(emb, "vec_id", [42, 7, 99, 3])
+    return out.select("vec_id", F.col("pos").cast("int").alias("pos"), "label")
+
+
+@register("hash_embeddings", None)  # blake2b feature hashing → rows-only
+def q_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_automation_spark.functions.embed import assign_dense_vector_ids, embed_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return assign_dense_vector_ids(embed_documents(docs))
+
+
+# =====================================================================
+# Flagship extraction (HTML/PDF kernels → rows-only; byte-exactness is
+# proven by the pytest oracle, tests/test_extract_job.py)
+# =====================================================================
+
+@register("extraction_pipeline", None)
+def q_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_automation_spark.operators.extract import ExtractConfig, extract_documents
+    from document_automation_spark.sources.pages import pages_df
+
+    docs = _t(spark, sf_dir, "documents")
+    n_pages = max(200, min(2000, docs.count() // 2))
+    pages = pages_df(spark, n_pages)
+    return extract_documents(pages, ExtractConfig(n_buckets=16))
