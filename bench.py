@@ -1,0 +1,128 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": ..., "value": <total headline seconds>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <scale factor>,
+     "docs_per_sec": <extraction throughput>, "cpus": N, "n_pages": N}
+
+The flagship measurement is the extraction pipeline (pages → passages) —
+docs/sec is the north-star metric (BASELINE.md); the relational/fusion/
+dedup headliners cover the rest of the operator inventory.  Results are
+sunk to Spark's "noop" writer so measured time is compute + shuffle, not
+driver collection.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_from_dir(sf_dir)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from document_automation_spark.operators.extract import ExtractConfig, extract_documents
+    from document_automation_spark.session import build_session
+    from document_automation_spark.sources.pages import pages_df
+    import document_automation_spark.queries as registry
+
+    spark = build_session(
+        app_name=f"bench-sf{sf}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    def sink(df) -> None:
+        df.write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+
+    # -- flagship: extraction throughput --------------------------------
+    # Pages are materialized to parquet first (un-timed): the real job
+    # reads an Iceberg/Parquet pages table, so generation cost must not
+    # pollute the extraction measurement.  The input is sized so kernel
+    # compute dominates Spark's fixed per-job overhead (~1 s), and the
+    # first full-pipeline pass (python-worker pool spin-up, codegen,
+    # Arrow init) is a discarded warm-up; best of 2 timed reps is scored.
+    import tempfile
+
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", max(1000, int(1_000_000 * sf))))
+    pages_path = os.path.join(tempfile.gettempdir(), f"bench_pages_sf{sf}_n{n_pages}")
+    if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
+        pages_df(spark, n_pages, partitions=cpus * 2).write.mode("overwrite").parquet(
+            pages_path
+        )
+    pages = spark.read.parquet(pages_path)
+    cfg = ExtractConfig(n_buckets=max(64, cpus * 2))
+    sink(extract_documents(pages, cfg))  # warm-up, not timed
+
+    extraction_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        sink(extract_documents(pages, cfg))
+        extraction_s = min(extraction_s, time.time() - t0)
+    timings["extraction_pipeline"] = round(extraction_s, 3)
+    docs_per_sec = n_pages / extraction_s
+
+    # -- operator headliners -------------------------------------------
+    headliners = [
+        "pricing_summary",
+        "top_customers",
+        "hourly_event_rollup",
+        "lineitem_running_total",
+        "comb_sum_fusion",
+        "rrf_fusion",
+        "hybrid_image_fusion",
+        "retrieval_recall_mrr",
+        "split_passages",
+        "positive_passage",
+        "exact_dedup",
+        "minhash_lsh_candidates",
+        "simhash_fingerprints",
+        "ngram_jaccard_pairs",
+        "similarity_topk",
+        "embedding_near_dup",
+        "token_stats",
+        "rolling_fingerprint",
+        "hash_embeddings",
+    ]
+    qs = registry.queries()
+    for name in headliners:
+        t0 = time.time()
+        sink(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "docs_per_sec": round(docs_per_sec, 1),
+                "n_pages": n_pages,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

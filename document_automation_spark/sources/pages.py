@@ -80,15 +80,10 @@ def _pick_host(rng: random.Random) -> str:
 def _make_text(rng: random.Random, lang: str, target_len: int) -> str:
     """Deterministic text of EXACTLY ``target_len`` code points."""
     if lang == "zh":
-        chars = [_ZH_CHARS[rng.randrange(len(_ZH_CHARS))] for _ in range(target_len)]
-        return "".join(chars)
-    parts: List[str] = []
-    size = 0
-    while size < target_len:
-        w = _EN_WORDS[rng.randrange(len(_EN_WORDS))]
-        parts.append(w)
-        size += len(w) + 1  # separator
-    text = " ".join(parts)
+        return "".join(rng.choices(_ZH_CHARS, k=target_len))
+    # ~6 chars/word incl. separator → sample enough words in one call
+    words = rng.choices(_EN_WORDS, k=target_len // 4 + 2)
+    text = " ".join(words)
     if len(text) < target_len:
         text = text + "x" * (target_len - len(text))
     return text[:target_len]
