@@ -1,0 +1,96 @@
+"""BM25 scoring as pure DataFrame algebra — the Elasticsearch replacement.
+
+The reference delegates BM25 to an Elasticsearch server
+(/root/reference/src/gen-sods-doc-image-ray.py:109-112,
+BM25Retriever at /root/reference/src/test_retrieval_pipeline.py:201-213).
+An inverted index is just (term → postings) — a DataFrame groupBy — so the
+whole scorer is expressible relationally, with no server:
+
+    tokens   = explode(split(text))            — narrow map
+    tf       = groupBy(doc, term).count()      — shuffle 1 (by doc+term)
+    df, idf  = groupBy(term).count() + ln()    — shuffle 2 (by term, tiny)
+    score    = query_terms ⋈ tf ⋈ idf → Σ per (query, doc)
+
+Scoring formula (Lucene/ES BM25 with the +1 idf smoothing so scores stay
+positive):
+
+    idf(t)  = ln( (N - df + 0.5) / (df + 0.5) + 1 )
+    s(q,d)  = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+
+Scale shape: the postings table is the big intermediate; both shuffles key
+on uniform hash keys (term, doc_id).  The per-term document-frequency side
+is tiny (vocabulary-sized) → broadcast into the scoring join.  Query terms
+are broadcast always.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+
+
+def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokenization, lowercased (identical in the SQL oracle)."""
+    return df.withColumn(
+        "term", F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    ).filter(F.col("term") != "")
+
+
+def bm25_scores(
+    documents: DataFrame,
+    query_terms: DataFrame,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """BM25 score per (query_id, doc_id).
+
+    ``documents``: (doc_id, text); ``query_terms``: (query_id, term).
+    Returns (query_id, doc_id, bm25:double) for docs matching ≥1 term.
+    """
+    tokens = tokenize(documents.select("doc_id", "text"))
+
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    doclen = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+
+    n_docs = documents.count()  # driver scalar: one cheap count job
+    df_term = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_term.select(
+        "term",
+        F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0).alias(
+            "idf"
+        ),
+    )
+
+    # vocabulary + query side are small → broadcast both into the postings
+    matched = (
+        tf.join(F.broadcast(query_terms), "term")
+        .join(F.broadcast(idf), "term")
+        .join(doclen, "doc_id")
+    )
+    avgdl = doclen.agg(F.avg("dl")).collect()[0][0]
+
+    term_score = F.col("idf") * (
+        F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / float(avgdl)))
+    )
+    return (
+        matched.withColumn("term_score", term_score)
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("term_score"), 6).alias("bm25"))
+    )
+
+
+def bm25_topk(
+    documents: DataFrame, query_terms: DataFrame, k: int = 10
+) -> DataFrame:
+    """Top-k BM25 hits per query with deterministic tie-break."""
+    scored = bm25_scores(documents, query_terms)
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "bm25", F.col("rank").cast("long").alias("rank"))
+    )

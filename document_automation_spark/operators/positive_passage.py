@@ -93,6 +93,10 @@ def find_positive_passages(
         F.desc("has_answer"), F.desc("char_overlap"), F.asc("passage_idx")
     )
     picked = scored.withColumn("pick", F.row_number().over(w)).filter(F.col("pick") == 1)
+    return _apply_empty_pick_quirk(picked)
+
+
+def _apply_empty_pick_quirk(picked: DataFrame) -> DataFrame:
     # Reference quirk: with multiple passages, no substring hit and zero
     # char overlap everywhere, the scan never updates `pos_passage` and
     # returns '' (process_dataset.py:40 initial value) — reproduced here.
@@ -107,3 +111,66 @@ def find_positive_passages(
         ),
         F.when(empty_pick, F.lit("")).otherwise(F.col("passage")).alias("positive_passage"),
     )
+
+
+def dpr_training_samples(
+    documents: DataFrame,
+    qa: DataFrame,
+    hard_negatives: DataFrame | None = None,
+) -> DataFrame:
+    """Nested DPR training-sample rows (reference shape:
+    /root/reference/src/process_dataset.py:106-123):
+
+        (question, answers, positive_ctxs:array<struct>, negative_ctxs,
+         hard_negative_ctxs)
+
+    ``qa``: (query_id, doc_id, question, answer); ``hard_negatives``
+    optional (query_id, passage) from a BM25 run minus the gold image
+    (the reference's anti-join mining, :276-278).  Sink with
+    ``df.write.json(...)`` — the S12 JSON sink as one distributed write.
+    """
+    positives = find_positive_passages(documents, qa.select("query_id", "doc_id", "answer"))
+    ctx = F.array(
+        F.struct(
+            F.lit("").alias("title"),
+            F.col("positive_passage").alias("text"),
+            F.lit("").alias("passage_id"),
+        )
+    )
+    samples = (
+        qa.join(positives, ["query_id", "doc_id"])
+        .select(
+            "query_id",
+            F.col("question"),
+            F.col("answer").alias("answers"),
+            ctx.alias("positive_ctxs"),
+            F.array().cast("array<struct<title:string,text:string,passage_id:string>>").alias(
+                "negative_ctxs"
+            ),
+        )
+    )
+    if hard_negatives is not None:
+        hn = hard_negatives.groupBy("query_id").agg(
+            F.collect_list(
+                F.struct(
+                    F.lit("").alias("title"),
+                    F.col("passage").alias("text"),
+                    F.lit("").alias("passage_id"),
+                )
+            ).alias("hard_negative_ctxs")
+        )
+        samples = samples.join(hn, "query_id", "left").withColumn(
+            "hard_negative_ctxs",
+            F.coalesce(
+                F.col("hard_negative_ctxs"),
+                F.array().cast(
+                    "array<struct<title:string,text:string,passage_id:string>>"
+                ),
+            ),
+        )
+    else:
+        samples = samples.withColumn(
+            "hard_negative_ctxs",
+            F.array().cast("array<struct<title:string,text:string,passage_id:string>>"),
+        )
+    return samples

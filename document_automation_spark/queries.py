@@ -356,6 +356,71 @@ def q_recall_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# BM25 retrieval (the Elasticsearch leg, rebuilt as DataFrame algebra)
+# =====================================================================
+
+_QT_SQL = r"""
+    SELECT DISTINCT CAST(d.doc_id / 41 AS BIGINT) AS query_id, u.term
+    FROM documents d,
+         LATERAL (SELECT unnest(list_slice(
+             regexp_split_to_array(lower(trim(d.text)), '\s+'), 3, 6)) AS term) u
+    WHERE d.doc_id % 41 = 0 AND d.doc_id < 410 AND u.term <> ''
+"""
+
+
+@register(
+    "bm25_topk",
+    rf"""
+    WITH qt AS ({_QT_SQL}),
+    tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        FROM documents
+    ),
+    tok2 AS (SELECT * FROM tok WHERE term <> ''),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok2 GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    avgs AS (SELECT AVG(dl) AS avgdl FROM dl),
+    idf AS (
+        SELECT term, ln((n - df + 0.5) / (df + 0.5) + 1.0) AS idf
+        FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), stats
+    ),
+    scored AS (
+        SELECT qt.query_id, tf.doc_id,
+               ROUND(SUM(idf.idf * tf.tf * 2.2 /
+                     (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgs.avgdl))), 6) AS bm25
+        FROM qt
+        JOIN tf ON qt.term = tf.term
+        JOIN idf ON qt.term = idf.term
+        JOIN dl ON tf.doc_id = dl.doc_id, avgs
+        GROUP BY qt.query_id, tf.doc_id
+    )
+    SELECT query_id, doc_id, bm25, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_automation_spark.operators.bm25 import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    query_terms = (
+        docs.filter((F.col("doc_id") % 41 == 0) & (F.col("doc_id") < 410))
+        .select(
+            (F.col("doc_id") / 41).cast("long").alias("query_id"),
+            F.explode(
+                F.slice(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 3, 4)
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    return bm25_topk(docs.select("doc_id", "text"), query_terms, k=10)
+
+
+# =====================================================================
 # Passage split + positive passage (byte-exact kernel vs SQL re-derivation)
 # =====================================================================
 
@@ -694,6 +759,44 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Skew-aware aggregation (salted two-phase; result == plain GROUP BY)
+# =====================================================================
+
+@register(
+    "salted_event_type_stats",
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+           ROUND(SUM(value), 6) AS sum_value,
+           ROUND(MAX(value), 6) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """event_type is the skewed key (few distinct values over many rows) —
+    the salted two-phase plan must produce EXACTLY the plain GROUP BY
+    result, which is what the oracle checks."""
+    from document_automation_spark.operators.skew import salted_agg
+
+    events = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        events,
+        ["event_type"],
+        {
+            "n_events": ("count", "*"),
+            "sum_value_raw": ("sum", "value"),
+            "max_value_raw": ("max", "value"),
+        },
+        n_salt=16,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round("sum_value_raw", 6).alias("sum_value"),
+        F.round("max_value_raw", 6).alias("max_value"),
+    )
+
+
+# =====================================================================
 # Embedding stage + resume predicates
 # =====================================================================
 
@@ -740,6 +843,20 @@ def q_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return assign_dense_vector_ids(embed_documents(docs))
+
+
+@register("dpr_training_samples", None)  # nested-struct output → rows-only
+def q_dpr_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_automation_spark.operators.positive_passage import dpr_training_samples
+
+    docs = _t(spark, sf_dir, "documents")
+    qa = docs.filter((F.length("text") >= 40) & (F.col("doc_id") % 5 == 0)).select(
+        (F.col("doc_id") % 20).alias("query_id"),
+        "doc_id",
+        F.concat(F.lit("what is "), F.col("text").substr(1, 12)).alias("question"),
+        F.col("text").substr(21, 10).alias("answer"),
+    )
+    return dpr_training_samples(docs, qa)
 
 
 # =====================================================================
