@@ -43,6 +43,12 @@ def main() -> None:
         app_name=f"bench-sf{sf}",
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus, 8),
+        # Python-kernel-bound scans want splits of ~1 s of kernel work,
+        # not the 128 MB parquet default (see BENCH/BASELINE.md protocol)
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.openCostInBytes": "262144",
+        },
     )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
