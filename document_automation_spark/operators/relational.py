@@ -116,6 +116,57 @@ def top_events_per_type(events: DataFrame, k: int = 5) -> DataFrame:
     ).select("event_type", "event_id", F.round("value", 6).alias("value"), "rank")
 
 
+def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization: per-user sessions split at inactivity gaps.
+
+    The classic lag + cumulative-sum window rewrite (one shuffle on
+    user_id): a new session starts where ``ts - lag(ts) > gap``; the
+    running sum of the new-session flags numbers the sessions.  Returns
+    one row per session with start/end/count.  At scale: single hash
+    shuffle on user_id; skewed power-users split fine under AQE because
+    the window partition is the user — pathological single-user skew
+    would move to `applyInPandasWithState` in the streaming path."""
+    from pyspark.sql import Window
+
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = gap_minutes * 60
+    # parquet timestamps read as TIMESTAMP_NTZ: cast via timestamp (session
+    # tz pinned UTC) to epoch seconds, matching DuckDB epoch() on naive ts
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    with_flag = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(
+            epoch - F.lag(epoch).over(w_user) > gap_s,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    with_id = with_flag.withColumn(
+        "session_seq", F.sum("new_session").over(w_user.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        with_id.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_seq").cast("long").alias("session_seq"),
+            "session_start",
+            "session_end",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def lineitem_running_order_total(lineitem: DataFrame) -> DataFrame:
     """Sequence-id window (§2.9 parity: row_number over a total order,
     /root/reference/src/sql.py:775) — dense per-order line numbering plus a

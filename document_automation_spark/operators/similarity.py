@@ -60,11 +60,26 @@ def brute_force_topk(
     ``queries``: (query_vec_id, query_embedding).  The query side is
     broadcast — the corpus never shuffles; scoring happens map-side in the
     scan stage, then one ranking window on (query, score).
+
+    Norms are precomputed once per row on each side BEFORE the join — with
+    |Q| queries the naive formulation folds each corpus vector's norm |Q|
+    times and each query norm |corpus| times.
     """
-    scored = embeddings.crossJoin(F.broadcast(queries)).select(
+    corpus = embeddings.select(
+        "vec_id", "embedding", _norm(F.col("embedding").cast("array<double>")).alias("e_norm")
+    )
+    qside = queries.select(
+        "query_vec_id",
+        "query_embedding",
+        _norm(F.col("query_embedding").cast("array<double>")).alias("q_norm"),
+    )
+    dot = _dot(
+        F.col("query_embedding").cast("array<double>"), F.col("embedding").cast("array<double>")
+    )
+    scored = corpus.crossJoin(F.broadcast(qside)).select(
         "query_vec_id",
         "vec_id",
-        F.round(cosine_col(F.col("query_embedding"), F.col("embedding")), 6).alias("cosine"),
+        F.round(dot / (F.col("q_norm") * F.col("e_norm")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_vec_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -146,15 +161,26 @@ def lsh_bucketed_topk(
 def embedding_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.95, block_col: str = "label"
 ) -> DataFrame:
-    """Cosine near-dup pairs within a blocking key (embedding dedup leg)."""
-    a, b = embeddings.alias("a"), embeddings.alias("b")
+    """Cosine near-dup pairs within a blocking key (embedding dedup leg).
+
+    Norms precomputed once per vector (not once per PAIR — a blocked
+    self-join visits each vector |block| times)."""
+    with_norm = embeddings.select(
+        "vec_id",
+        block_col,
+        "embedding",
+        _norm(F.col("embedding").cast("array<double>")).alias("nrm"),
+    )
+    a, b = with_norm.alias("a"), with_norm.alias("b")
     pairs = a.join(b, on=block_col).filter(F.col("a.vec_id") < F.col("b.vec_id"))
-    cos = cosine_col(F.col("a.embedding"), F.col("b.embedding"))
+    dot = _dot(
+        F.col("a.embedding").cast("array<double>"), F.col("b.embedding").cast("array<double>")
+    )
     return (
         pairs.select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 6).alias("cosine"),
+            F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -758,6 +758,35 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id_kernel(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "sessionize_events",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN CAST(epoch(ts) AS BIGINT)
+                         - LAG(CAST(epoch(ts) AS BIGINT)) OVER w > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT *, SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+    FROM sess GROUP BY user_id, session_seq
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_automation_spark.operators.relational import sessionize_events
+
+    return sessionize_events(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
 # =====================================================================
 # Skew-aware aggregation (salted two-phase; result == plain GROUP BY)
 # =====================================================================
