@@ -666,7 +666,60 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
-@register("lsh_bucketed_topk", None)  # hyperplane constants → rows-only check
+def _lsh_oracle_sql(n_planes: int = 4, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB twin of the LSH bucketing: the deterministic hyperplane
+    constants are embedded as literals; both engines compute each dot as
+    the same left-fold in index order, so bucket ids are bit-identical."""
+    from document_automation_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes, seed)
+
+    def dot_sql(vec: str, plane: list) -> str:
+        lits = ", ".join(repr(c) for c in plane)
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {dim}),"
+            f" i -> CAST({vec}[i] AS DOUBLE) * ([{lits}])[i])), (a, b) -> a + b)"
+        )
+
+    bucket_terms = " + ".join(
+        f"(CASE WHEN {dot_sql('embedding', plane)} > 0 THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding, CAST({bucket_terms} AS BIGINT) AS bucket
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_vec_id, e.vec_id,
+               ROUND(
+                   list_reduce(list_prepend(0.0,
+                       list_transform(generate_series(1, len(e.embedding)),
+                           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))),
+                       (a, b) -> a + b)
+                   / (sqrt(list_reduce(list_prepend(0.0,
+                          list_transform(generate_series(1, len(e.embedding)),
+                              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+                          (a, b) -> a + b))
+                    * sqrt(list_reduce(list_prepend(0.0,
+                          list_transform(generate_series(1, len(q.embedding)),
+                              i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))),
+                          (a, b) -> a + b))),
+                   6) AS cosine
+        FROM bucketed e JOIN (SELECT * FROM bucketed WHERE vec_id < 5) q
+          ON e.bucket = q.bucket
+    )
+    SELECT query_vec_id, vec_id, cosine, rank FROM (
+        SELECT query_vec_id, vec_id, cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_vec_id ORDER BY cosine DESC, vec_id
+               ) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """
+
+
+@register("lsh_bucketed_topk", _lsh_oracle_sql())
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_automation_spark.operators.similarity import lsh_bucketed_topk
 
