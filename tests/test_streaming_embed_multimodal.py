@@ -87,6 +87,52 @@ class TestStreamingExtraction:
             assert batch_rows[key] == n
 
 
+class TestStatefulStreaming:
+    def test_user_totals_match_batch(self, spark, sf_dir, tmp_path):
+        from document_automation_spark.streaming.pipeline import streaming_user_totals
+
+        events_dir = str(tmp_path / "ev_state_in")
+        spark.read.parquet(f"{sf_dir}/events.parquet").write.parquet(events_dir)
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_dir)
+        )
+        q = (
+            streaming_user_totals(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("user_totals")
+            .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        # memory sink in update mode accumulates intermediate rows; the row
+        # with the highest n_events per user is the final state
+        latest = {}
+        for r in spark.sql("SELECT * FROM user_totals").collect():
+            prev = latest.get(r.user_id)
+            if prev is None or r.n_events > prev[0]:
+                latest[r.user_id] = (r.n_events, r.sum_value)
+        expected = {
+            r.user_id: (r.n, round(r.s, 6))
+            for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("s"),
+            )
+            .collect()
+        }
+        assert set(latest) == set(expected)
+        for uid, (n, s) in expected.items():
+            assert latest[uid][0] == n, uid
+            assert abs(latest[uid][1] - s) < 1e-6, uid
+
+
 class TestEmbed:
     def test_embed_deterministic_normalized(self):
         v1 = embed_text("spark distributed dataframe engine")
