@@ -23,6 +23,9 @@ from document_automation_spark.kernels.textproc import (  # noqa: F401
 from document_automation_spark.kernels.html_extract import (  # noqa: F401
     extract_main_text_html,
 )
+from document_automation_spark.kernels.html_fast import (  # noqa: F401
+    extract_main_text_html_fast,
+)
 from document_automation_spark.kernels.pdf_extract import (  # noqa: F401
     extract_text_pdf,
     looks_like_pdf,

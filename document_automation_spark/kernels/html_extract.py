@@ -34,6 +34,7 @@ _DROP_TAGS = frozenset(
     {
         "script",
         "style",
+        "title",
         "noscript",
         "template",
         "nav",
@@ -44,6 +45,7 @@ _DROP_TAGS = frozenset(
         "button",
         "select",
         "option",
+        "textarea",
         "iframe",
         "svg",
         "figure",

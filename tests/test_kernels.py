@@ -199,6 +199,52 @@ class TestHtmlExtract:
         assert isinstance(extract_main_text_html("<p>open <div unclosed <b>bold"), str)
 
 
+class TestFastHtmlParity:
+    """The regex tokenizer (hot path) must be byte-identical to the
+    html.parser specification on the whole fixture corpus + adversaria."""
+
+    def test_fixture_corpus_byte_identical(self):
+        from document_automation_spark.kernels.html_fast import extract_main_text_html_fast
+        from document_automation_spark.kernels.pdf_extract import looks_like_pdf
+        from document_automation_spark.sources.pages import gen_rows
+
+        for page in gen_rows(range(1500)):
+            payload = page["html"]
+            if looks_like_pdf(payload):
+                continue
+            try:
+                html = payload.decode("utf-8")
+            except UnicodeDecodeError:
+                continue
+            assert extract_main_text_html_fast(html) == extract_main_text_html(html), page["url"]
+
+    @pytest.mark.parametrize(
+        "snippet",
+        [
+            "<p>open <div unclosed <b>bold",
+            "<body><p>a &amp; b &lt;c&gt;</p></body>",
+            "<div class='sidebar x'>j</div><p>keep</p>",
+            "<a href=x>link text here</a><p>hello world text</p>",
+            "<table><tr><td>cell1</td><td>cell2</td></tr></table>",
+            "<!-- comment --><p>after comment</p>",
+            "<![CDATA[raw]]><p>post cdata</p>",
+            "<br/><hr/><p>voids</p><img src=x>",
+            "text with no tags at all",
+            "<p>nested <span>span</span> tail</p>",
+            "<script>var x = '<p>not a para</p>';</script><p>real</p>",
+            "<style>p::before{content:'<'}</style><p>styled</p>",
+            "<P>UPPER</P><DIV CLASS='NAV'>menu</DIV>",
+            "<p>中文内容测试</p><p>限时广告</p>",
+            "<title>meta title</title><p>body text</p>",
+            "<div id=footer-links><a href=x>y</a></div><p>main</p>",
+        ],
+    )
+    def test_adversarial_snippets(self, snippet):
+        from document_automation_spark.kernels.html_fast import extract_main_text_html_fast
+
+        assert extract_main_text_html_fast(snippet) == extract_main_text_html(snippet)
+
+
 # ---------------------------------------------------------------- pdf
 class TestPdfExtract:
     def test_tj_extraction(self):

@@ -89,10 +89,17 @@ print(json.dumps(out))
 """
 
 
-def run_sub(code: str, *argv: str) -> dict:
-    out = subprocess.run(
-        [sys.executable, "-c", code, *argv], capture_output=True, text=True, timeout=1200
-    )
+def run_sub(code: str, *argv: str, cpus: int | None = None) -> dict:
+    """Run a measurement subprocess, optionally PINNED to `cpus` cores.
+
+    ``local[N]`` caps task slots but NOT the JVM's IO/Arrow threads — an
+    unpinned "4-core" run borrows idle cores for serialization and scores
+    unfairly high.  ``taskset -c 0..N-1`` makes the subprocess a faithful
+    stand-in for an N-core cluster node."""
+    cmd = [sys.executable, "-c", code, *argv]
+    if cpus is not None:
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
     if out.returncode != 0:
         raise RuntimeError(f"subprocess failed:\n{out.stderr[-2000:]}")
     return json.loads(out.stdout.strip().splitlines()[-1])
@@ -116,9 +123,15 @@ def main() -> None:
         pages_df(spark, args.pages, partitions=64).write.mode("overwrite").parquet(pages_path)
         spark.stop()
 
-    low = run_sub(RUNNER, str(args.low), pages_path, str(args.reps))
-    high = run_sub(RUNNER, str(args.high), pages_path, str(args.reps))
-    calib = run_sub(CALIBRATOR, str(min(args.pages, 40_000)), str(args.low), str(args.high))
+    low = run_sub(RUNNER, str(args.low), pages_path, str(args.reps), cpus=args.low)
+    high = run_sub(RUNNER, str(args.high), pages_path, str(args.reps), cpus=args.high)
+    calib_low = run_sub(
+        CALIBRATOR, str(min(args.pages, 40_000)), str(args.low), str(args.low), cpus=args.low
+    )
+    calib_high = run_sub(
+        CALIBRATOR, str(min(args.pages, 40_000)), str(args.high), str(args.high), cpus=args.high
+    )
+    calib = {str(args.low): calib_low[str(args.low)], str(args.high): calib_high[str(args.high)]}
 
     ratio = args.high // args.low
     raw_eff = high["docs_per_sec"] / (ratio * low["docs_per_sec"])
@@ -161,8 +174,10 @@ same job on the same input at `local[{args.low}]` vs `local[{args.high}]`
 - Job: map-only `mapInPandas` extraction (HTML boilerplate strip / PDF
   parse / ad filter / 500-10-5 passage split, quarantine rows), noop sink,
   scan splits 4 MB (≈1 s of kernel work per task).
-- Protocol: fresh subprocess per level; 1 warm-up pass discarded; best of
-  {args.reps} timed passes.
+- Protocol: fresh subprocess per level, **CPU-pinned with `taskset` to
+  exactly N cores** (``local[N]`` alone caps task slots but lets JVM
+  Arrow/IO threads borrow idle cores — pinning makes each level a faithful
+  N-core node); 1 warm-up pass discarded; best of {args.reps} timed passes.
 
 ## Spark job
 
