@@ -420,6 +420,77 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs.select("doc_id", "text"), query_terms, k=10)
 
 
+@register(
+    "hard_negative_mining",
+    rf"""
+    WITH qt AS ({_QT_SQL}),
+    tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        FROM documents
+    ),
+    tok2 AS (SELECT * FROM tok WHERE term <> ''),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok2 GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    avgs AS (SELECT AVG(dl) AS avgdl FROM dl),
+    idf AS (
+        SELECT term, ln((n - df + 0.5) / (df + 0.5) + 1.0) AS idf
+        FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), stats
+    ),
+    scored AS (
+        SELECT qt.query_id, tf.doc_id,
+               ROUND(SUM(idf.idf * tf.tf * 2.2 /
+                     (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgs.avgdl))), 6) AS bm25
+        FROM qt
+        JOIN tf ON qt.term = tf.term
+        JOIN idf ON qt.term = idf.term
+        JOIN dl ON tf.doc_id = dl.doc_id, avgs
+        GROUP BY qt.query_id, tf.doc_id
+    ),
+    -- anti-join: drop candidates sharing the gold doc's image group
+    -- (reference hard-negative rule, process_dataset.py:276-278)
+    not_gold AS (
+        SELECT s.query_id, s.doc_id, s.bm25
+        FROM scored s
+        WHERE s.doc_id % 97 <> (s.query_id * 41) % 97
+    )
+    SELECT query_id, doc_id, bm25, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rank
+        FROM not_gold
+    ) WHERE rank <= 5
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: BM25 candidates minus the gold image group
+    (anti-filter F10/J8), top-5 per query — the reference's DPR negative
+    miner (/root/reference/src/process_dataset.py:261-282) as one plan.
+    Gold doc for query q is doc q*41, its image group (doc_id % 97)."""
+    from document_automation_spark.operators.bm25 import bm25_scores
+    from document_automation_spark.operators.topk import topk_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    query_terms = (
+        docs.filter((F.col("doc_id") % 41 == 0) & (F.col("doc_id") < 410))
+        .select(
+            (F.col("doc_id") / 41).cast("long").alias("query_id"),
+            F.explode(
+                F.slice(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 3, 4)
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    scored = bm25_scores(docs.select("doc_id", "text"), query_terms)
+    not_gold = scored.filter(
+        (F.col("doc_id") % 97) != ((F.col("query_id") * 41) % 97)
+    )
+    out = topk_per_group(not_gold, ["query_id"], "bm25", k=5, tiebreak_col="doc_id")
+    return out.select(
+        "query_id", "doc_id", "bm25", F.col("rank").cast("long").alias("rank")
+    )
+
+
 # =====================================================================
 # Passage split + positive passage (byte-exact kernel vs SQL re-derivation)
 # =====================================================================
@@ -925,6 +996,30 @@ def q_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return assign_dense_vector_ids(embed_documents(docs))
+
+
+@register("maxsim_rerank", None)  # hashing token embeddings → rows-only
+def q_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 candidates reranked by MaxSim late interaction."""
+    from document_automation_spark.operators.bm25 import bm25_topk
+    from document_automation_spark.operators.rerank import maxsim_rerank
+
+    docs = _t(spark, sf_dir, "documents")
+    queries_df = docs.filter((F.col("doc_id") % 41 == 0) & (F.col("doc_id") < 410)).select(
+        (F.col("doc_id") / 41).cast("long").alias("query_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 3, 4)
+        ).alias("query_text"),
+    )
+    query_terms = queries_df.select(
+        "query_id", F.explode(F.split("query_text", " ")).alias("term")
+    ).filter(F.col("term") != "").distinct()
+    candidates = (
+        bm25_topk(docs.select("doc_id", "text"), query_terms, k=10)
+        .join(F.broadcast(queries_df), "query_id")
+        .join(docs.select("doc_id", F.col("text").alias("doc_text")), "doc_id")
+    )
+    return maxsim_rerank(candidates, k=5)
 
 
 @register("dpr_training_samples", None)  # nested-struct output → rows-only
