@@ -40,6 +40,14 @@ _TOKEN = re.compile(
     re.DOTALL,
 )
 
+# tolerant fallback for malformed attribute quoting (e.g. <a'>): consume to
+# the next '>' like html.parser's tolerant start-tag scan
+_TOKEN_TOLERANT = re.compile(
+    r"</\s*([a-zA-Z][a-zA-Z0-9:_-]*)[^>]*>"
+    r"|<([a-zA-Z][a-zA-Z0-9:_-]*)([^>]*?)(/?)>"
+    r"|</[^>]*>"  # bogus end tag (</>, </123>) — html.parser skips it
+)
+
 _ATTR = re.compile(
     r"""([a-zA-Z][a-zA-Z0-9:_-]*)\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]*))""",
     re.DOTALL,
@@ -114,6 +122,8 @@ def extract_main_text_html_fast(html: str) -> str:
         if lt > pos:
             data(html[pos:lt])
         m = _TOKEN.match(html, lt)
+        if m is None:
+            m = _TOKEN_TOLERANT.match(html, lt)
         if m is None:  # stray '<' — treat as text like html.parser's recovery
             data("<")
             pos = lt + 1

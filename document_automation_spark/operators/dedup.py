@@ -171,7 +171,11 @@ def ngram_jaccard_pairs(
             lambda i: F.col("text").substr(i, F.lit(n)),
         )
     )
-    with_grams = documents.select("doc_id", "lang", "n_chars", grams.alias("grams"))
+    # persist: the self-join would otherwise rebuild every n-gram array on
+    # both sides — the array construction dominates the operator's cost
+    with_grams = documents.select(
+        "doc_id", "lang", "n_chars", grams.alias("grams")
+    ).persist()
     a, b = with_grams.alias("a"), with_grams.alias("b")
     pairs = (
         a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.n_chars") == F.col("b.n_chars")))
