@@ -46,7 +46,10 @@ def main(argv=None) -> None:
 
     from pyspark.sql import SparkSession
 
-    # spark-submit provides master/conf; fall back to local for direct runs
+    # spark-submit provides master/conf; fall back to local for direct runs.
+    # Only stop the session on exit if this invocation created it (embedded
+    # callers — tests, notebooks — keep theirs).
+    owns_session = SparkSession.getActiveSession() is None
     spark = SparkSession.builder.appName("extract-job").getOrCreate()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
@@ -73,7 +76,8 @@ def main(argv=None) -> None:
         spark, pages, args.output, args.input_fingerprint, cfg
     )
     print(json.dumps(summary))
-    spark.stop()
+    if owns_session:
+        spark.stop()
 
 
 if __name__ == "__main__":

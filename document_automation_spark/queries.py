@@ -990,6 +990,25 @@ def q_order_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.col("pos").cast("int").alias("pos"), "label")
 
 
+@register(
+    "json_sink_roundtrip",
+    "SELECT doc_id, lang, n_chars FROM documents",
+)
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON sink + JSON-lines scan round-trip (S4/S12 parity: the
+    reference's json.dump training-sample sink and readlines scan,
+    /root/reference/src/process_dataset.py:65-67,136-137) — distributed
+    ``write.json`` then ``read.json`` must preserve every row."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="json_roundtrip_")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    docs.write.mode("overwrite").json(out)
+    return spark.read.json(out, schema="doc_id long, lang string, n_chars long").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 @register("hash_embeddings", None)  # blake2b feature hashing → rows-only
 def q_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_automation_spark.functions.embed import assign_dense_vector_ids, embed_documents
