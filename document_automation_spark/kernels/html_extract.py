@@ -114,12 +114,17 @@ class _Block:
 
 
 class _MainTextParser(HTMLParser):
-    """Streaming block collector with subtree-drop and link accounting."""
+    """Streaming block collector with subtree-drop and link accounting.
+
+    End tags use matching-pop semantics (pop up to the nearest open tag of
+    the same name; a close tag with no open counterpart is ignored), so
+    stray ``</script>``/``</div>`` in the wild cannot corrupt the drop or
+    anchor state — the failure mode naive pop-on-any-close has."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self._drop_depth = 0  # >0 → inside a dropped subtree
-        self._drop_stack: List[bool] = []  # per open tag: did it increment drop?
+        self._stack: List[tuple] = []  # (tag, dropped) per open element
         self._anchor_depth = 0
         self.blocks: List[_Block] = []
         self._current = _Block()
@@ -141,7 +146,7 @@ class _MainTextParser(HTMLParser):
                     dropped = True
                     break
         if tag not in _VOID_TAGS:
-            self._drop_stack.append(dropped)
+            self._stack.append((tag, dropped))
             if dropped:
                 self._drop_depth += 1
         if tag in _BLOCK_TAGS:
@@ -152,11 +157,18 @@ class _MainTextParser(HTMLParser):
     def handle_endtag(self, tag: str) -> None:
         if tag in _BLOCK_TAGS:
             self._flush()
-        if tag == "a" and self._anchor_depth > 0:
-            self._anchor_depth -= 1
-        if tag not in _VOID_TAGS and self._drop_stack:
-            if self._drop_stack.pop():
-                self._drop_depth -= 1
+        if tag in _VOID_TAGS:
+            return
+        for i in range(len(self._stack) - 1, -1, -1):
+            if self._stack[i][0] == tag:
+                for popped_tag, popped_drop in self._stack[i:]:
+                    if popped_drop:
+                        self._drop_depth -= 1
+                    if popped_tag == "a" and self._anchor_depth > 0:
+                        self._anchor_depth -= 1
+                del self._stack[i:]
+                return
+        # no matching open tag: stray close, ignored
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         if tag in _BLOCK_TAGS:

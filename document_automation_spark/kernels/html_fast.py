@@ -88,7 +88,7 @@ def extract_main_text_html_fast(html: str) -> str:
     cur_chars = 0
     cur_link = 0
     drop_depth = 0
-    drop_stack: List[bool] = []
+    stack: List[tuple] = []  # (tag, dropped) per open element
     anchor_depth = 0
 
     def flush() -> None:
@@ -145,29 +145,36 @@ def extract_main_text_html_fast(html: str) -> str:
                 if tag in _BLOCK_TAGS:
                     flush()
                 continue
-            if tag not in _VOID_TAGS and not raw_is_dropped:
-                drop_stack.append(dropped)
-                if dropped:
-                    drop_depth += 1
             if raw_is_dropped:
                 # consumed its own close tag already; subtree contributed
                 # nothing (matches html.parser + _DROP_TAGS behavior)
                 continue
+            if tag not in _VOID_TAGS:
+                stack.append((tag, dropped))
+                if dropped:
+                    drop_depth += 1
             if tag in _BLOCK_TAGS:
                 flush()
             if tag == "a":
                 anchor_depth += 1
         elif end_tag is not None:
             tag = end_tag.lower()
-            if tag in _RAWTEXT_CLOSE:
-                continue  # stray close of a raw-text element
             if tag in _BLOCK_TAGS:
                 flush()
-            if tag == "a" and anchor_depth > 0:
-                anchor_depth -= 1
-            if tag not in _VOID_TAGS and drop_stack:
-                if drop_stack.pop():
-                    drop_depth -= 1
+            if tag in _VOID_TAGS:
+                continue
+            # matching-pop: close the nearest open tag of this name; a
+            # stray close (incl. raw-text closes, which are never pushed)
+            # is ignored — same rule as the html.parser specification
+            for i in range(len(stack) - 1, -1, -1):
+                if stack[i][0] == tag:
+                    for popped_tag, popped_drop in stack[i:]:
+                        if popped_drop:
+                            drop_depth -= 1
+                        if popped_tag == "a" and anchor_depth > 0:
+                            anchor_depth -= 1
+                    del stack[i:]
+                    break
         # comments/declarations: skipped entirely
 
     flush()
