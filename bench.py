@@ -111,6 +111,9 @@ def main() -> None:
         t0 = time.time()
         sink(qs[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
+        # operators that persist intermediates (LSH banding, n-gram arrays)
+        # must not leak cache/GC pressure into the next measurement
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
