@@ -883,6 +883,30 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_value_quantiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95,
+           ROUND(MIN(value), 6) AS min_value,
+           ROUND(MAX(value), 6) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_event_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (the OLAP quantile
+    pattern; `percentile_approx` is the 100 TB variant — not oracle-
+    comparable across engines, so the exact form carries the gate)."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+
+
+@register(
     "sessionize_events",
     """
     WITH flagged AS (
