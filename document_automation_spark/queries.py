@@ -1014,6 +1014,55 @@ def q_order_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.col("pos").cast("int").alias("pos"), "label")
 
 
+_UPSERT_SETUP_SQL = """
+    existing AS (
+        SELECT doc_id, text, lang FROM documents WHERE doc_id < 400
+    ),
+    incoming AS (
+        SELECT doc_id, upper(text) AS text, lang FROM documents
+        WHERE doc_id >= 300
+    )
+"""
+
+
+@register(
+    "upsert_skip_policy",
+    f"""
+    WITH {_UPSERT_SETUP_SQL}
+    SELECT * FROM existing
+    UNION ALL
+    SELECT i.* FROM incoming i
+    WHERE i.doc_id NOT IN (SELECT doc_id FROM existing)
+    """,
+)
+def q_upsert_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_automation_spark.operators.upsert import merge_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    existing = docs.filter(F.col("doc_id") < 400)
+    incoming = docs.filter(F.col("doc_id") >= 300).withColumn("text", F.upper("text"))
+    return merge_documents(existing, incoming, policy="skip")
+
+
+@register(
+    "upsert_overwrite_policy",
+    f"""
+    WITH {_UPSERT_SETUP_SQL}
+    SELECT * FROM incoming
+    UNION ALL
+    SELECT e.* FROM existing e
+    WHERE e.doc_id NOT IN (SELECT doc_id FROM incoming)
+    """,
+)
+def q_upsert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_automation_spark.operators.upsert import merge_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    existing = docs.filter(F.col("doc_id") < 400)
+    incoming = docs.filter(F.col("doc_id") >= 300).withColumn("text", F.upper("text"))
+    return merge_documents(existing, incoming, policy="overwrite")
+
+
 @register(
     "json_sink_roundtrip",
     "SELECT doc_id, lang, n_chars FROM documents",
