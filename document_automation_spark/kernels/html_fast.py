@@ -129,7 +129,7 @@ def extract_main_text_html_fast(html: str) -> str:
             pos = lt + 1
             continue
         pos = m.end()
-        end_tag, start_tag, attr_str, self_close = m.group(1), m.group(2), m.group(3), m.group(4)
+        end_tag, start_tag, attr_str, self_close = m.groups()[:4]
         if start_tag is not None:
             tag = start_tag.lower()
             if tag in _RAWTEXT_CLOSE and not self_close:
