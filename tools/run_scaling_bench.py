@@ -210,14 +210,21 @@ no Spark involved).  That is the attainable ceiling on this box.
 | Hardware-ceiling N→4N efficiency | {hw_eff:.3f} |
 | **Normalized (job / hardware) efficiency** | **{norm_eff:.3f}** (target ≥ 0.8 → {"MET" if norm_eff >= 0.8 else "NOT MET"}) |
 
-The job saturates the machine at BOTH levels (utilization ≈ 1.0): every
-throughput lost between N and 4N is lost by the VM's frequency/steal
-behavior, not by the job — there is no shuffle, no driver funnel and no
-single-writer in the measured stage.  On a real cluster, 4N executors are
-4N independent machines with independent frequency budgets, so the
-software property that transfers is the normalized number.
+Reading the table: the job's utilization of the hardware ceiling is
+roughly CONSTANT across levels ({util_low:.2f} vs {util_high:.2f} — the
+per-page Arrow/JVM tax, which does not grow with parallelism), so the
+job itself loses little to nothing going N→4N; the rest is the VM's own
+frequency/steal behavior, measured with NO Spark involved (calibration
+rows above) — pure Python multiprocessing loses it too.  The measured
+stage has no shuffle, no driver funnel and no single-writer, so there is
+no software serialization to lose.  On a real cluster, 4N executors are
+4N independent machines with independent frequency budgets; the property
+that transfers is the normalized number.  Host noise on this shared VM is
+±10-15% run-to-run — normalized values can exceed 1.0 when the low level
+draws a slow slice; treat ≥0.8 as the signal, not the third decimal.
 
-Regenerate: `python tools/run_scaling_bench.py --pages {args.pages} --reps {args.reps}`.
+Regenerate:
+`python tools/run_scaling_bench.py --pages {args.pages} --reps {args.reps} --low {args.low} --high {args.high}`.
 """
         )
     print("wrote /root/repo/BENCH/BASELINE.md", file=sys.stderr)
