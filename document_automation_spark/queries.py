@@ -420,6 +420,92 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs.select("doc_id", "text"), query_terms, k=10)
 
 
+_BM25_SCORED_SQL = rf"""
+    qt AS ({_QT_SQL}),
+    tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        FROM documents
+    ),
+    tok2 AS (SELECT * FROM tok WHERE term <> ''),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok2 GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    avgs AS (SELECT AVG(dl) AS avgdl FROM dl),
+    idf AS (
+        SELECT term, ln((n - df + 0.5) / (df + 0.5) + 1.0) AS idf
+        FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), stats
+    ),
+    scored AS (
+        SELECT qt.query_id, tf.doc_id,
+               ROUND(SUM(idf.idf * tf.tf * 2.2 /
+                     (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgs.avgdl))), 6) AS bm25
+        FROM qt
+        JOIN tf ON qt.term = tf.term
+        JOIN idf ON qt.term = idf.term
+        JOIN dl ON tf.doc_id = dl.doc_id, avgs
+        GROUP BY qt.query_id, tf.doc_id
+    )
+"""
+
+
+@register(
+    "bm25_retrieval_eval",
+    f"""
+    WITH {_BM25_SCORED_SQL},
+    ranked AS (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rank
+        FROM scored
+    ),
+    found AS (
+        SELECT query_id, MIN(rank) AS found_rank FROM ranked
+        WHERE doc_id = query_id * 41 AND rank <= 10
+        GROUP BY query_id
+    ),
+    per_query AS (
+        SELECT q.query_id,
+               CASE WHEN f.found_rank IS NULL THEN 0 ELSE 1 END AS hit,
+               CAST(COALESCE(f.found_rank, 20000) AS BIGINT) AS rank
+        FROM (SELECT DISTINCT query_id FROM qt) q
+        LEFT JOIN found f ON q.query_id = f.query_id
+    )
+    SELECT ROUND(AVG(CAST(hit AS DOUBLE)), 9) AS recall,
+           ROUND(AVG(1.0 / rank), 9) AS mrr,
+           COUNT(*) AS num_queries
+    FROM per_query
+    """,
+)
+def q_bm25_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end retrieval eval through the real BM25 scorer: queries are
+    word-slices of known docs, gold = the source doc — the full reference
+    eval loop (/root/reference/src/test_retrieval_pipeline.py:276-328) as
+    one distributed plan, miss sentinel 20000 included."""
+    from document_automation_spark.operators.bm25 import bm25_topk
+    from document_automation_spark.operators.eval_metrics import hits_and_ranks, recall_and_mrr
+
+    docs = _t(spark, sf_dir, "documents")
+    query_terms = (
+        docs.filter((F.col("doc_id") % 41 == 0) & (F.col("doc_id") < 410))
+        .select(
+            (F.col("doc_id") / 41).cast("long").alias("query_id"),
+            F.explode(
+                F.slice(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 3, 4)
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    ranked = bm25_topk(docs.select("doc_id", "text"), query_terms, k=10).select(
+        "query_id", F.col("doc_id").alias("image_id"), F.col("rank").cast("int").alias("img_rank")
+    )
+    # gold from a fresh range (same ids as the qt derivation: 0..9) —
+    # avoids an ambiguous self-join against the query_terms lineage
+    gold = spark.range(10).select(
+        F.col("id").alias("query_id"), (F.col("id") * 41).alias("gold_image_id")
+    )
+    return recall_and_mrr(hits_and_ranks(ranked, gold, topk=10))
+
+
 @register(
     "hard_negative_mining",
     rf"""
