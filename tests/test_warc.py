@@ -1,0 +1,78 @@
+"""WARC kernel + source: Common-Crawl container round-trip."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from document_automation_spark.kernels.page import extract_page
+from document_automation_spark.kernels.warc import WarcRecord, build_warc, iter_warc_records
+from document_automation_spark.operators.extract import ExtractConfig, extract_documents
+from document_automation_spark.sources.pages import gen_rows
+from document_automation_spark.sources.warc import pages_from_warc
+
+
+class TestWarcKernel:
+    def test_roundtrip_records(self):
+        pages = gen_rows(range(25))
+        records, error = iter_warc_records(build_warc(pages))
+        assert error is None
+        responses = [r for r in records if r.record_type == "response"]
+        assert len(responses) == 25
+        for rec, page in zip(responses, pages):
+            assert rec.uri == page["url"]
+            assert rec.payload == page["html"]  # HTTP envelope stripped
+            assert rec.http_status == 200
+            assert rec.warc_date == page["warc_ts"].replace(microsecond=0)
+
+    def test_warcinfo_skipped(self):
+        records, _ = iter_warc_records(build_warc(gen_rows(range(2))))
+        assert [r.record_type for r in records] == ["response", "response"]
+
+    def test_truncated_body_graceful(self):
+        data = build_warc(gen_rows(range(3)))
+        records, error = iter_warc_records(data[: len(data) - 40])
+        assert error == "truncated record body"
+        assert len(records) >= 1  # earlier records survive
+
+    def test_garbage_graceful(self):
+        records, error = iter_warc_records(b"not a warc at all")
+        assert records == []
+        assert error is not None
+
+    def test_missing_content_length(self):
+        bad = b"WARC/1.0\r\nWARC-Type: response\r\n\r\nbody\r\n\r\n"
+        records, error = iter_warc_records(bad)
+        assert error == "missing or invalid Content-Length"
+
+
+class TestWarcSource:
+    def test_extraction_from_warc_equals_direct(self, spark, tmp_path):
+        pages = gen_rows(range(60))
+        warc_dir = tmp_path / "warcs"
+        warc_dir.mkdir()
+        for i in range(3):
+            (warc_dir / f"part-{i}.warc").write_bytes(build_warc(pages[i * 20 : (i + 1) * 20]))
+
+        cfg = ExtractConfig(n_buckets=4)
+        via_warc = sorted(
+            (r.url, r.passage_idx, r.content, r.doc_id)
+            for r in extract_documents(pages_from_warc(spark, str(warc_dir)), cfg).collect()
+        )
+        direct = sorted(
+            (row.url, row.passage_idx, row.content, row.doc_id)
+            for page in pages
+            for row in extract_page(page["url"], page["html"])
+        )
+        assert via_warc == direct
+
+    def test_bad_file_quarantined_not_fatal(self, spark, tmp_path):
+        warc_dir = tmp_path / "warcs2"
+        warc_dir.mkdir()
+        (warc_dir / "good.warc").write_bytes(build_warc(gen_rows(range(5))))
+        (warc_dir / "bad.warc").write_bytes(b"garbage bytes, no framing")
+        out = pages_from_warc(spark, str(warc_dir)).collect()
+        marker = [r for r in out if r.url.startswith("warc:") and r.url.endswith("#error")]
+        assert len(marker) == 1
+        assert len([r for r in out if not r.url.startswith("warc:")]) == 5
