@@ -969,6 +969,54 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_type_pivot",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase
+    FROM events GROUP BY user_id
+    """,
+)
+def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide) via Spark's native ``.pivot()``; the oracle is
+    the portable conditional-aggregation form — identical results."""
+    events = _t(spark, sf_dir, "events")
+    out = (
+        events.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        F.coalesce(F.col("click"), F.lit(0)).cast("long").alias("click"),
+        F.coalesce(F.col("view"), F.lit(0)).cast("long").alias("view"),
+        F.coalesce(F.col("purchase"), F.lit(0)).cast("long").alias("purchase"),
+    )
+
+
+@register(
+    "event_unpivot_roundtrip",
+    """
+    SELECT user_id, metric, CAST(value AS BIGINT) AS value FROM (
+        SELECT user_id,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+        FROM events GROUP BY user_id
+    ) UNPIVOT (value FOR metric IN (click, view))
+    """,
+)
+def q_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long) via ``stack``; DuckDB's UNPIVOT drops no rows
+    here because counts are never NULL."""
+    wide = q_event_pivot(spark, sf_dir).select("user_id", "click", "view")
+    return wide.selectExpr(
+        "user_id",
+        "stack(2, 'click', click, 'view', view) AS (metric, value)",
+    )
+
+
+@register(
     "event_value_quantiles",
     """
     SELECT event_type,
