@@ -355,6 +355,104 @@ def q_recall_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall_and_mrr(hits_and_ranks(ranked, gold, topk=10))
 
 
+@register(
+    "weight_sweep_recall",
+    f"""
+    WITH scores AS ({SCORES_SQL}),
+    weights(w_num, w_den) AS (VALUES (1, 2), (2, 2), (3, 2)),
+    per_image AS (
+        SELECT query_id, image_id,
+               COALESCE(MAX(CASE WHEN retriever = 'bm25' THEN score_num END), 0) AS s1,
+               COALESCE(MAX(CASE WHEN retriever = 'dpr' THEN score_num END), 0) AS s2
+        FROM scores GROUP BY query_id, image_id
+    ),
+    ranked AS (
+        SELECT w.w_num, w.w_den, p.query_id, p.image_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY w.w_num, p.query_id
+                   ORDER BY p.s1 * w.w_den + p.s2 * w.w_num DESC, p.image_id
+               ) AS img_rank
+        FROM per_image p CROSS JOIN weights w
+    ),
+    gold AS ({GOLD_SQL}),
+    found AS (
+        SELECT r.w_num, g.query_id, MIN(r.img_rank) AS found_rank
+        FROM gold g JOIN ranked r
+          ON r.query_id = g.query_id AND r.image_id = g.gold_image_id
+             AND r.img_rank <= 10
+        GROUP BY r.w_num, g.query_id
+    ),
+    per_query AS (
+        SELECT w.w_num, g.query_id,
+               CASE WHEN f.found_rank IS NULL THEN 0 ELSE 1 END AS hit,
+               CAST(COALESCE(f.found_rank, 20000) AS BIGINT) AS rank
+        FROM gold g CROSS JOIN (SELECT DISTINCT w_num FROM weights) w
+        LEFT JOIN found f ON f.query_id = g.query_id AND f.w_num = w.w_num
+    )
+    SELECT ROUND(w_num / 2.0, 2) AS weight,
+           ROUND(AVG(CAST(hit AS DOUBLE)), 9) AS recall,
+           ROUND(AVG(1.0 / rank), 9) AS mrr,
+           COUNT(*) AS num_queries
+    FROM per_query GROUP BY w_num
+    """,
+)
+def q_weight_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble-weight HPO grid as ONE distributed plan: the reference
+    loops the whole eval per weight on the driver
+    (/root/reference/src/test_retrieval_pipeline.py:331-343, 395-397);
+    here the weights dimension cross-joins into the ranking window, so
+    every candidate weight is scored in a single pass over the scores."""
+    from pyspark.sql import Window
+
+    scores = derived_scores(_t(spark, sf_dir, "documents"))
+    per_image = scores.groupBy("query_id", "image_id").agg(
+        F.coalesce(
+            F.max(F.when(F.col("retriever") == "bm25", F.col("score_num"))), F.lit(0)
+        ).alias("s1"),
+        F.coalesce(
+            F.max(F.when(F.col("retriever") == "dpr", F.col("score_num"))), F.lit(0)
+        ).alias("s2"),
+    )
+    weights = spark.createDataFrame([(1, 2), (2, 2), (3, 2)], "w_num int, w_den int")
+    ranked = per_image.crossJoin(F.broadcast(weights)).withColumn(
+        "img_rank",
+        F.row_number().over(
+            Window.partitionBy("w_num", "query_id").orderBy(
+                F.desc(F.col("s1") * F.col("w_den") + F.col("s2") * F.col("w_num")),
+                F.asc("image_id"),
+            )
+        ),
+    )
+    gold = gold_labels(spark)
+    found = (
+        ranked.filter(F.col("img_rank") <= 10)
+        .join(
+            F.broadcast(gold),
+            (ranked["query_id"] == gold["query_id"])
+            & (ranked["image_id"] == gold["gold_image_id"]),
+        )
+        .groupBy("w_num", gold["query_id"].alias("g_query_id"))
+        .agg(F.min("img_rank").alias("found_rank"))
+    )
+    grid = gold.crossJoin(weights.select("w_num").distinct())
+    per_query = grid.join(
+        found,
+        (grid["query_id"] == found["g_query_id"]) & (grid["w_num"] == found["w_num"]),
+        "left",
+    ).select(
+        grid["w_num"].alias("w_num"),
+        F.when(F.col("found_rank").isNotNull(), 1).otherwise(0).alias("hit"),
+        F.coalesce(F.col("found_rank"), F.lit(20000)).cast("long").alias("rank"),
+    )
+    return per_query.groupBy("w_num").agg(
+        F.round(F.avg(F.col("hit").cast("double")), 9).alias("recall"),
+        F.round(F.avg(F.lit(1.0) / F.col("rank")), 9).alias("mrr"),
+        F.count(F.lit(1)).alias("num_queries"),
+    ).select(
+        F.round(F.col("w_num") / 2.0, 2).alias("weight"), "recall", "mrr", "num_queries"
+    )
+
+
 # =====================================================================
 # BM25 retrieval (the Elasticsearch leg, rebuilt as DataFrame algebra)
 # =====================================================================
