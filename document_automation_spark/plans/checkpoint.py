@@ -120,7 +120,11 @@ def run_extraction_job(
     stats = (
         written.groupBy("bucket")
         .agg(
-            F.countDistinct("url").alias("rows_in"),
+            # urls counted without DISTINCT: passage_idx==0 occurs exactly
+            # once per extracted url, error rows once per failed url
+            F.sum(
+                F.when((F.col("passage_idx") == 0) | F.col("error").isNotNull(), 1).otherwise(0)
+            ).alias("rows_in"),
             F.sum(F.when(F.col("error").isNull(), 1).otherwise(0)).alias("rows_out"),
             F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("error_rows"),
         )
