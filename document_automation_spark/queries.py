@@ -321,6 +321,52 @@ def q_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "retrieval_error_analysis",
+    _HYBRID_SQL_BODY
+    + f""",
+    gold AS ({GOLD_SQL}),
+    hits AS (
+        SELECT DISTINCT g.query_id
+        FROM gold g JOIN ranked r
+          ON r.query_id = g.query_id AND r.image_id = g.gold_image_id
+             AND r.img_rank <= 10
+    )
+    SELECT g.query_id, g.gold_image_id,
+           list(r.image_id ORDER BY r.img_rank) AS top_retrieved
+    FROM gold g
+    JOIN ranked r ON r.query_id = g.query_id AND r.img_rank <= 10
+    WHERE g.query_id NOT IN (SELECT query_id FROM hits)
+    GROUP BY g.query_id, g.gold_image_id
+    """,
+)
+def q_error_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Miss dump for error analysis (parity:
+    /root/reference/src/test_retrieval_pipeline.py:321-327): one row per
+    missed query with its gold image and the ordered retrieved top-10."""
+    from document_automation_spark.operators.fusion import hybrid_image_fusion
+
+    ranked = hybrid_image_fusion(
+        derived_scores(_t(spark, sf_dir, "documents")), 3, 2, rerank_topk=10
+    )
+    gold = gold_labels(spark)
+    joined = ranked.join(F.broadcast(gold), "query_id")
+    hits = (
+        joined.filter(F.col("image_id") == F.col("gold_image_id"))
+        .select("query_id")
+        .distinct()
+    )
+    misses = joined.join(hits, "query_id", "left_anti")
+    retrieved = F.transform(
+        F.array_sort(F.collect_list(F.struct("img_rank", "image_id"))),
+        lambda s: s["image_id"],
+    )
+    return (
+        misses.groupBy("query_id", "gold_image_id")
+        .agg(retrieved.alias("top_retrieved"))
+    )
+
+
+@register(
     "retrieval_recall_mrr",
     _HYBRID_SQL_BODY
     + f""",
