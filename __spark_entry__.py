@@ -13,11 +13,19 @@ training-data-pipeline operators: dedup, similarity, text analysis).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from document_automation_spark import queries as _registry
+# the package lives next to this file; make the import independent of the
+# caller's working directory / sys.path setup
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from document_automation_spark import queries as _registry  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
