@@ -512,45 +512,11 @@ _QT_SQL = r"""
 """
 
 
-@register(
-    "bm25_topk",
-    rf"""
-    WITH qt AS ({_QT_SQL}),
-    tok AS (
-        SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
-        FROM documents
-    ),
-    tok2 AS (SELECT * FROM tok WHERE term <> ''),
-    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok2 GROUP BY doc_id, term),
-    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY doc_id),
-    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
-    avgs AS (SELECT AVG(dl) AS avgdl FROM dl),
-    idf AS (
-        SELECT term, ln((n - df + 0.5) / (df + 0.5) + 1.0) AS idf
-        FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), stats
-    ),
-    scored AS (
-        SELECT qt.query_id, tf.doc_id,
-               ROUND(SUM(idf.idf * tf.tf * 2.2 /
-                     (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgs.avgdl))), 6) AS bm25
-        FROM qt
-        JOIN tf ON qt.term = tf.term
-        JOIN idf ON qt.term = idf.term
-        JOIN dl ON tf.doc_id = dl.doc_id, avgs
-        GROUP BY qt.query_id, tf.doc_id
-    )
-    SELECT query_id, doc_id, bm25, rank FROM (
-        SELECT *, ROW_NUMBER() OVER (
-            PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rank
-        FROM scored
-    ) WHERE rank <= 10
-    """,
-)
-def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from document_automation_spark.operators.bm25 import bm25_topk
 
-    docs = _t(spark, sf_dir, "documents")
-    query_terms = (
+def _bm25_query_terms(docs: DataFrame) -> DataFrame:
+    """Deterministic query-term derivation shared by all BM25 queries:
+    queries 0..9, terms = word positions 3..6 of doc q*41 (mirrors _QT_SQL)."""
+    return (
         docs.filter((F.col("doc_id") % 41 == 0) & (F.col("doc_id") < 410))
         .select(
             (F.col("doc_id") / 41).cast("long").alias("query_id"),
@@ -561,7 +527,6 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term") != "")
         .distinct()
     )
-    return bm25_topk(docs.select("doc_id", "text"), query_terms, k=10)
 
 
 _BM25_SCORED_SQL = rf"""
@@ -590,6 +555,27 @@ _BM25_SCORED_SQL = rf"""
         GROUP BY qt.query_id, tf.doc_id
     )
 """
+
+
+@register(
+    "bm25_topk",
+    f"""
+    WITH {_BM25_SCORED_SQL}
+    SELECT query_id, doc_id, bm25, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_automation_spark.operators.bm25 import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    query_terms = _bm25_query_terms(docs)
+    return bm25_topk(docs.select("doc_id", "text"), query_terms, k=10)
+
+
 
 
 @register(
@@ -628,17 +614,7 @@ def q_bm25_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_automation_spark.operators.eval_metrics import hits_and_ranks, recall_and_mrr
 
     docs = _t(spark, sf_dir, "documents")
-    query_terms = (
-        docs.filter((F.col("doc_id") % 41 == 0) & (F.col("doc_id") < 410))
-        .select(
-            (F.col("doc_id") / 41).cast("long").alias("query_id"),
-            F.explode(
-                F.slice(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 3, 4)
-            ).alias("term"),
-        )
-        .filter(F.col("term") != "")
-        .distinct()
-    )
+    query_terms = _bm25_query_terms(docs)
     ranked = bm25_topk(docs.select("doc_id", "text"), query_terms, k=10).select(
         "query_id", F.col("doc_id").alias("image_id"), F.col("rank").cast("int").alias("img_rank")
     )
@@ -652,31 +628,8 @@ def q_bm25_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "hard_negative_mining",
-    rf"""
-    WITH qt AS ({_QT_SQL}),
-    tok AS (
-        SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
-        FROM documents
-    ),
-    tok2 AS (SELECT * FROM tok WHERE term <> ''),
-    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok2 GROUP BY doc_id, term),
-    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY doc_id),
-    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
-    avgs AS (SELECT AVG(dl) AS avgdl FROM dl),
-    idf AS (
-        SELECT term, ln((n - df + 0.5) / (df + 0.5) + 1.0) AS idf
-        FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), stats
-    ),
-    scored AS (
-        SELECT qt.query_id, tf.doc_id,
-               ROUND(SUM(idf.idf * tf.tf * 2.2 /
-                     (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgs.avgdl))), 6) AS bm25
-        FROM qt
-        JOIN tf ON qt.term = tf.term
-        JOIN idf ON qt.term = idf.term
-        JOIN dl ON tf.doc_id = dl.doc_id, avgs
-        GROUP BY qt.query_id, tf.doc_id
-    ),
+    f"""
+    WITH {_BM25_SCORED_SQL},
     -- anti-join: drop candidates sharing the gold doc's image group
     -- (reference hard-negative rule, process_dataset.py:276-278)
     not_gold AS (
@@ -700,17 +653,7 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_automation_spark.operators.topk import topk_per_group
 
     docs = _t(spark, sf_dir, "documents")
-    query_terms = (
-        docs.filter((F.col("doc_id") % 41 == 0) & (F.col("doc_id") < 410))
-        .select(
-            (F.col("doc_id") / 41).cast("long").alias("query_id"),
-            F.explode(
-                F.slice(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 3, 4)
-            ).alias("term"),
-        )
-        .filter(F.col("term") != "")
-        .distinct()
-    )
+    query_terms = _bm25_query_terms(docs)
     scored = bm25_scores(docs.select("doc_id", "text"), query_terms)
     not_gold = scored.filter(
         (F.col("doc_id") % 97) != ((F.col("query_id") * 41) % 97)
