@@ -3,8 +3,9 @@
 Spark shape of the reference's indexing pipeline
 (/root/reference/src/gen-sods-doc-image-ray.py:203-231):
 
-    scan pages → repartition(xxhash64(url)) → mapInPandas(extract kernel)
-    → documents table (+ bucket column for idempotent per-bucket resume)
+    scan pages → mapInPandas(extract kernel)            [map-only]
+    → documents rows (+ bucket = pmod(xxhash64(url), n))
+    → repartition(bucket) at the SINK → partitioned table + manifest
 
 Key design points for 100 TB scale:
 

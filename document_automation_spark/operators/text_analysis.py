@@ -104,6 +104,19 @@ def quality_features(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", "text").mapInPandas(score_batches, schema)
 
 
+def bpe_token_counts(documents: DataFrame) -> DataFrame:
+    """BPE-ish token counting (words / numbers / CJK chars / punctuation)
+    via the kernel regex — the tokenizer-budget estimator for training-data
+    pipelines; Arrow-batched."""
+    from document_automation_spark.kernels.textstats import count_tokens_bpe_ish
+
+    @F.pandas_udf(T.LongType())
+    def bpe_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(count_tokens_bpe_ish)
+
+    return documents.select("doc_id", bpe_udf(F.col("text")).alias("n_tokens_bpe"))
+
+
 def language_id_kernel(documents: DataFrame) -> DataFrame:
     """Full n-gram-heuristic language ID (kernels.textstats.detect_language)
     as an Arrow-batched pandas UDF."""

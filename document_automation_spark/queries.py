@@ -1041,6 +1041,13 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_fingerprint_col(_t(spark, sf_dir, "documents"))
 
 
+@register("bpe_token_counts", None)  # kernel regex tokenizer → rows-only
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_automation_spark.operators.text_analysis import bpe_token_counts
+
+    return bpe_token_counts(_t(spark, sf_dir, "documents"))
+
+
 @register("quality_features", None)  # Python composite policy → rows-only
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_automation_spark.operators.text_analysis import quality_features

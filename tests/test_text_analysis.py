@@ -60,3 +60,12 @@ def test_detect_language_script_sql_path(spark):
     )
     got = {r.doc_id: r.detected_script for r in detect_language_script(df).collect()}
     assert got == {1: "latin", 2: "zh", 3: "ja", 4: "ru"}
+
+
+def test_bpe_token_counts_match_kernel(docs):
+    from document_automation_spark.kernels.textstats import count_tokens_bpe_ish
+    from document_automation_spark.operators.text_analysis import bpe_token_counts
+
+    got = {r.doc_id: r.n_tokens_bpe for r in bpe_token_counts(docs).collect()}
+    for r in docs.collect():
+        assert got[r.doc_id] == count_tokens_bpe_ish(r.text)
