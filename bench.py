@@ -66,7 +66,7 @@ def main() -> None:
     # Arrow init) is a discarded warm-up; best of 2 timed reps is scored.
     import tempfile
 
-    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", max(1000, int(1_000_000 * sf))))
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", max(1000, int(2_000_000 * sf))))
     pages_path = os.path.join(tempfile.gettempdir(), f"bench_pages_sf{sf}_n{n_pages}")
     if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
         pages_df(spark, n_pages, partitions=cpus * 2).write.mode("overwrite").parquet(
