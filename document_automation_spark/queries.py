@@ -1310,6 +1310,25 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "csv_sink_roundtrip",
+    "SELECT event_id, user_id, event_type FROM events",
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + scan round-trip (S5 parity: the reference's eval-set CSV
+    path, /root/reference/src/test_retrieval_pipeline.py:25 and the
+    JSON→CSV shim convert_dev_json_to_csv.py:23-25) — distributed
+    ``write.csv`` then schema'd ``read.csv`` must preserve every row."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    events.write.mode("overwrite").option("header", True).csv(out)
+    return spark.read.csv(
+        out, header=True, schema="event_id long, user_id long, event_type string"
+    )
+
+
 @register("hash_embeddings", None)  # blake2b feature hashing → rows-only
 def q_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_automation_spark.functions.embed import assign_dense_vector_ids, embed_documents
