@@ -80,6 +80,98 @@ def crop_box(width: int, height: int) -> Tuple[int, int, int, int]:
     return (0, int(height * 0.05), int(width * 0.70), int(0.9 * height))
 
 
+def resize_spec(width: int, height: int, target_long_side: int = 256) -> Tuple[int, int]:
+    """Aspect-preserving resize target (int truncation, deterministic).
+
+    The pixel op itself needs PIL — this computes the exact output shape
+    the real resizer would produce, so downstream schema/logic is testable."""
+    long_side = max(width, height)
+    if long_side <= target_long_side:
+        return width, height
+    scale = target_long_side / long_side
+    return max(1, int(width * scale)), max(1, int(height * scale))
+
+
+def frame_sample_offsets(n_bytes: int, bytes_per_frame: int = 4096, max_frames: int = 8) -> list:
+    """Evenly-spaced frame byte-offsets for a video-ish payload.
+
+    Deterministic plumbing for the frame-sample stage: real decoding would
+    seek these offsets with ffmpeg; the offset math (even spacing over the
+    estimated frame count, first frame always included) is the real part."""
+    n_frames = max(1, n_bytes // bytes_per_frame)
+    k = min(max_frames, n_frames)
+    if k == 1:
+        return [0]
+    step = (n_frames - 1) / (k - 1)
+    return [int(round(i * step)) * bytes_per_frame for i in range(k)]
+
+
+def feature_vector(payload: bytes, dim: int = 8) -> list:
+    """Deterministic byte-level feature sketch (per-bucket byte histogram,
+    L1-normalized) — the model-free stand-in for an image/audio embedding;
+    swap for a real encoder behind the same signature."""
+    counts = [0] * dim
+    for b in payload:
+        counts[b % dim] += 1
+    total = sum(counts) or 1
+    return [round(c / total, 6) for c in counts]
+
+
+MEDIA_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("resize_w", T.IntegerType(), True),
+        T.StructField("resize_h", T.IntegerType(), True),
+        T.StructField("frame_offsets", T.ArrayType(T.LongType()), True),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def media_features(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Decode → resize-spec → frame-sample → feature-extract, one pass.
+
+    The full multimodal stage lineup (task brief) with every decision that
+    does NOT need a codec computed for real; quarantine semantics as ever."""
+
+    def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in MEDIA_FEATURES_SCHEMA.fields]
+        for batch in batches:
+            rows = []
+            for media_id, payload in zip(batch[id_col], batch[payload_col]):
+                try:
+                    if payload is None:
+                        raise ValueError("null payload")
+                    raw = bytes(payload)
+                    w, h = decode_image_stub(raw, deterministic_fake)
+                    rw, rh = resize_spec(w, h)
+                    rows.append(
+                        (
+                            str(media_id),
+                            rw,
+                            rh,
+                            frame_sample_offsets(len(raw)),
+                            feature_vector(raw),
+                            None,
+                        )
+                    )
+                except Exception as err:  # noqa: BLE001
+                    rows.append(
+                        (str(media_id), None, None, None, None, f"{type(err).__name__}: {err}")
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        feat_batches, MEDIA_FEATURES_SCHEMA
+    )
+
+
 def media_metadata(
     media: DataFrame,
     id_col: str = "media_id",

@@ -191,3 +191,40 @@ class TestMultimodal:
         assert got["m1"].width == 320 + 0x89 * 4
         assert got["m1"].crop_right == int(got["m1"].width * 0.70)
         assert got["m3"].error is not None
+
+
+class TestMediaFeatures:
+    def test_resize_spec_math(self):
+        from document_automation_spark.operators.multimodal import resize_spec
+
+        assert resize_spec(1024, 512, 256) == (256, 128)
+        assert resize_spec(100, 200, 256) == (100, 200)  # already small
+        assert resize_spec(513, 1000, 256) == (131, 256)
+
+    def test_frame_offsets(self):
+        from document_automation_spark.operators.multimodal import frame_sample_offsets
+
+        offs = frame_sample_offsets(4096 * 100, bytes_per_frame=4096, max_frames=8)
+        assert len(offs) == 8
+        assert offs[0] == 0
+        assert offs == sorted(offs)
+        assert frame_sample_offsets(10) == [0]  # tiny payload → one frame
+
+    def test_feature_vector_normalized(self):
+        from document_automation_spark.operators.multimodal import feature_vector
+
+        v = feature_vector(b"\x00\x01\x02\x03" * 100)
+        assert len(v) == 8
+        assert abs(sum(v) - 1.0) < 1e-3
+        assert feature_vector(b"\x00\x01\x02\x03" * 100) == v  # deterministic
+
+    def test_media_features_pipeline(self, spark):
+        from document_automation_spark.operators.multimodal import media_features
+
+        rows = [("m1", bytearray(b"\x89PNG" + bytes(range(200)))), ("m2", None)]
+        df = spark.createDataFrame(rows, "media_id string, payload binary")
+        got = {r.media_id: r for r in media_features(df).collect()}
+        assert got["m1"].error is None
+        assert got["m1"].resize_w is not None and got["m1"].frame_offsets[0] == 0
+        assert abs(sum(got["m1"].features) - 1.0) < 1e-3
+        assert got["m2"].error is not None
