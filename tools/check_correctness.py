@@ -31,9 +31,35 @@ def value_hash(df: pd.DataFrame) -> str:
     return hashlib.sha256(payload).hexdigest()[:16]
 
 
+def bit_exact_report(sdf: pd.DataFrame, odf: pd.DataFrame) -> list:
+    """Raw float64 bit-equality check (stricter than the value hash)."""
+    import numpy as np
+
+    cols = sorted(sdf.columns)
+
+    def ordered(df: pd.DataFrame) -> pd.DataFrame:
+        # sort via stringified view (array columns are unhashable/unsortable)
+        if df.empty:
+            return df[cols]
+        key = pd.Series(df[cols].astype(str).values.tolist()).map("||".join)
+        return df[cols].iloc[key.argsort(kind="stable")].reset_index(drop=True)
+
+    s, o = ordered(sdf), ordered(odf)
+    bad = []
+    for col in cols:
+        if s[col].dtype == "float64":
+            a, b = s[col].to_numpy(), o[col].to_numpy()
+            neq = ~((a == b) | (np.isnan(a) & np.isnan(b)))
+            if neq.any():
+                bad.append((col, int(neq.sum())))
+    return bad
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--bitexact"]
+    bitexact = "--bitexact" in sys.argv
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
@@ -83,6 +109,10 @@ def main() -> int:
                 print(f"      first diffs ({int(diff.sum())} rows):")
                 print(ns[diff].head(3).to_string())
                 print(no[diff].head(3).to_string())
+        if not problems and bitexact and len(sdf) == len(odf):
+            bad = bit_exact_report(sdf, odf)
+            if bad:
+                problems.append(f"float bits differ: {bad}")
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             failures.append(name)
