@@ -77,7 +77,7 @@ def main() -> None:
     sink(extract_documents(pages, cfg))  # warm-up, not timed
 
     extraction_s = float("inf")
-    for _ in range(2):
+    for _ in range(3):  # headline metric: best-of-3 rides out host noise
         t0 = time.time()
         sink(extract_documents(pages, cfg))
         extraction_s = min(extraction_s, time.time() - t0)
