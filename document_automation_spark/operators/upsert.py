@@ -18,7 +18,6 @@ only buckets the incoming batch touches are read.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 
 class DuplicateDocumentError(ValueError):
