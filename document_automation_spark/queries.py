@@ -626,6 +626,59 @@ def q_bm25_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall_and_mrr(hits_and_ranks(ranked, gold, topk=10))
 
 
+@register("ensemble_retrieval_eval", None)  # embedding leg is Python → rows-only
+def q_ensemble_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's REAL dual-retriever ensemble, end to end: BM25 +
+    embedding-cosine scores fused comb-sum style (weight 1.5 on the dense
+    leg, scripts/run_retrieval_eval.sh:8-10), ranked, evaluated against the
+    self-query gold.  Composes bm25.py + functions/embed.py +
+    fusion-by-coalesce + eval_metrics in one plan."""
+    from document_automation_spark.functions.embed import embed_documents, embed_text
+    from document_automation_spark.operators.bm25 import bm25_scores
+    from document_automation_spark.operators.eval_metrics import hits_and_ranks, recall_and_mrr
+    from document_automation_spark.operators.similarity import cosine_col
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    query_terms = _bm25_query_terms(docs)
+    sparse = bm25_scores(docs.select("doc_id", "text"), query_terms)
+
+    query_text = query_terms.groupBy("query_id").agg(
+        F.concat_ws(" ", F.collect_list("term")).alias("qtext")
+    )
+    q_rows = [(r.query_id, embed_text(r.qtext)) for r in query_text.collect()]
+    q_emb = spark.createDataFrame(q_rows, "query_id long, q_embedding array<float>")
+    dense = (
+        embed_documents(docs)
+        .crossJoin(F.broadcast(q_emb))
+        .select(
+            "query_id",
+            "doc_id",
+            cosine_col(F.col("q_embedding"), F.col("embedding")).alias("cos"),
+        )
+    )
+    fused = (
+        sparse.join(dense, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            (F.coalesce("bm25", F.lit(0.0)) + 1.5 * F.coalesce("cos", F.lit(0.0))).alias(
+                "fused"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("fused"), F.asc("doc_id"))
+    ranked = (
+        fused.withColumn("img_rank", F.row_number().over(w))
+        .filter(F.col("img_rank") <= 10)
+        .select("query_id", F.col("doc_id").alias("image_id"), "img_rank")
+    )
+    gold = spark.range(10).select(
+        F.col("id").alias("query_id"), (F.col("id") * 41).alias("gold_image_id")
+    )
+    return recall_and_mrr(hits_and_ranks(ranked, gold, topk=10))
+
+
 @register(
     "hard_negative_mining",
     f"""

@@ -189,3 +189,17 @@ class TestPositivePassage:
         qa = spark.createDataFrame([(0, 1, "zq")], "query_id long, doc_id long, answer string")
         out = find_positive_passages(docs, qa).collect()
         assert out[0].positive_passage == ""  # reference quirk
+
+
+class TestEnsembleEval:
+    def test_ensemble_eval_runs_and_is_sane(self, spark, sf_dir):
+        import document_automation_spark.queries as Q
+
+        row = Q.queries()["ensemble_retrieval_eval"](spark, sf_dir).collect()[0]
+        assert row.num_queries == 10
+        assert 0.0 <= row.recall <= 1.0
+        assert 0.0 <= row.mrr <= 1.0
+        # fixture texts are word salad from a ~30-word vocabulary, so
+        # self-query recall is intrinsically low; the gate here is that the
+        # composed plan runs and the metrics are well-formed (BM25-only
+        # measures the same 0.2 on this data — see bm25_retrieval_eval).
