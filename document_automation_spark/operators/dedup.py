@@ -137,6 +137,54 @@ def minhash_lsh_candidates(
     )
 
 
+def near_dup_dedup(
+    documents: DataFrame,
+    jaccard_threshold: float = 0.8,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """The production near-dup pipeline, end to end:
+
+        MinHash → LSH band candidates → exact n-gram-Jaccard VERIFY →
+        drop every doc that near-duplicates a lower-id doc.
+
+    Candidate generation bounds the pair count (no all-pairs join); the
+    verify stage runs only on candidates.  Duplicate resolution is the
+    standard greedy rule — keep the lowest doc_id of each verified pair —
+    which removes every document that has at least one verified near-dup
+    with a smaller id (transitive-closure clustering would need an
+    iterative connected-components pass; at corpus scale greedy-by-id is
+    the usual choice because near-dup sets are overwhelmingly cliques).
+    Returns the surviving documents (same schema as the input).
+    """
+    candidates = minhash_lsh_candidates(
+        documents, num_perm=num_perm, bands=bands, k=shingle_k, seed=seed
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - (shingle_k - 1), F.lit(1))),
+            lambda i: F.col("text").substr(i, F.lit(shingle_k)),
+        )
+    )
+    with_grams = documents.select("doc_id", grams.alias("grams")).persist()
+    a = with_grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("g_a"))
+    b = with_grams.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("g_b"))
+    inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
+    union = F.size(F.array_union(F.col("g_a"), F.col("g_b")))
+    verified = (
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(inter / union >= jaccard_threshold)
+        .select("doc_b")  # doc_b > doc_a by construction → drop the higher id
+        .distinct()
+    )
+    return documents.join(
+        verified.withColumnRenamed("doc_b", "doc_id"), "doc_id", "left_anti"
+    )
+
+
 def simhash_fingerprints(documents: DataFrame, k: int = 3) -> DataFrame:
     """(doc_id, simhash:long) — 64-bit fingerprint, bucketable directly.
 

@@ -875,6 +875,17 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
 
 
+@register("near_dup_dedup", None)  # MinHash kernel inside → rows-only
+def q_near_dup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact Jaccard verify →
+    greedy canonical selection.  The testdata corpus contains real
+    near-dups (generator reuses word sequences); pytest checks the result
+    against a brute-force all-pairs ground truth."""
+    from document_automation_spark.operators.dedup import near_dup_dedup
+
+    return near_dup_dedup(_t(spark, sf_dir, "documents"), jaccard_threshold=0.9)
+
+
 @register("simhash_fingerprints", None)
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_automation_spark.operators.dedup import simhash_fingerprints

@@ -156,3 +156,46 @@ class TestSimilarity:
         assert (1, 2) in pairs
         assert (1, 3) not in pairs
         assert (1, 4) not in pairs  # blocked away
+
+
+class TestNearDupPipeline:
+    def test_planted_near_dups_removed(self, spark):
+        from document_automation_spark.operators.dedup import near_dup_dedup
+
+        base = "the quick brown fox jumps over the lazy dog again and again " * 8
+        rows = [
+            (1, base, "en", "s", len(base)),
+            (2, base + " tiny tail", "en", "s", len(base) + 10),  # near dup of 1
+            (3, base.replace("dog", "cat"), "en", "s", len(base)),  # near dup of 1
+            (4, "completely different text about distributed query engines " * 8, "en", "s", 400),
+            (5, "another unrelated document about cooking pasta at home " * 8, "en", "s", 400),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        kept = {r.doc_id for r in near_dup_dedup(docs, jaccard_threshold=0.7).collect()}
+        assert 1 in kept  # canonical (lowest id) survives
+        assert 2 not in kept and 3 not in kept  # verified near-dups dropped
+        assert {4, 5} <= kept  # unrelated docs untouched
+
+    def test_matches_brute_force_ground_truth(self, spark, sf_dir):
+        """The testdata corpus contains REAL near-dups (the generator
+        reuses word sequences); the LSH+verify pipeline must drop exactly
+        the docs a brute-force all-pairs Jaccard scan would drop."""
+        from document_automation_spark.operators.dedup import near_dup_dedup
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        rows = {r.doc_id: r.text for r in docs.collect()}
+        shingles = {i: set(char_shingles(t, 5)) for i, t in rows.items()}
+        ids = sorted(rows)
+        expected_dropped = set()
+        for i_pos, a in enumerate(ids):
+            for b in ids[i_pos + 1 :]:
+                if jaccard(shingles[a], shingles[b]) >= 0.9:
+                    expected_dropped.add(b)
+        kept = {r.doc_id for r in near_dup_dedup(docs, jaccard_threshold=0.9).collect()}
+        dropped = set(ids) - kept
+        # LSH candidates ⊆ all pairs → no false drops; banding with 32/8
+        # perms catches every J≥0.9 pair here → no misses either
+        assert dropped == expected_dropped
+        assert dropped, "testdata is known to contain near-dup pairs"
