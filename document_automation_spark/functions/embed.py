@@ -9,12 +9,14 @@ similarity joins) as a real encoder; swap ``embed_text`` for a model call
 and nothing else changes.
 
 ``assign_dense_vector_ids`` reproduces the reference's *global dense*
-vector_id counter (/root/reference/src/gen-sods-doc-image-ray.py:180-190):
-a driver-sequential loop there, a ``row_number() OVER (ORDER BY doc_id)``
-here.  Scale note: a global dense id needs a total order (single-partition
-window) — at 10^12 rows use zipWithIndex-style partition offsets or accept
-``monotonically_increasing_id`` (sparse but parallel); dense-ness is only
-needed when an external ANN file demands contiguous ids.
+vector_id counter (/root/reference/src/gen-sods-doc-image-ray.py:180-190) —
+a driver-sequential loop there — WITHOUT a global single-partition window:
+range-partition on the order column, count rows per partition (one small
+job over the persisted input), broadcast the cumulative offsets, then add
+partition-local row indexes zipWithIndex-style inside ``mapInPandas``.
+Every task touches only its own partition; ids are identical to
+``row_number() OVER (ORDER BY order_col) - 1`` whenever the order column
+is unique.
 """
 
 from __future__ import annotations
@@ -25,7 +27,7 @@ import re
 from typing import Iterator, List
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -68,10 +70,54 @@ def embed_documents(documents: DataFrame, dim: int = 16) -> DataFrame:
     return documents.select("doc_id", "text").mapInPandas(embed_batches, schema)
 
 
-def assign_dense_vector_ids(embedded: DataFrame, order_col: str = "doc_id") -> DataFrame:
-    """Dense 0-based vector_id over a deterministic total order (A9)."""
-    w = Window.orderBy(order_col)
-    return embedded.withColumn("vector_id", F.row_number().over(w) - F.lit(1))
+def assign_dense_vector_ids(
+    embedded: DataFrame, order_col: str = "doc_id", num_partitions: int | None = None
+) -> DataFrame:
+    """Dense 0-based vector_id over a deterministic total order (A9).
+
+    Scale shape: range-partition by ``order_col`` (parallel sort), one small
+    count-per-partition job, broadcast cumulative offsets, then a zero-shuffle
+    ``mapInPandas`` that adds ``offset + local_index``.  No task ever holds
+    more than one partition — unlike ``Window.orderBy(order_col)``, which
+    moves ALL rows to a single partition.  Requires ``order_col`` unique
+    (doc ids are); ids equal ``row_number() OVER (ORDER BY order_col) - 1``.
+    """
+    spark = embedded.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    parts = (
+        embedded.repartitionByRange(n, order_col)
+        .sortWithinPartitions(order_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = parts.groupBy("_pid").count().collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    # the range partitioner assigns key ranges to partition ids in sort order,
+    # so cumulating counts in pid order yields global offsets
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[int(row["_pid"])] = acc
+        acc += int(row["count"])
+    b_offsets = spark.sparkContext.broadcast(offsets)
+
+    out_fields = [f for f in parts.schema.fields if f.name != "_pid"]
+    cols = [f.name for f in out_fields]
+    schema = T.StructType(out_fields + [T.StructField("vector_id", T.LongType())])
+
+    def add_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = 0
+        base = None
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            if base is None:
+                base = b_offsets.value[int(batch["_pid"].iloc[0])]
+            out = batch[cols].copy()
+            out["vector_id"] = range(base + local, base + local + len(batch))
+            local += len(batch)
+            yield out
+
+    return parts.mapInPandas(add_ids, schema)
 
 
 def missing_embeddings(documents: DataFrame, embedded: DataFrame) -> DataFrame:

@@ -50,12 +50,20 @@ def bm25_scores(
     ``documents``: (doc_id, text); ``query_terms``: (query_id, term).
     Returns (query_id, doc_id, bm25:double) for docs matching ≥1 term.
     """
+    # Single tokenize pass: tf is the only child of the token stream; doclen
+    # and df are both derived FROM tf (dl = Σ tf per doc, df = postings per
+    # term), so the corpus is scanned and tokenized exactly once.  tf is
+    # persisted because three plan branches (scoring join, df, doclen) would
+    # otherwise each recompute the tokenize+shuffle.
     tokens = tokenize(documents.select("doc_id", "text"))
+    tf = (
+        tokens.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    doclen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
 
-    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    doclen = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-
-    n_docs = documents.count()  # driver scalar: one cheap count job
+    n_docs = documents.count()  # parquet metadata count: no data scan
     df_term = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = df_term.select(
         "term",
@@ -64,17 +72,21 @@ def bm25_scores(
         ),
     )
 
+    # avgdl stays IN the plan as a broadcast 1-row aggregate (no .collect()
+    # barrier, no re-run of the tokenize lineage)
+    stats = doclen.agg(F.avg("dl").alias("avgdl"))
+
     # vocabulary + query side are small → broadcast both into the postings
     matched = (
         tf.join(F.broadcast(query_terms), "term")
         .join(F.broadcast(idf), "term")
         .join(doclen, "doc_id")
+        .join(F.broadcast(stats))
     )
-    avgdl = doclen.agg(F.avg("dl")).collect()[0][0]
 
     term_score = F.col("idf") * (
         F.col("tf") * (k1 + 1.0)
-        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / float(avgdl)))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
     )
     return (
         matched.withColumn("term_score", term_score)

@@ -332,7 +332,8 @@ def q_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
              AND r.img_rank <= 10
     )
     SELECT g.query_id, g.gold_image_id,
-           list(r.image_id ORDER BY r.img_rank) AS top_retrieved
+           string_agg(CAST(r.image_id AS VARCHAR), '|' ORDER BY r.img_rank)
+               AS top_retrieved
     FROM gold g
     JOIN ranked r ON r.query_id = g.query_id AND r.img_rank <= 10
     WHERE g.query_id NOT IN (SELECT query_id FROM hits)
@@ -356,9 +357,14 @@ def q_error_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     misses = joined.join(hits, "query_id", "left_anti")
-    retrieved = F.transform(
-        F.array_sort(F.collect_list(F.struct("img_rank", "image_id"))),
-        lambda s: s["image_id"],
+    # serialized as a '|'-joined string: the driver's canonicalizer sorts
+    # column values, and array cells are unhashable/unsortable in pandas
+    retrieved = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("img_rank", "image_id"))),
+            lambda s: s["image_id"].cast("string"),
+        ),
+        "|",
     )
     return (
         misses.groupBy("query_id", "gold_image_id")
