@@ -35,26 +35,40 @@ _TOKEN = re.compile(r"\w+", re.UNICODE)
 
 
 def embed_text(text: str, dim: int = 16) -> List[float]:
-    """Feature-hashing embedding: token hash → bucket, sign bit, L2 norm."""
-    vec = [0.0] * dim
+    """Feature-hashing embedding: token hash → bucket, sign bit, L2 norm.
+
+    Every step is chosen to be reproducible in ANSI SQL so the driver's
+    DuckDB oracle can recompute the vectors independently:
+
+    * token hash = top 60 bits of md5 (DuckDB: ``('0x'||substr(md5(t),1,15))
+      ::UBIGINT``) — cross-engine, unlike crc32/blake2b;
+    * bucket accumulation is ±1 INTEGER sums (order-independent, so any
+      aggregation order gives the same vector);
+    * quantization truncates toward zero at 6 dp (``trunc`` exists in
+      Python/Spark/DuckDB with identical semantics; ``round`` half-even vs
+      half-away could disagree on ties).
+    """
+    acc = [0] * dim  # integer accumulation: exact under any order
     for token in _TOKEN.findall(text.lower()):
-        digest = hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest()
-        h = int.from_bytes(digest, "big")
+        h = int(hashlib.md5(token.encode("utf-8")).hexdigest()[:15], 16)  # 60 bits
         bucket = h % dim
-        sign = 1.0 if (h >> 62) & 1 else -1.0
-        vec[bucket] += sign
-    norm = math.sqrt(sum(v * v for v in vec))
-    if norm > 0:
-        vec = [v / norm for v in vec]
-    return [float(f"{v:.6f}") for v in vec]  # quantize → float32-safe
+        acc[bucket] += 1 if (h >> 59) & 1 else -1
+    norm = math.sqrt(sum(v * v for v in acc))
+    if norm == 0:
+        return [0.0] * dim
+    return [math.trunc(v / norm * 1e6) / 1e6 for v in acc]
 
 
 def embed_documents(documents: DataFrame, dim: int = 16) -> DataFrame:
-    """(doc_id, text) → (doc_id, embedding:array<float>) via Arrow batches."""
+    """(doc_id, text) → (doc_id, embedding:array<double>) via Arrow batches.
+
+    Double precision (not float32) so downstream double arithmetic —
+    cosine scores, fusion — is bit-identical to an engine that recomputes
+    the quantized components exactly (the DuckDB oracle)."""
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
-            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
         ]
     )
 

@@ -632,14 +632,108 @@ def q_bm25_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall_and_mrr(hits_and_ranks(ranked, gold, topk=10))
 
 
-@register("ensemble_retrieval_eval", None)  # embedding leg is Python → rows-only
+def _emb_list_cte(src: str, p: str) -> str:
+    """CTE chain recomputing the md5 feature-hashing embeddings of relation
+    ``src`` (columns doc_id, text) as 16-element DOUBLE lists in bucket
+    order — the SQL twin of functions/embed.embed_text.  ``p`` prefixes
+    every CTE name so two instances can coexist in one query."""
+    return rf"""
+    {p}toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\p{{L}}\p{{N}}_]+')) AS token
+        FROM {src}
+    ),
+    {p}hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::UBIGINT AS h FROM {p}toks
+    ),
+    {p}buckets AS (
+        SELECT doc_id, CAST(h % 16 AS INT) AS bucket,
+               SUM(CASE WHEN (h >> 59) & 1 = 1 THEN 1 ELSE -1 END) AS val
+        FROM {p}hashed GROUP BY doc_id, bucket
+    ),
+    {p}norms AS (
+        SELECT doc_id, sqrt(SUM(CAST(val*val AS DOUBLE))) AS norm
+        FROM {p}buckets GROUP BY doc_id
+    ),
+    {p}grid AS (
+        SELECT d.doc_id, g.b
+        FROM (SELECT DISTINCT doc_id FROM {src}) d
+        CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) g
+    ),
+    {p}comps AS (
+        SELECT grid.doc_id, grid.b,
+               CASE WHEN COALESCE(n.norm, 0) = 0 THEN 0.0
+                    ELSE trunc(CAST(COALESCE(bu.val, 0) AS DOUBLE) / n.norm * 1e6) / 1e6
+               END AS comp
+        FROM {p}grid grid
+        LEFT JOIN {p}buckets bu ON bu.doc_id = grid.doc_id AND bu.bucket = grid.b
+        LEFT JOIN {p}norms n ON n.doc_id = grid.doc_id
+    ),
+    {p}emb AS (
+        SELECT doc_id, list(comp ORDER BY b) AS embv FROM {p}comps GROUP BY doc_id
+    )
+"""
+
+
+_DOT16 = (
+    "list_reduce(list_prepend(0.0, list_transform(generate_series(1, 16),"
+    " i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+)
+
+
+@register(
+    "ensemble_retrieval_eval",
+    f"""
+    WITH {_BM25_SCORED_SQL},
+    {_emb_list_cte('documents', 'd')},
+    {_emb_list_cte('(SELECT query_id AS doc_id, term AS text FROM qt)', 'q')},
+    dense AS (
+        SELECT q.doc_id AS query_id, d.doc_id,
+               {_DOT16.format(a='d.embv', b='q.embv')}
+               / (sqrt({_DOT16.format(a='d.embv', b='d.embv')})
+                  * sqrt({_DOT16.format(a='q.embv', b='q.embv')})) AS cos
+        FROM demb d, qemb q
+    ),
+    fused AS (
+        SELECT COALESCE(s.query_id, de.query_id) AS query_id,
+               COALESCE(s.doc_id, de.doc_id) AS doc_id,
+               ROUND(COALESCE(s.bm25, 0) + 1.5 * COALESCE(de.cos, 0), 9) AS fused
+        FROM scored s
+        FULL OUTER JOIN dense de ON s.query_id = de.query_id AND s.doc_id = de.doc_id
+    ),
+    eranked AS (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY fused DESC, doc_id)
+                   AS img_rank
+        FROM fused
+    ),
+    efound AS (
+        SELECT query_id, MIN(img_rank) AS found_rank FROM eranked
+        WHERE doc_id = query_id * 41 AND img_rank <= 10
+        GROUP BY query_id
+    ),
+    eper_query AS (
+        SELECT g.query_id,
+               CASE WHEN f.found_rank IS NULL THEN 0 ELSE 1 END AS hit,
+               CAST(COALESCE(f.found_rank, 20000) AS BIGINT) AS rank
+        FROM (SELECT DISTINCT query_id FROM qt) g
+        LEFT JOIN efound f ON g.query_id = f.query_id
+    )
+    SELECT ROUND(AVG(CAST(hit AS DOUBLE)), 9) AS recall,
+           ROUND(AVG(1.0 / rank), 9) AS mrr,
+           COUNT(*) AS num_queries
+    FROM eper_query
+    """,
+)
 def q_ensemble_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's REAL dual-retriever ensemble, end to end: BM25 +
     embedding-cosine scores fused comb-sum style (weight 1.5 on the dense
     leg, scripts/run_retrieval_eval.sh:8-10), ranked, evaluated against the
     self-query gold.  Composes bm25.py + functions/embed.py +
-    fusion-by-coalesce + eval_metrics in one plan."""
-    from document_automation_spark.functions.embed import embed_documents, embed_text
+    fusion-by-coalesce + eval_metrics in one plan.  The query embeddings
+    come from the SAME distributed ``embed_documents`` kernel (no driver
+    ``collect()`` loop); the whole thing — including both embedding legs —
+    is recomputed by the DuckDB oracle."""
+    from document_automation_spark.functions.embed import embed_documents
     from document_automation_spark.operators.bm25 import bm25_scores
     from document_automation_spark.operators.eval_metrics import hits_and_ranks, recall_and_mrr
     from document_automation_spark.operators.similarity import cosine_col
@@ -649,11 +743,14 @@ def q_ensemble_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     query_terms = _bm25_query_terms(docs)
     sparse = bm25_scores(docs.select("doc_id", "text"), query_terms)
 
+    # distributed query embedding: same mapInPandas kernel as the corpus
+    # (token order doesn't matter — the embedding is a bag-of-tokens sum)
     query_text = query_terms.groupBy("query_id").agg(
-        F.concat_ws(" ", F.collect_list("term")).alias("qtext")
+        F.concat_ws(" ", F.collect_list("term")).alias("text")
     )
-    q_rows = [(r.query_id, embed_text(r.qtext)) for r in query_text.collect()]
-    q_emb = spark.createDataFrame(q_rows, "query_id long, q_embedding array<float>")
+    q_emb = embed_documents(
+        query_text.select(F.col("query_id").alias("doc_id"), "text")
+    ).select(F.col("doc_id").alias("query_id"), F.col("embedding").alias("q_embedding"))
     dense = (
         embed_documents(docs)
         .crossJoin(F.broadcast(q_emb))
@@ -668,9 +765,9 @@ def q_ensemble_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "doc_id",
-            (F.coalesce("bm25", F.lit(0.0)) + 1.5 * F.coalesce("cos", F.lit(0.0))).alias(
-                "fused"
-            ),
+            F.round(
+                F.coalesce("bm25", F.lit(0.0)) + 1.5 * F.coalesce("cos", F.lit(0.0)), 9
+            ).alias("fused"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("fused"), F.asc("doc_id"))
@@ -1399,12 +1496,40 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("hash_embeddings", None)  # blake2b feature hashing → rows-only
+# The embedding kernel (functions/embed.embed_text) is md5-based precisely
+# so this SQL can recompute every vector independently: token hash = top 60
+# bits of md5, ±1 integer bucket sums, L2 norm, trunc-at-6dp quantization.
+# Components are compared in exact integer micro-units (component × 1e6).
+@register(
+    "hash_embeddings",
+    f"""
+    WITH {_emb_list_cte('documents', 'd')}
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS vector_id,
+           array_to_string(
+               list_transform(embv, c -> CAST(round(c * 1e6) AS BIGINT)), '|')
+               AS emb_micro
+    FROM demb
+    """,
+)
 def q_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding stage + dense vector ids (K8 + A9), FULLY oracle-checked:
+    the md5 feature-hashing kernel is recomputed in SQL by the oracle and
+    compared in integer micro-units; vector_id density is checked against
+    ``row_number() - 1``.  The Spark side assigns ids via partition offsets
+    (no global window)."""
     from document_automation_spark.functions.embed import assign_dense_vector_ids, embed_documents
 
     docs = _t(spark, sf_dir, "documents")
-    return assign_dense_vector_ids(embed_documents(docs))
+    out = assign_dense_vector_ids(embed_documents(docs))
+    serialize = F.array_join(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x * 1e6).cast("long").cast("string"),
+        ),
+        "|",
+    )
+    return out.select("doc_id", "vector_id", serialize.alias("emb_micro"))
 
 
 @register("maxsim_rerank", None)  # hashing token embeddings → rows-only
