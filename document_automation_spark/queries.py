@@ -1208,22 +1208,125 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_fingerprint_col(_t(spark, sf_dir, "documents"))
 
 
-@register("bpe_token_counts", None)  # kernel regex tokenizer → rows-only
+# DuckDB twin of kernels/textstats._TOKEN_RE.  RE2 quirks accounted for:
+# \x{4e00}-\x{9fff} spells the CJK range, '' escapes the quote inside the
+# SQL string; \s is ASCII in RE2 vs unicode in Python — verified equivalent
+# on the corpus (no non-ASCII whitespace in Common-Crawl-style testdata).
+_BPE_RE_SQL = (
+    r"[A-Za-z]+(?:''[A-Za-z]+)?|[0-9]+|[\x{4e00}-\x{9fff}]"
+    r"|[^\sA-Za-z0-9\x{4e00}-\x{9fff}]"
+)
+
+
+@register(
+    "bpe_token_counts",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS BIGINT)
+               AS n_tokens_bpe
+    FROM documents
+    """,
+)
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_automation_spark.operators.text_analysis import bpe_token_counts
 
     return bpe_token_counts(_t(spark, sf_dir, "documents"))
 
 
-@register("quality_features", None)  # Python composite policy → rows-only
+# whitespace tokens of trim'd text, as the kernel's re.split(r"\s+") does
+_QUAL_TOKS_SQL = r"""
+    SELECT doc_id, text,
+           CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)) = '' THEN []
+                ELSE regexp_split_to_array(
+                    trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+')
+           END AS toks
+    FROM documents
+"""
+
+_STOPWORDS_SQL = (
+    "['the','a','an','and','or','of','to','in','is','are','was','were',"
+    "'be','been','it','this','that','for','on','with','as','at','by']"
+)
+
+
+@register(
+    "quality_features",
+    f"""
+    WITH base AS ({_QUAL_TOKS_SQL}),
+    feats AS (
+        SELECT doc_id,
+          CAST(len(toks) AS DOUBLE) AS n_tokens,
+          CASE WHEN length(text) = 0 THEN 0.0
+               ELSE len(regexp_extract_all(text, '[^\\p{{L}}\\p{{N}}_\\s]'))
+                    / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+          CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE len(list_filter(toks, t -> list_contains({_STOPWORDS_SQL},
+                        trim(lower(t), '.,!?;:'))))
+                    / CAST(len(toks) AS DOUBLE) END AS stopword_ratio,
+          CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE list_sum(list_transform(toks, t -> length(t)))
+                    / CAST(len(toks) AS DOUBLE) END AS mean_word_len,
+          length(text) AS n_chars
+        FROM base
+    )
+    SELECT doc_id, n_tokens, punct_ratio, stopword_ratio, mean_word_len,
+           greatest(1.0
+               - CASE WHEN n_chars < 50 THEN 0.5 ELSE 0.0 END
+               - CASE WHEN punct_ratio > 0.3 THEN 0.3 ELSE 0.0 END
+               - CASE WHEN mean_word_len > 15
+                        OR (n_tokens > 0 AND mean_word_len < 2)
+                      THEN 0.2 ELSE 0.0 END,
+               0.0) AS quality
+    FROM feats
+    """,
+)
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features (length/punct/stopword ratios + composite score,
+    kernels/textstats.quality_score) — the full Python scoring policy is
+    recomputed by the DuckDB oracle, raw doubles compared unrounded (all
+    arithmetic is exact-int division → bit-identical across engines)."""
     from document_automation_spark.operators.text_analysis import quality_features
 
     return quality_features(_t(spark, sf_dir, "documents"))
 
 
-@register("language_id_kernel", None)  # stopword-hint kernel → rows-only
+def _hint_count_sql(hints: list) -> str:
+    """Σ over hint n-grams of the non-overlapping occurrence count in
+    ``padded`` (replace-based counting ≡ Python str.count)."""
+    return " + ".join(
+        f"(length(padded) - length(replace(padded, '{h}', ''))) // {len(h)}"
+        for h in hints
+    )
+
+
+@register(
+    "language_id_kernel",
+    f"""
+    SELECT doc_id,
+      CASE WHEN regexp_matches(text, '[\\x{{3040}}-\\x{{30ff}}]') THEN 'ja'
+           WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+           WHEN regexp_matches(text, '[\\x{{ac00}}-\\x{{d7af}}]') THEN 'ko'
+           WHEN regexp_matches(text, '[\\x{{0400}}-\\x{{04ff}}]') THEN 'ru'
+           WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+           WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+           WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+           WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS detected_lang
+    FROM (
+        SELECT doc_id, text,
+               {_hint_count_sql([' der ', ' die ', ' und ', ' ist ', ' von ', ' den '])} AS s_de,
+               {_hint_count_sql([' the ', ' and ', ' of ', ' to ', ' in ', ' is '])} AS s_en,
+               {_hint_count_sql([' el ', ' la ', ' los ', ' que ', ' de ', ' es '])} AS s_es,
+               {_hint_count_sql([' le ', ' la ', ' les ', ' et ', ' des ', ' est '])} AS s_fr
+        FROM (SELECT doc_id, text, ' ' || lower(text) || ' ' AS padded FROM documents)
+    )
+    """,
+)
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full language-ID kernel (script ranges + stopword-hint scoring with
+    the sorted-lang tie-break, kernels/textstats.detect_language) — hint
+    lists embedded as SQL literals so DuckDB replays the exact heuristic.
+    The CASE ladder encodes the kernel's iterate-sorted-langs argmax:
+    earliest lang in sorted order wins ties."""
     from document_automation_spark.operators.text_analysis import language_id_kernel
 
     return language_id_kernel(_t(spark, sf_dir, "documents"))
