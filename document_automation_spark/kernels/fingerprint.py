@@ -4,15 +4,24 @@ Pure-Python kernels (no Spark imports) used by both the Spark UDF layer
 (operators.dedup / operators.text_analysis) and the pytest oracles, so the
 distributed and single-process answers agree exactly.
 
-All hashing is seed-stable across processes (blake2b-based; never Python's
-builtin ``hash``, which is randomized per process) — a hard requirement for
-a multi-executor cluster where every worker must agree on bucket ids.
+All hashing is seed-stable across processes (md5/blake2b-based; never
+Python's builtin ``hash``, which is randomized per process) — a hard
+requirement for a multi-executor cluster where every worker must agree on
+bucket ids.
+
+Base-hash choice: the shingle hash is the **top 60/64 bits of md5** rather
+than crc32.  md5 is ~3× slower per shingle, but it is the only hash this
+container's SQL oracle engine (DuckDB) can recompute — which turns MinHash
+signatures, LSH candidate pairs, SimHash fingerprints and the whole
+near-dup pipeline into *driver-checkable* queries instead of trust-me
+Python.  At 100 TB, if verification is handled elsewhere, swap
+``_shingle_hash60/_shingle_hash64`` for crc32/xxhash — every downstream
+contract (permutation math, banding, Hamming buckets) is hash-agnostic.
 """
 
 from __future__ import annotations
 
 import hashlib
-import zlib
 from typing import List, Sequence
 
 import numpy as np
@@ -22,14 +31,19 @@ _MAX_HASH = (1 << 31) - 2
 
 
 def stable_hash64(s: str) -> int:
-    """Process-stable 64-bit hash of a string.
+    """Process-stable 64-bit hash of a string: first 16 hex chars of md5.
 
-    Two CRC32 passes (C-speed) combined into 64 bits — deterministic
-    across processes (unlike builtin ``hash``) and ~40× faster than a
-    cryptographic digest, which matters when hashing every shingle of
-    every document on every executor."""
-    raw = s.encode("utf-8")
-    return (zlib.crc32(raw + b"\x01") << 32) | zlib.crc32(raw)
+    Deterministic across processes (unlike builtin ``hash``) and
+    reproducible in SQL — DuckDB: ``('0x' || substr(md5(s),1,16))::UBIGINT``
+    — so every fingerprint built on it is oracle-checkable."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16)
+
+
+def stable_hash60(s: str) -> int:
+    """Top 60 bits of md5 (15 hex chars): always fits a signed int64, so
+    products with 31-bit permutation constants stay below 2^63 in every
+    engine.  DuckDB: ``('0x' || substr(md5(s),1,15))::UBIGINT``."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
 
 
 def char_shingles(text: str, k: int = 5) -> List[str]:
@@ -77,7 +91,7 @@ def minhash_signature(text: str, num_perm: int = 32, k: int = 5, seed: int = 42)
     if not shingles:
         return [_MAX_HASH] * num_perm
     h = np.fromiter(
-        (zlib.crc32(s.encode("utf-8")) % MERSENNE_31 for s in shingles),
+        (stable_hash60(s) % MERSENNE_31 for s in shingles),
         dtype=np.uint64,
         count=len(shingles),
     )
@@ -98,7 +112,9 @@ def lsh_band_keys(signature: Sequence[int], bands: int = 8) -> List[str]:
     keys = []
     for b in range(bands):
         band = ",".join(str(v) for v in signature[b * rows : (b + 1) * rows])
-        keys.append(f"{b}:{zlib.crc32(band.encode()):08x}")
+        # raw band string (no hash compression) — the key is shuffle-local
+        # and this keeps the banding SQL-reproducible
+        keys.append(f"{b}:{band}")
     return keys
 
 

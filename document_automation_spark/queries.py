@@ -970,27 +970,141 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.5)
 
 
-# Python-kernel dedup (blake2b hashing — not SQL-expressible → rows-only):
-@register("minhash_lsh_candidates", None)
+# MinHash/SimHash oracles: the kernels hash shingles with md5 (see
+# kernels/fingerprint.py) and the permutation constants are pure functions
+# of (num_perm, seed), so the ENTIRE signature → banding → candidate-pair
+# construction is replayed in SQL with the (a, b) constants embedded as
+# literals — the same constants-in-SQL trick as the LSH hyperplanes.
+_MERSENNE_31 = 2147483647
+
+
+def _shingle_cte(k: int) -> str:
+    """Distinct character k-shingles per doc (len<k → the whole text, as
+    kernels/fingerprint.char_shingles does; empty text excluded — the
+    corpus has none, and the kernel's empty-text sentinel has no pairs)."""
+    return f"""sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            CASE WHEN length(text) < {k} THEN [text]
+                 ELSE list_transform(generate_series(1, length(text) - {k - 1}),
+                                     i -> substr(text, CAST(i AS INT), {k}))
+            END)) AS s
+        FROM documents WHERE length(text) > 0)"""
+
+
+def _minhash_cand_cte() -> str:
+    """CTE chain: shingles → 60-bit md5 hash → 32 permutation minima →
+    8 raw-string band keys → distinct candidate pairs (doc_a < doc_b)."""
+    from document_automation_spark.kernels.fingerprint import _perm_params
+
+    params = _perm_params(32, 42)
+    sig_exprs = ",\n        ".join(
+        f"MIN(({a}::BIGINT * hv + {b}) % {_MERSENNE_31}) AS s{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_case = (
+        "CASE band "
+        + " ".join(
+            f"WHEN {b} THEN " + " || ',' || ".join(f"s{b*4+r}::VARCHAR" for r in range(4))
+            for b in range(8)
+        )
+        + " END"
+    )
+    return f"""{_shingle_cte(5)},
+    h AS (SELECT doc_id,
+                 (('0x' || substr(md5(s), 1, 15))::UBIGINT % {_MERSENNE_31})::BIGINT AS hv
+          FROM sh),
+    sigs AS (SELECT doc_id, {sig_exprs} FROM h GROUP BY doc_id),
+    banded AS (
+        SELECT doc_id, band, {band_case} AS key
+        FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )"""
+
+
+@register(
+    "minhash_lsh_candidates",
+    f"""
+    WITH {_minhash_cand_cte()}
+    SELECT doc_a, doc_b FROM cand
+    """,
+)
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash → LSH banding → candidate pairs, FULLY oracle-checked: the
+    DuckDB twin recomputes every signature from md5 shingle hashes and the
+    32 blake2b-seeded permutation constants embedded as SQL literals."""
     from document_automation_spark.operators.dedup import minhash_lsh_candidates
 
     return minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
 
 
-@register("near_dup_dedup", None)  # MinHash kernel inside → rows-only
+@register(
+    "near_dup_dedup",
+    f"""
+    WITH {_minhash_cand_cte()},
+    grams AS (
+        SELECT doc_id, list_distinct(
+            CASE WHEN length(text) < 5 THEN [text]
+                 ELSE list_transform(generate_series(1, GREATEST(length(text) - 4, 1)),
+                                     i -> substr(text, CAST(i AS INT), 5))
+            END) AS g
+        FROM documents
+    ),
+    dropped AS (
+        SELECT DISTINCT c.doc_b
+        FROM cand c
+        JOIN grams ga ON ga.doc_id = c.doc_a
+        JOIN grams gb ON gb.doc_id = c.doc_b
+        WHERE len(list_intersect(ga.g, gb.g))
+              / CAST(len(list_distinct(list_concat(ga.g, gb.g))) AS DOUBLE) >= 0.9
+    )
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT doc_b FROM dropped)
+    """,
+)
 def q_near_dup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard verify →
-    greedy canonical selection.  The testdata corpus contains real
-    near-dups (generator reuses word sequences); pytest checks the result
-    against a brute-force all-pairs ground truth."""
+    greedy canonical selection — every stage recomputed by the DuckDB
+    oracle.  pytest additionally checks against a brute-force all-pairs
+    ground truth on constructed near-dups."""
     from document_automation_spark.operators.dedup import near_dup_dedup
 
-    return near_dup_dedup(_t(spark, sf_dir, "documents"), jaccard_threshold=0.9)
+    out = near_dup_dedup(_t(spark, sf_dir, "documents"), jaccard_threshold=0.9)
+    return out.select("doc_id", "text", "lang", "source", "n_chars")
 
 
-@register("simhash_fingerprints", None)
+def _simhash_sql() -> str:
+    bit_exprs = ",\n        ".join(
+        f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE 0 END) AS c{b}"
+        for b in range(64)
+    )
+    val_terms = " + ".join(
+        f"(CASE WHEN 2*c{b} - n > 0 THEN {1 << b}::HUGEINT ELSE 0::HUGEINT END)"
+        for b in range(64)
+    )
+    return f"""
+    WITH {_shingle_cte(3)},
+    h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 16))::UBIGINT AS hv FROM sh),
+    bits AS (SELECT doc_id, COUNT(*) AS n, {bit_exprs} FROM h GROUP BY doc_id),
+    vals AS (SELECT doc_id, {val_terms} AS v FROM bits)
+    SELECT doc_id,
+           CAST(CASE WHEN v >= {1 << 63}::HUGEINT THEN v - {1 << 64}::HUGEINT
+                     ELSE v END AS BIGINT) AS simhash
+    FROM vals
+    UNION ALL
+    SELECT doc_id, CAST(0 AS BIGINT) AS simhash
+    FROM documents WHERE length(text) = 0
+    """
+
+
+@register("simhash_fingerprints", _simhash_sql())
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per doc, oracle-checked: the DuckDB twin recomputes
+    every fingerprint from md5 shingle hashes via 64 per-bit vote sums,
+    assembling the (wrapped-to-signed) int64 in HUGEINT space."""
     from document_automation_spark.operators.dedup import simhash_fingerprints
 
     return simhash_fingerprints(_t(spark, sf_dir, "documents"))
