@@ -48,6 +48,15 @@ def embed_text(text: str, dim: int = 16) -> List[float]:
       Python/Spark/DuckDB with identical semantics; ``round`` half-even vs
       half-away could disagree on ties).
     """
+    return [m / 1e6 for m in embed_text_micro(text, dim)]
+
+
+def embed_text_micro(text: str, dim: int = 16) -> List[int]:
+    """The same embedding in exact integer micro-units (component × 1e6).
+
+    Integer space makes downstream dot products / MaxSim sums exact and
+    order-independent — the trick that lets the DuckDB oracle reproduce
+    them bit-for-bit with zero float-summation-order risk."""
     acc = [0] * dim  # integer accumulation: exact under any order
     for token in _TOKEN.findall(text.lower()):
         h = int(hashlib.md5(token.encode("utf-8")).hexdigest()[:15], 16)  # 60 bits
@@ -55,8 +64,8 @@ def embed_text(text: str, dim: int = 16) -> List[float]:
         acc[bucket] += 1 if (h >> 59) & 1 else -1
     norm = math.sqrt(sum(v * v for v in acc))
     if norm == 0:
-        return [0.0] * dim
-    return [math.trunc(v / norm * 1e6) / 1e6 for v in acc]
+        return [0] * dim
+    return [math.trunc(v / norm * 1e6) for v in acc]
 
 
 def embed_documents(documents: DataFrame, dim: int = 16) -> DataFrame:

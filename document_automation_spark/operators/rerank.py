@@ -27,25 +27,39 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from document_automation_spark.functions.embed import embed_text
+from document_automation_spark.functions.embed import embed_text_micro
 
 _TOKEN_CACHE_MAX = 65536
 
+# maxsim_micro2 values are (micro · micro) sums: ≤ 128 tokens × 16 dims ×
+# 1e6² = O(1e13) per pair — far inside exact-int64/float64 territory.
+_MICRO2 = 1e12
+
 
 def token_matrix(text: str, dim: int = 16, max_tokens: int = 128) -> np.ndarray:
-    """(n_tokens, dim) float64 matrix of per-token hashing embeddings."""
+    """(n_tokens, dim) int64 matrix of per-token embeddings in micro-units.
+
+    Integer matrices make the MaxSim matmul EXACT (no BLAS float-summation
+    order), so the distributed scorer, this kernel, and the DuckDB oracle
+    agree bit-for-bit."""
     tokens = text.lower().split()[:max_tokens]
     if not tokens:
-        return np.zeros((1, dim))
-    return np.array([embed_text(t, dim) for t in tokens], dtype=np.float64)
+        return np.zeros((1, dim), dtype=np.int64)
+    return np.array([embed_text_micro(t, dim) for t in tokens], dtype=np.int64)
+
+
+def maxsim_score_micro2(query_text: str, doc_text: str, dim: int = 16) -> int:
+    """sum over query tokens of (max over doc tokens of token-dot), in
+    exact (micro × micro) integer units."""
+    q = token_matrix(query_text, dim)
+    d = token_matrix(doc_text, dim)
+    scores = q @ d.T  # (n_q, n_d) exact int64
+    return int(scores.max(axis=1).sum())
 
 
 def maxsim_score(query_text: str, doc_text: str, dim: int = 16) -> float:
-    """sum over query tokens of (max over doc tokens of token-dot)."""
-    q = token_matrix(query_text, dim)
-    d = token_matrix(doc_text, dim)
-    scores = q @ d.T  # (n_q, n_d)
-    return float(np.round(scores.max(axis=1).sum(), 6))
+    """MaxSim in cosine units (micro² score / 1e12)."""
+    return maxsim_score_micro2(query_text, doc_text, dim) / _MICRO2
 
 
 def maxsim_rerank(
@@ -69,7 +83,7 @@ def maxsim_rerank(
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             scores: List[float] = [
-                maxsim_score(q, d, dim)
+                maxsim_score_micro2(q, d, dim) / _MICRO2
                 for q, d in zip(batch["query_text"], batch["doc_text"])
             ]
             yield pd.DataFrame(

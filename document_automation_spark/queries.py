@@ -1749,9 +1749,81 @@ def q_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "vector_id", serialize.alias("emb_micro"))
 
 
-@register("maxsim_rerank", None)  # hashing token embeddings → rows-only
+@register(
+    "maxsim_rerank",
+    f"""
+    WITH {_BM25_SCORED_SQL},
+    topk AS (
+        SELECT query_id, doc_id FROM (
+            SELECT query_id, doc_id, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS r
+            FROM scored
+        ) WHERE r <= 10
+    ),
+    queries AS (
+        SELECT CAST(doc_id / 41 AS BIGINT) AS query_id,
+               array_to_string(list_slice(
+                   regexp_split_to_array(lower(trim(text)), '\\s+'), 3, 6), ' ')
+                   AS qtext
+        FROM documents WHERE doc_id % 41 = 0 AND doc_id < 410
+    ),
+    qtok AS (
+        SELECT query_id, u.tok, u.pos
+        FROM queries,
+             LATERAL (SELECT unnest(ts) AS tok,
+                             unnest(generate_series(1, len(ts))) AS pos
+                      FROM (SELECT list_slice(list_filter(
+                                regexp_split_to_array(lower(qtext), '\\s+'),
+                                t -> t <> ''), 1, 128) AS ts)) u
+    ),
+    dtok AS (
+        SELECT DISTINCT d.doc_id, u.tok
+        FROM (SELECT DISTINCT t.doc_id, doc.text
+              FROM topk t JOIN documents doc ON doc.doc_id = t.doc_id) d,
+             LATERAL (SELECT unnest(list_slice(list_filter(
+                          regexp_split_to_array(lower(d.text), '\\s+'),
+                          t -> t <> ''), 1, 128)) AS tok) u
+    ),
+    vocab AS (
+        SELECT tok AS doc_id, tok AS text FROM
+            (SELECT tok FROM qtok UNION SELECT tok FROM dtok)
+    ),
+    {_emb_list_cte('vocab', 't0')},
+    temb AS (
+        SELECT doc_id AS tok,
+               list_transform(embv, c -> CAST(round(c * 1e6) AS BIGINT)) AS mv
+        FROM t0emb
+    ),
+    perq AS (
+        SELECT t.query_id, t.doc_id, q.pos,
+               MAX(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(generate_series(1, 16),
+                                      i -> qe.mv[i] * de.mv[i])),
+                   (a, b) -> a + b)) AS best
+        FROM topk t
+        JOIN qtok q ON q.query_id = t.query_id
+        JOIN dtok d ON d.doc_id = t.doc_id
+        JOIN temb qe ON qe.tok = q.tok
+        JOIN temb de ON de.tok = d.tok
+        GROUP BY t.query_id, t.doc_id, q.pos
+    ),
+    sums AS (
+        SELECT query_id, doc_id, SUM(best) AS micro2
+        FROM perq GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, CAST(micro2 AS DOUBLE) / 1e12 AS maxsim, rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY micro2 DESC, doc_id) AS rank
+        FROM sums
+    ) WHERE rank <= 5
+    """,
+)
 def q_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-10 candidates reranked by MaxSim late interaction."""
+    """BM25 top-10 candidates reranked by MaxSim late interaction — FULLY
+    oracle-checked: token embeddings, the (query-token × doc-token) dot
+    matrix, max-over-doc-tokens and sum-over-query-tokens are all replayed
+    by the DuckDB twin in exact integer micro-units."""
     from document_automation_spark.operators.bm25 import bm25_topk
     from document_automation_spark.operators.rerank import maxsim_rerank
 
@@ -1773,8 +1845,48 @@ def q_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maxsim_rerank(candidates, k=5)
 
 
-@register("dpr_training_samples", None)  # nested-struct output → rows-only
+@register(
+    "dpr_training_samples",
+    f"""
+    WITH split AS ({_SPLIT_SQL}),
+    qa AS (
+        SELECT doc_id % 20 AS query_id, doc_id,
+               'what is ' || substring(text, 1, 12) AS question,
+               substring(text, 21, 10) AS answer
+        FROM documents WHERE length(text) >= 40 AND doc_id % 5 = 0
+    ),
+    joined AS (
+        SELECT qa.query_id, qa.doc_id, qa.question, qa.answer,
+               s.passage_idx, s.passage,
+               COUNT(*) OVER (PARTITION BY qa.query_id, qa.doc_id) AS n_passages,
+               CASE WHEN position(qa.answer IN s.passage) > 0 THEN 1 ELSE 0 END AS has_answer,
+               length(list_intersect(list_distinct(str_split(s.passage, '')),
+                                     list_distinct(str_split(qa.answer, '')))) AS char_overlap
+        FROM qa JOIN split s ON qa.doc_id = s.doc_id
+    ),
+    picked AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY query_id, doc_id
+                   ORDER BY has_answer DESC, char_overlap DESC, passage_idx
+               ) AS pick
+        FROM joined
+    )
+    SELECT query_id, question, answer AS answers,
+           to_json([{{'title': '',
+                      'text': CASE WHEN n_passages > 1 AND has_answer = 0
+                                        AND char_overlap = 0
+                                   THEN '' ELSE passage END,
+                      'passage_id': ''}}])::VARCHAR AS positive_ctxs,
+           '[]' AS negative_ctxs,
+           '[]' AS hard_negative_ctxs
+    FROM picked WHERE pick = 1
+    """,
+)
 def q_dpr_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPR training samples (S12/K11), nested ctx structs serialized with
+    ``to_json`` so the driver canonicalizer can sort them — Spark's Jackson
+    and DuckDB's to_json produce byte-identical JSON for these shapes
+    (escaping verified over quotes/backslashes/control chars/unicode)."""
     from document_automation_spark.operators.positive_passage import dpr_training_samples
 
     docs = _t(spark, sf_dir, "documents")
@@ -1784,7 +1896,15 @@ def q_dpr_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("what is "), F.col("text").substr(1, 12)).alias("question"),
         F.col("text").substr(21, 10).alias("answer"),
     )
-    return dpr_training_samples(docs, qa)
+    out = dpr_training_samples(docs, qa)
+    return out.select(
+        "query_id",
+        "question",
+        "answers",
+        F.to_json("positive_ctxs").alias("positive_ctxs"),
+        F.to_json("negative_ctxs").alias("negative_ctxs"),
+        F.to_json("hard_negative_ctxs").alias("hard_negative_ctxs"),
+    )
 
 
 # =====================================================================
