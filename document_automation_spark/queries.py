@@ -112,33 +112,32 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "customers_with_open_orders",
+    "customer_order_semi_anti",
     """
-    SELECT c_custkey, c_name, c_acctbal FROM customer
+    SELECT 'semi' AS relation, c_custkey, c_name FROM customer
     WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
-    """,
-)
-def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from document_automation_spark.operators.relational import customers_with_open_orders
-
-    return customers_with_open_orders(
-        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
-    )
-
-
-@register(
-    "customers_without_orders",
-    """
-    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    UNION ALL
+    SELECT 'anti' AS relation, c_custkey, c_name FROM customer
     WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
     """,
 )
-def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from document_automation_spark.operators.relational import customers_without_orders
-
-    return customers_without_orders(
-        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (F8: customers with open orders) and anti-join (F10/J8:
+    customers with no orders) in one tagged union — both relational
+    operators from operators/relational.py, one registry slot."""
+    from document_automation_spark.operators.relational import (
+        customers_with_open_orders,
+        customers_without_orders,
     )
+
+    cust, orders = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    semi = customers_with_open_orders(cust, orders).select(
+        F.lit("semi").alias("relation"), "c_custkey", "c_name"
+    )
+    anti = customers_without_orders(cust, orders).select(
+        F.lit("anti").alias("relation"), "c_custkey", "c_name"
+    )
+    return semi.unionAll(anti)
 
 
 @register(
@@ -1100,6 +1099,19 @@ def _simhash_sql() -> str:
     """
 
 
+@register("kmeans_line_clusters", None)  # iterative PCA+KMeans → rows-only:
+# k-means++ + Lloyd iterations are not expressible as one SQL query; the
+# strong checks are pytest pinned-golden + distributed-vs-kernel parity +
+# partition-count invariance (tests/test_cluster.py).
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K9: deterministic seeded PCA+KMeans clustering of per-document line
+    embeddings (reference: postprocess_ocr_by_clustering_line_embedding,
+    /root/reference/src/utils.py:253-284, made retry-deterministic)."""
+    from document_automation_spark.operators.cluster_lines import kmeans_line_clusters
+
+    return kmeans_line_clusters(_t(spark, sf_dir, "documents"))
+
+
 @register("simhash_fingerprints", _simhash_sql())
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per doc, oracle-checked: the DuckDB twin recomputes
@@ -1638,79 +1650,73 @@ _UPSERT_SETUP_SQL = """
 
 
 @register(
-    "upsert_skip_policy",
+    "upsert_policies",
     f"""
     WITH {_UPSERT_SETUP_SQL}
-    SELECT * FROM existing
+    SELECT 'skip' AS policy, * FROM existing
     UNION ALL
-    SELECT i.* FROM incoming i
+    SELECT 'skip' AS policy, i.* FROM incoming i
     WHERE i.doc_id NOT IN (SELECT doc_id FROM existing)
-    """,
-)
-def q_upsert_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from document_automation_spark.operators.upsert import merge_documents
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    existing = docs.filter(F.col("doc_id") < 400)
-    incoming = docs.filter(F.col("doc_id") >= 300).withColumn("text", F.upper("text"))
-    return merge_documents(existing, incoming, policy="skip")
-
-
-@register(
-    "upsert_overwrite_policy",
-    f"""
-    WITH {_UPSERT_SETUP_SQL}
-    SELECT * FROM incoming
     UNION ALL
-    SELECT e.* FROM existing e
+    SELECT 'overwrite' AS policy, * FROM incoming
+    UNION ALL
+    SELECT 'overwrite' AS policy, e.* FROM existing e
     WHERE e.doc_id NOT IN (SELECT doc_id FROM incoming)
     """,
 )
-def q_upsert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_upsert_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both duplicate policies of the upsert sink (S7 MERGE emulation:
+    skip-existing and overwrite-existing) as one tagged union — same
+    operator, one registry slot each policy oracle-checked."""
     from document_automation_spark.operators.upsert import merge_documents
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     existing = docs.filter(F.col("doc_id") < 400)
     incoming = docs.filter(F.col("doc_id") >= 300).withColumn("text", F.upper("text"))
-    return merge_documents(existing, incoming, policy="overwrite")
+    skip = merge_documents(existing, incoming, policy="skip").select(
+        F.lit("skip").alias("policy"), "doc_id", "text", "lang"
+    )
+    over = merge_documents(existing, incoming, policy="overwrite").select(
+        F.lit("overwrite").alias("policy"), "doc_id", "text", "lang"
+    )
+    return skip.unionAll(over)
 
 
 @register(
-    "json_sink_roundtrip",
-    "SELECT doc_id, lang, n_chars FROM documents",
+    "sink_roundtrips",
+    """
+    SELECT 'json' AS fmt, doc_id AS id, lang AS tag FROM documents
+    UNION ALL
+    SELECT 'csv' AS fmt, event_id AS id, event_type AS tag FROM events
+    """,
 )
-def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON sink + JSON-lines scan round-trip (S4/S12 parity: the
-    reference's json.dump training-sample sink and readlines scan,
-    /root/reference/src/process_dataset.py:65-67,136-137) — distributed
-    ``write.json`` then ``read.json`` must preserve every row."""
+def q_sink_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines and CSV sink + scan round-trips in one tagged union
+    (S4/S5/S6/S12 parity: the reference's json.dump training-sample sink
+    and readlines scan, /root/reference/src/process_dataset.py:65-67,
+    136-137, and its eval-set CSV path test_retrieval_pipeline.py:25 +
+    convert_dev_json_to_csv.py:23-25) — distributed write then schema'd
+    read must preserve every row of both formats."""
     import tempfile
 
-    out = tempfile.mkdtemp(prefix="json_roundtrip_")
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    docs.write.mode("overwrite").json(out)
-    return spark.read.json(out, schema="doc_id long, lang string, n_chars long").select(
-        "doc_id", "lang", "n_chars"
+    jdir = tempfile.mkdtemp(prefix="json_roundtrip_")
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.col("lang").alias("tag")
+    )
+    docs.write.mode("overwrite").json(jdir)
+    jback = spark.read.json(jdir, schema="id long, tag string").select(
+        F.lit("json").alias("fmt"), "id", "tag"
     )
 
-
-@register(
-    "csv_sink_roundtrip",
-    "SELECT event_id, user_id, event_type FROM events",
-)
-def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CSV sink + scan round-trip (S5 parity: the reference's eval-set CSV
-    path, /root/reference/src/test_retrieval_pipeline.py:25 and the
-    JSON→CSV shim convert_dev_json_to_csv.py:23-25) — distributed
-    ``write.csv`` then schema'd ``read.csv`` must preserve every row."""
-    import tempfile
-
-    out = tempfile.mkdtemp(prefix="csv_roundtrip_")
-    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
-    events.write.mode("overwrite").option("header", True).csv(out)
-    return spark.read.csv(
-        out, header=True, schema="event_id long, user_id long, event_type string"
+    cdir = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    events = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"), F.col("event_type").alias("tag")
     )
+    events.write.mode("overwrite").option("header", True).csv(cdir)
+    cback = spark.read.csv(cdir, header=True, schema="id long, tag string").select(
+        F.lit("csv").alias("fmt"), "id", "tag"
+    )
+    return jback.unionAll(cback)
 
 
 # The embedding kernel (functions/embed.embed_text) is md5-based precisely
