@@ -88,7 +88,7 @@ class TestKernels:
         n = postprocess_lines(lines, False, False)
         assert n == ["x" * 400 + "y" * 400 + "z" * 400]
         # split-only: 1200 chars → windows of 500/stride 490
-        assert [len(t) for t in s] == [500, 500, 220]
+        assert [len(t) for t in s] == [500, 500, 210]
         # cluster count = 1 + 1200//500 = 3
         assert len(c) == 3 and "".join(sorted(c)) == "".join(sorted(n))
         # split∧cluster: every unit ≤ 500 and total chars preserved for
