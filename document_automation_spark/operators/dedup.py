@@ -137,6 +137,54 @@ def minhash_lsh_candidates(
     )
 
 
+def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over undirected (doc_a, doc_b) edges →
+    (doc_id, component) where component = min doc_id of the component.
+
+    Iterative label propagation (the small-star/large-star idea in its
+    simplest form): every node repeatedly adopts the minimum label among
+    itself and its neighbours until a fixed point.  Iteration count is
+    bounded by the graph diameter — near-dup components are overwhelmingly
+    tiny cliques/chains, so a handful of joins suffices; each iteration is
+    one shuffle on doc_id.  ``localCheckpoint`` truncates the lineage so
+    plans don't grow exponentially across iterations."""
+    sym = edges.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
+        edges.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    labels = (
+        sym.selectExpr("src AS doc_id")
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+    )
+    for _ in range(max_iterations):
+        neighbour_min = (
+            sym.join(labels, sym["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbour_min, labels["doc_id"] == neighbour_min["src"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
 def near_dup_dedup(
     documents: DataFrame,
     jaccard_threshold: float = 0.8,
@@ -144,6 +192,7 @@ def near_dup_dedup(
     bands: int = 8,
     shingle_k: int = 5,
     seed: int = 42,
+    canonicalize: str = "greedy",
 ) -> DataFrame:
     """The production near-dup pipeline, end to end:
 
@@ -151,12 +200,17 @@ def near_dup_dedup(
         drop every doc that near-duplicates a lower-id doc.
 
     Candidate generation bounds the pair count (no all-pairs join); the
-    verify stage runs only on candidates.  Duplicate resolution is the
-    standard greedy rule — keep the lowest doc_id of each verified pair —
-    which removes every document that has at least one verified near-dup
-    with a smaller id (transitive-closure clustering would need an
-    iterative connected-components pass; at corpus scale greedy-by-id is
-    the usual choice because near-dup sets are overwhelmingly cliques).
+    verify stage runs only on candidates.  Duplicate resolution
+    (``canonicalize``):
+
+    * ``"greedy"`` (default): drop every document with at least one
+      verified near-dup of smaller id.  One shuffle; the usual choice at
+      corpus scale because near-dup sets are overwhelmingly cliques.
+    * ``"cc"``: transitive closure via iterative ``connected_components``
+      — keep only the min-id doc of each component.  On a verified chain
+      A~B, B~C (where A~C does NOT verify), greedy keeps {A, C} but CC
+      keeps only {A}; tests/test_dedup_similarity.py pins the difference.
+
     Returns the surviving documents (same schema as the input).
     """
     candidates = minhash_lsh_candidates(
@@ -177,12 +231,14 @@ def near_dup_dedup(
         candidates.join(a, "doc_a")
         .join(b, "doc_b")
         .filter(inter / union >= jaccard_threshold)
-        .select("doc_b")  # doc_b > doc_a by construction → drop the higher id
-        .distinct()
     )
-    return documents.join(
-        verified.withColumnRenamed("doc_b", "doc_id"), "doc_id", "left_anti"
-    )
+    if canonicalize == "cc":
+        comps = connected_components(verified.select("doc_a", "doc_b"))
+        dropped = comps.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+        return documents.join(dropped, "doc_id", "left_anti")
+    # greedy: doc_b > doc_a by construction → drop the higher id
+    dropped = verified.select("doc_b").distinct().withColumnRenamed("doc_b", "doc_id")
+    return documents.join(dropped, "doc_id", "left_anti")
 
 
 def simhash_fingerprints(documents: DataFrame, k: int = 3) -> DataFrame:

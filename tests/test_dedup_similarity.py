@@ -82,6 +82,55 @@ class TestSimHash:
         assert got[1] == got[2]
 
 
+class TestCanonicalization:
+    """Greedy vs connected-components duplicate resolution.
+
+    Chain construction: C (the largest id) near-duplicates BOTH A and B,
+    but A and B do not near-duplicate each other.  Greedy only drops docs
+    that pair with a SMALLER id — C pairs with A and B, so only C is
+    dropped and {A, B} survive.  CC merges {A, B, C} into one component
+    and keeps only its min id {A}."""
+
+    @pytest.fixture(scope="class")
+    def chain_docs(self, spark):
+        words = [f"w{i:03d}" for i in range(120)]
+        wB, wC = list(words), list(words)
+        for i in range(10, 35):
+            wB[i] = f"x{i:03d}"  # B differs from A in r1 and r2
+            wC[i] = f"x{i:03d}"  # C differs from A in r1 only (so C ~ both)
+        for i in range(70, 95):
+            wB[i] = f"y{i:03d}"
+        rows = [
+            (0, " ".join(words)), (1, " ".join(wB)), (2, " ".join(wC)),
+        ]
+        return spark.createDataFrame(
+            [(i, t, "en", "s0", len(t)) for i, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).cache()
+
+    def test_greedy_vs_cc_differ_on_chain(self, chain_docs):
+        from document_automation_spark.operators.dedup import near_dup_dedup
+
+        greedy = {r.doc_id for r in
+                  near_dup_dedup(chain_docs, jaccard_threshold=0.6).collect()}
+        cc = {r.doc_id for r in
+              near_dup_dedup(chain_docs, jaccard_threshold=0.6,
+                             canonicalize="cc").collect()}
+        assert greedy == {0, 1}
+        assert cc == {0}
+
+    def test_cc_labels(self, spark):
+        from document_automation_spark.operators.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+            "doc_a long, doc_b long",
+        )
+        got = {r.doc_id: r.component for r in connected_components(edges).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                       20: 20, 21: 20, 22: 20, 23: 20}
+
+
 class TestNgramJaccard:
     def test_matches_python_jaccard(self, docs):
         out = {(r.doc_a, r.doc_b): r.jaccard
