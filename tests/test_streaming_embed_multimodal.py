@@ -178,6 +178,42 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             decode_image_stub(b"\x89PNG")
 
+    def test_decode_seam_contract(self):
+        """The seam's error message must name the dependency and the
+        plug-in point — it's the documented integration contract, not an
+        incidental string (PIL/cv2 are not installable in this container)."""
+        with pytest.raises(NotImplementedError, match=r"PIL/cv2"):
+            decode_image_stub(b"\x89PNG")
+        with pytest.raises(NotImplementedError, match=r"plug the real decoder"):
+            decode_image_stub(b"")
+        # fake path: a pure function of the payload bytes
+        assert decode_image_stub(b"\x10abc\x20", deterministic_fake=True) == (
+            320 + 0x10 * 4,
+            240 + 0x20 * 3,
+        )
+
+    def test_fake_path_partition_count_invariance(self, spark):
+        """Deterministic-fake decode must give identical rows whatever the
+        partitioning — the retry/cluster determinism contract."""
+        from document_automation_spark.operators.multimodal import media_features
+
+        rows = [
+            (f"m{i}", bytearray(bytes([i % 251]) + bytes(range(i % 97)) + bytes([i % 13])))
+            for i in range(64)
+        ]
+        df = spark.createDataFrame(rows, "media_id string, payload binary")
+        one = media_features(df.coalesce(1)).collect()
+        many = media_features(df.repartition(16)).collect()
+
+        def canon(rs):
+            return sorted(
+                (r.media_id, r.resize_w, r.resize_h, tuple(r.frame_offsets),
+                 tuple(r.features), r.error)
+                for r in rs
+            )
+
+        assert canon(one) == canon(many)
+
     def test_media_metadata_pipeline(self, spark):
         rows = [
             ("m1", bytearray(b"\x89PNG\r\n\x1a\nrest")),
