@@ -85,6 +85,16 @@ def main() -> None:
     docs_per_sec = n_pages / extraction_s
 
     # -- operator headliners -------------------------------------------
+    # The 5 heaviest queries run best-of-3 so round-to-round regressions
+    # are attributable above the ±40% shared-host noise (BASELINE.md);
+    # the cheap ones run once (their noise is absolute-small).
+    BEST_OF_3 = {
+        "ngram_jaccard_pairs",
+        "embedding_near_dup",
+        "minhash_lsh_candidates",
+        "lineitem_running_total",
+        "hash_embeddings",
+    }
     headliners = [
         "pricing_summary",
         "top_customers",
@@ -108,12 +118,16 @@ def main() -> None:
     ]
     qs = registry.queries()
     for name in headliners:
-        t0 = time.time()
-        sink(qs[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
-        # operators that persist intermediates (LSH banding, n-gram arrays)
-        # must not leak cache/GC pressure into the next measurement
-        spark.catalog.clearCache()
+        reps = 3 if name in BEST_OF_3 else 1
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            sink(qs[name](spark, sf_dir))
+            best = min(best, time.time() - t0)
+            # operators that persist intermediates (LSH banding, n-gram
+            # arrays) must not leak cache/GC into the next measurement
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

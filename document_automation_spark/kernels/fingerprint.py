@@ -22,6 +22,7 @@ contract (permutation math, banding, Hamming buckets) is hash-agnostic.
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache
 from typing import List, Sequence
 
 import numpy as np
@@ -30,19 +31,26 @@ MERSENNE_31 = (1 << 31) - 1  # permutation field: products fit in uint64
 _MAX_HASH = (1 << 31) - 2
 
 
+@lru_cache(maxsize=1 << 20)
 def stable_hash64(s: str) -> int:
     """Process-stable 64-bit hash of a string: first 16 hex chars of md5.
 
     Deterministic across processes (unlike builtin ``hash``) and
     reproducible in SQL — DuckDB: ``('0x' || substr(md5(s),1,16))::UBIGINT``
-    — so every fingerprint built on it is oracle-checkable."""
+    — so every fingerprint built on it is oracle-checkable.
+
+    LRU-cached: real corpora (and boilerplate-heavy web text especially)
+    reuse shingles massively, so the md5 cost is paid once per distinct
+    shingle per executor, not once per occurrence."""
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16)
 
 
+@lru_cache(maxsize=1 << 20)
 def stable_hash60(s: str) -> int:
     """Top 60 bits of md5 (15 hex chars): always fits a signed int64, so
     products with 31-bit permutation constants stay below 2^63 in every
-    engine.  DuckDB: ``('0x' || substr(md5(s),1,15))::UBIGINT``."""
+    engine.  DuckDB: ``('0x' || substr(md5(s),1,15))::UBIGINT``.  Cached
+    like :func:`stable_hash64`."""
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
 
 
