@@ -146,6 +146,88 @@ def extract_documents(pages: DataFrame, cfg: ExtractConfig = ExtractConfig()) ->
     return keyed.mapInPandas(extract_batches, DOCUMENTS_SCHEMA)
 
 
+def extract_documents_arrow(
+    pages: DataFrame, cfg: ExtractConfig = ExtractConfig()
+) -> DataFrame:
+    """``extract_documents`` via ``mapInArrow`` — the pyarrow-level variant.
+
+    Skips pandas on BOTH sides of the boundary: inputs come out of the
+    Arrow RecordBatch as plain python lists (`to_pylist`, cheaper than
+    Series construction for string/binary columns), the repeated
+    ``warc_ts``/``bucket`` columns are gathered with ``pyarrow.compute.take``
+    (no python datetime objects ever materialize), and the output batch is
+    built directly with ``pa.array``.
+
+    MEASURED (tools/bench_extract_variants.py, 200k pages, local[32],
+    interleaved best-of-3): 52.5k docs/s vs the pandas path's 55.5k —
+    0.95×.  The columnar-dict pandas path already avoids the Series
+    overhead this variant targets, and `to_pylist` pays what pandas'
+    `.values` iteration paid.  Kept (tested byte-identical) as the
+    integration point for a future zero-copy kernel; the pandas path stays
+    the default."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    max_len, overlap, min_chars, split_doc = (
+        cfg.max_len,
+        cfg.overlap,
+        cfg.min_chars,
+        cfg.split_doc,
+    )
+
+    def extract_batches(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            urls = batch.column(0).to_pylist()  # url
+            ts_col = batch.column(1)  # warc_ts: stays Arrow end to end
+            payloads = batch.column(2).to_pylist()  # html
+            bucket_col = batch.column(3)
+            src_idx: list = []  # input row index per OUTPUT row
+            c_url, c_doc_id, c_idx, c_content = [], [], [], []
+            c_start, c_end, c_link, c_np, c_err = [], [], [], [], []
+            for i, (url, payload) in enumerate(zip(urls, payloads)):
+                for row in extract_page(
+                    url,
+                    payload,
+                    max_len=max_len,
+                    overlap=overlap,
+                    min_chars=min_chars,
+                    split_doc=split_doc,
+                ):
+                    src_idx.append(i)
+                    c_url.append(row.url)
+                    c_doc_id.append(row.doc_id)
+                    c_idx.append(row.passage_idx)
+                    c_content.append(row.content)
+                    c_start.append(row.char_start)
+                    c_end.append(row.char_end)
+                    c_link.append(row.link)
+                    c_np.append(row.n_passages)
+                    c_err.append(row.error)
+            idx = pa.array(src_idx, type=pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(c_url, type=pa.string()),
+                    pc.take(ts_col, idx),
+                    pc.take(bucket_col, idx),
+                    pa.array(c_doc_id, type=pa.string()),
+                    pa.array(c_idx, type=pa.int32()),
+                    pa.array(c_content, type=pa.string()),
+                    pa.array(c_start, type=pa.int64()),
+                    pa.array(c_end, type=pa.int64()),
+                    pa.array(c_link, type=pa.string()),
+                    pa.array(c_np, type=pa.int32()),
+                    pa.array(c_err, type=pa.string()),
+                ],
+                names=[
+                    "url", "warc_ts", "bucket", "doc_id", "passage_idx", "content",
+                    "char_start", "char_end", "link", "n_passages", "error",
+                ],
+            )
+
+    keyed = with_bucket(pages, cfg.n_buckets).select("url", "warc_ts", "html", "bucket")
+    return keyed.mapInArrow(extract_batches, DOCUMENTS_SCHEMA)
+
+
 def with_bucket(pages: DataFrame, n_buckets: int) -> DataFrame:
     """Attach the resume/layout bucket: ``pmod(xxhash64(url), n_buckets)``.
 

@@ -113,3 +113,20 @@ def test_parallelism_invariance(spark):
         key=lambda t: (t[0], t[1] if t[1] is not None else -1),
     )
     assert rows_a == rows_b
+
+
+def test_arrow_variant_byte_identical(spark):
+    """extract_documents_arrow (mapInArrow) must emit exactly the rows of
+    the default mapInPandas path — it's the swap-in integration point."""
+    from document_automation_spark.operators.extract import (
+        ExtractConfig,
+        extract_documents,
+        extract_documents_arrow,
+    )
+    from document_automation_spark.sources.pages import pages_df
+
+    pages = pages_df(spark, 400)
+    cfg = ExtractConfig(n_buckets=8)
+    a = sorted(map(tuple, extract_documents(pages, cfg).collect()))
+    b = sorted(map(tuple, extract_documents_arrow(pages, cfg).collect()))
+    assert a == b
