@@ -55,12 +55,12 @@ def pca_project(X: np.ndarray, n_components: int) -> np.ndarray:
     return Xc @ Vt[:k].T
 
 
-def kmeans_labels(
+def kmeans_fit(
     X: np.ndarray, k: int, seed: int = DEFAULT_SEED, max_iter: int = _KMEANS_MAX_ITER
-) -> np.ndarray:
-    """Seeded deterministic k-means++ + Lloyd iterations → labels.
+) -> tuple:
+    """Seeded deterministic k-means++ + Lloyd iterations → (centers, labels).
 
-    Determinism contract: same (X, k, seed) → same labels on every process
+    Determinism contract: same (X, k, seed) → same result on every process
     (numpy Generator streams are versioned/stable; argmin resolves ties to
     the lowest index; empty clusters keep their previous center)."""
     n = X.shape[0]
@@ -87,7 +87,14 @@ def kmeans_labels(
         if np.array_equal(new_centers, centers):
             break
         centers = new_centers
-    return labels
+    return centers, labels
+
+
+def kmeans_labels(
+    X: np.ndarray, k: int, seed: int = DEFAULT_SEED, max_iter: int = _KMEANS_MAX_ITER
+) -> np.ndarray:
+    """Labels-only convenience wrapper over :func:`kmeans_fit`."""
+    return kmeans_fit(X, k, seed=seed, max_iter=max_iter)[1]
 
 
 def n_clusters_for(lines: List[str], passage_len: Optional[int]) -> int:

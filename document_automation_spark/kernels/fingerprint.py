@@ -15,7 +15,7 @@ container's SQL oracle engine (DuckDB) can recompute — which turns MinHash
 signatures, LSH candidate pairs, SimHash fingerprints and the whole
 near-dup pipeline into *driver-checkable* queries instead of trust-me
 Python.  At 100 TB, if verification is handled elsewhere, swap
-``_shingle_hash60/_shingle_hash64`` for crc32/xxhash — every downstream
+``stable_hash60/stable_hash64`` for crc32/xxhash — every downstream
 contract (permutation math, banding, Hamming buckets) is hash-agnostic.
 """
 
@@ -84,7 +84,8 @@ def minhash_signature(text: str, num_perm: int = 32, k: int = 5, seed: int = 42)
     Fully numpy-vectorized: with the permutation field at p = 2^31-1,
     every product ``a·h + b`` stays below 2^63, so the whole
     (num_perm × n_shingles) sweep runs as native uint64 ops — ~50× the
-    scalar loop.  The shingle base hash is CRC32 (C-speed, process-stable).
+    scalar loop.  The shingle base hash is md5-top-60-bits (cached,
+    SQL-reproducible — see module docstring).
     """
     key = (num_perm, seed)
     if key not in _PERM_CACHE:

@@ -1,0 +1,131 @@
+"""IVF (inverted-file) approximate nearest neighbour — the centroid-
+partitioned scale path the task brief names alongside LSH bucketing.
+
+FAISS's IVF design (the reference's index type, gen-sods-doc-image-ray.py's
+FAISSDocumentStore) re-expressed relationally:
+
+* **train**: deterministic seeded k-means (kernels/cluster.kmeans_fit) on a
+  bounded sample of corpus vectors — the standard IVF recipe (training set
+  ≪ corpus), so the driver holds O(n_centroids × sample_per_centroid)
+  vectors, never the corpus;
+* **assign**: every corpus vector gets its nearest-centroid bucket via one
+  Arrow-batched numpy argmin — a narrow map, no shuffle;
+* **probe**: each query expands to its ``n_probe`` nearest centroids and
+  the search becomes an EQUI-JOIN on bucket id (exactly like the LSH path:
+  candidate generation by join key, never a cross join), followed by exact
+  cosine + top-k inside the probed buckets.
+
+Recall/latency trade: n_probe = n_centroids degenerates to exact search
+(pinned by test); smaller n_probe scans fewer buckets.  At 100 TB the
+assigned table is written bucket-partitioned once and every query run
+prunes to its probed buckets at the parquet scan.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from document_automation_spark.kernels.cluster import kmeans_fit
+from document_automation_spark.operators.similarity import cosine_col
+
+
+def train_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    sample_size: int = 4096,
+    seed: int = 42,
+) -> np.ndarray:
+    """(n_centroids, dim) float64 centroid matrix from a deterministic
+    sample (lowest vec_ids — stable across runs and partitionings)."""
+    rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    centers, _ = kmeans_fit(X, n_centroids, seed=seed)
+    return centers
+
+
+def assign_buckets(
+    embeddings: DataFrame,
+    centers: np.ndarray,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """+bucket column = nearest centroid (L2), one numpy matmul per batch."""
+    spark = embeddings.sparkSession
+    b_centers = spark.sparkContext.broadcast(centers)
+    fields = embeddings.schema.fields
+    schema = T.StructType(list(fields) + [T.StructField("bucket", T.IntegerType())])
+    cols = [f.name for f in fields]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = b_centers.value  # (k, dim)
+        c2 = (C * C).sum(axis=1)  # |c|^2 per centroid
+        for batch in it:
+            if len(batch) == 0:
+                continue
+            X = np.array(list(batch[emb_col]), dtype=np.float64)  # (n, dim)
+            # argmin |x-c|^2 = argmin (|c|^2 - 2 x·c); |x|^2 is constant per row
+            d = c2[None, :] - 2.0 * (X @ C.T)
+            out = batch[cols].copy()
+            out["bucket"] = np.argmin(d, axis=1).astype(np.int32)
+            yield out
+
+    return embeddings.mapInPandas(batches, schema)
+
+
+def _probe_buckets(vec: List[float], centers: np.ndarray, n_probe: int) -> List[int]:
+    x = np.array(vec, dtype=np.float64)
+    d = ((centers - x[None, :]) ** 2).sum(axis=1)
+    return [int(i) for i in np.argsort(d, kind="stable")[:n_probe]]
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    sample_size: int = 4096,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k per query via IVF probing.
+
+    ``embeddings``: (vec_id, embedding); ``queries``: (query_vec_id,
+    query_embedding).  Returns (query_vec_id, vec_id, cosine, rank).
+    """
+    centers = train_centroids(embeddings, n_centroids, sample_size, seed)
+    assigned = assign_buckets(embeddings, centers)
+
+    probe_rows = [
+        (r.query_vec_id, r.query_embedding, _probe_buckets(r.query_embedding, centers, n_probe))
+        for r in queries.select("query_vec_id", "query_embedding").collect()
+    ]  # query side is small by contract (same as the LSH/brute-force paths)
+    spark = embeddings.sparkSession
+    qdf = spark.createDataFrame(
+        probe_rows, "query_vec_id long, query_embedding array<double>, buckets array<int>"
+    ).select("query_vec_id", "query_embedding", F.explode("buckets").alias("bucket"))
+
+    candidates = assigned.join(F.broadcast(qdf), "bucket")  # equi-join, no cross join
+    scored = candidates.select(
+        "query_vec_id",
+        "vec_id",
+        F.round(
+            cosine_col(F.col("query_embedding"), F.col("embedding")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_vec_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_vec_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
