@@ -1,39 +1,54 @@
-"""Deterministic minimal PDF text extraction for binary payloads.
+"""Deterministic PDF text + layout extraction for binary payloads.
 
 Fills the binary-payload decode slot (the reference decodes image bytes at
 /root/reference/src/gen-sods-doc-image-ray.py:76-83; our analogue pulls text
-operators out of PDF content streams).  Scope is deliberately narrow and
-fully deterministic:
+operators out of PDF content streams).  Deterministic, stdlib-only:
 
-* Only UNCOMPRESSED content streams are parsed: we scan ``BT ... ET`` text
-  objects for ``(string) Tj`` and ``[(a) -12 (b)] TJ`` show operators and
-  decode standard PDF string escapes.  This covers the synthetic fixture
-  PDFs (FIXTURES.md §1) end-to-end.
-* Anything else (FlateDecode streams, encrypted files, ...) raises
+* **Content streams**: both uncompressed and **FlateDecode** streams are
+  parsed (``zlib`` is stdlib — no external PDF library needed); each
+  ``<<dict>> stream … endstream`` block is located, decompressed when its
+  dict names ``/FlateDecode``, and scanned for ``BT … ET`` text objects.
+  Payloads with no stream framing fall back to a whole-buffer scan.
+* **Layout-aware line assembly**: show operators (``(s) Tj``,
+  ``[(a) -12 (b)] TJ``) APPEND to the current line; line-move operators
+  (``x y Td``, ``x y TD``, ``T*``, and ``Tm`` matrix sets) flush it — so
+  text split across multiple show ops on one baseline stays one line,
+  matching how real PDF generators emit justified text.
+* Encrypted files and other unsupported constructs raise
   ``PdfExtractError`` → the row is quarantined with an ``error`` column by
   the Spark kernel, never failing the task (parity with the broken-image
   tolerance at /root/reference/src/gen-sods-doc-image-ray.py:102-106).
 
-Real-world PDF layout parsing would plug in here behind the same function
-signature (bytes → lines); the heavy libraries are not in this container,
-so the deterministic parser doubles as the test double.
-
-Each ``Tj``/``TJ`` operator yields one line; lines then flow through the
-same strip → ad-filter → separator-free join pipeline as HTML blocks.
+Lines then flow through the same strip → ad-filter → separator-free join
+pipeline as HTML blocks (kernels.textproc.join_clean_lines).
 """
 
 from __future__ import annotations
 
 import re
+import zlib
 from typing import List
 
 from document_automation_spark.kernels.textproc import join_clean_lines
 
 PDF_MAGIC = b"%PDF-"
 
+_STREAM_BLOCK = re.compile(
+    rb"<<(?P<dict>(?:[^<>]|<<(?:[^<>]|<<[^<>]*>>)*>>)*)>>\s*stream\r?\n"
+    rb"(?P<data>.*?)\r?\nendstream",
+    re.DOTALL,
+)
 _TEXT_OBJECT = re.compile(rb"BT(.*?)ET", re.DOTALL)
-# (string) Tj  |  [(a) -12 (b)] TJ — strings with balanced escapes.
-_SHOW_OP = re.compile(rb"\((?P<s>(?:[^()\\]|\\.)*)\)\s*Tj|\[(?P<arr>(?:[^\]\\]|\\.)*)\]\s*TJ", re.DOTALL)
+# one token stream: show ops AND line-move ops, in document order
+_NUM = rb"-?\d+(?:\.\d+)?"
+_TOKEN = re.compile(
+    rb"\((?P<s>(?:[^()\\]|\\.)*)\)\s*Tj"  # (string) Tj
+    rb"|\[(?P<arr>(?:[^\]\\]|\\.)*)\]\s*TJ"  # [(a) -12 (b)] TJ
+    rb"|(?P<move>" + _NUM + rb"\s+" + _NUM + rb"\s+T[dD]"  # x y Td / TD
+    rb"|T\*"  # next line
+    rb"|(?:" + _NUM + rb"\s+){6}Tm)",  # text matrix reset
+    re.DOTALL,
+)
 _ARRAY_STRING = re.compile(rb"\((?P<s>(?:[^()\\]|\\.)*)\)", re.DOTALL)
 
 _ESCAPES = {
@@ -49,7 +64,7 @@ _ESCAPES = {
 
 
 class PdfExtractError(ValueError):
-    """Payload is not a parseable (uncompressed) PDF."""
+    """Payload is not a parseable PDF."""
 
 
 def looks_like_pdf(payload: bytes) -> bool:
@@ -82,21 +97,59 @@ def _decode_pdf_string(raw: bytes) -> str:
     return out.decode("utf-8", errors="replace")
 
 
+def _content_chunks(payload: bytes) -> List[bytes]:
+    """Every content stream, FlateDecode-decompressed where declared.
+
+    No stream framing at all → the whole buffer (minimal/fixture PDFs)."""
+    chunks: List[bytes] = []
+    for m in _STREAM_BLOCK.finditer(payload):
+        data = m.group("data")
+        if b"FlateDecode" in m.group("dict"):
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as err:
+                raise PdfExtractError(f"bad FlateDecode stream: {err}") from err
+        chunks.append(data)
+    return chunks or [payload]
+
+
+def _lines_from_text_object(body: bytes) -> List[str]:
+    """Show ops accumulate onto the current baseline; move ops flush it."""
+    lines: List[str] = []
+    current: List[str] = []
+
+    def flush() -> None:
+        if current:
+            lines.append("".join(current))
+            current.clear()
+
+    for tok in _TOKEN.finditer(body):
+        if tok.group("move") is not None:
+            flush()
+        elif tok.group("s") is not None:
+            current.append(_decode_pdf_string(tok.group("s")))
+        else:
+            current.append(
+                "".join(
+                    _decode_pdf_string(m.group("s"))
+                    for m in _ARRAY_STRING.finditer(tok.group("arr"))
+                )
+            )
+    flush()
+    return lines
+
+
 def extract_text_pdf(payload: bytes) -> str:
     """PDF bytes → extracted text through the deterministic line pipeline."""
     if not looks_like_pdf(payload):
         raise PdfExtractError("missing %PDF- magic")
-    if b"FlateDecode" in payload or b"/Encrypt" in payload:
-        raise PdfExtractError("compressed or encrypted PDF not supported")
+    if b"/Encrypt" in payload:
+        raise PdfExtractError("encrypted PDF not supported")
 
     lines: List[str] = []
-    for text_obj in _TEXT_OBJECT.finditer(payload):
-        for op in _SHOW_OP.finditer(text_obj.group(1)):
-            if op.group("s") is not None:
-                lines.append(_decode_pdf_string(op.group("s")))
-            else:
-                parts = [_decode_pdf_string(m.group("s")) for m in _ARRAY_STRING.finditer(op.group("arr"))]
-                lines.append("".join(parts))
+    for chunk in _content_chunks(payload):
+        for text_obj in _TEXT_OBJECT.finditer(chunk):
+            lines.extend(_lines_from_text_object(text_obj.group(1)))
     if not lines:
         raise PdfExtractError("no text operators found")
     return join_clean_lines(lines)

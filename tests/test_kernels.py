@@ -247,13 +247,43 @@ class TestFastHtmlParity:
 
 # ---------------------------------------------------------------- pdf
 class TestPdfExtract:
-    def test_tj_extraction(self):
+    def test_tj_same_baseline_joins(self):
+        # two show ops with NO line move between them = one baseline = one
+        # line (justified-text emission pattern of real PDF generators)
         pdf = b"%PDF-1.4\nBT (hello ) Tj (world) Tj ET\n%%EOF"
-        assert extract_text_pdf(pdf) == "helloworld"
+        assert extract_text_pdf(pdf) == "hello world"
+
+    def test_td_breaks_lines(self):
+        pdf = b"%PDF-1.4\nBT (hello ) Tj 0 -14 Td (world) Tj ET\n%%EOF"
+        assert extract_text_pdf(pdf) == "helloworld"  # separator-free join
+
+    def test_tstar_and_tm_break_lines(self):
+        pdf = b"%PDF-1.4\nBT (a) Tj T* (b) Tj 1 0 0 1 72 700 Tm (c) Tj ET"
+        assert extract_text_pdf(pdf) == "abc"
 
     def test_tj_array_extraction(self):
         pdf = b"%PDF-1.4\nBT [(he) -20 (llo)] TJ ET\n%%EOF"
         assert extract_text_pdf(pdf) == "hello"
+
+    def test_flate_decode_stream(self):
+        import zlib
+
+        content = b"BT (compressed ) Tj 0 -14 Td (payload text) Tj ET"
+        data = zlib.compress(content)
+        pdf = (
+            b"%PDF-1.4\n4 0 obj<</Length "
+            + str(len(data)).encode()
+            + b"/Filter/FlateDecode>>stream\n"
+            + data
+            + b"\nendstream endobj\n%%EOF"
+        )
+        assert extract_text_pdf(pdf) == "compressedpayload text"
+
+    def test_corrupt_flate_quarantines(self):
+        pdf = (b"%PDF-1.4\n4 0 obj<</Filter/FlateDecode>>stream\n"
+               b"\x00not-zlib\xff\nendstream endobj")
+        with pytest.raises(PdfExtractError, match="FlateDecode"):
+            extract_text_pdf(pdf)
 
     def test_escapes(self):
         pdf = rb"%PDF-1.4\nBT (a\(b\)c\\d) Tj ET"
