@@ -33,11 +33,11 @@ from document_automation_spark.kernels.textproc import join_clean_lines
 
 PDF_MAGIC = b"%PDF-"
 
-_STREAM_BLOCK = re.compile(
-    rb"<<(?P<dict>(?:[^<>]|<<(?:[^<>]|<<[^<>]*>>)*>>)*)>>\s*stream\r?\n"
-    rb"(?P<data>.*?)\r?\nendstream",
+_STREAM_START = re.compile(
+    rb"<<(?P<dict>(?:[^<>]|<<(?:[^<>]|<<[^<>]*>>)*>>)*)>>\s*stream(?:\r\n|\n)",
     re.DOTALL,
 )
+_LENGTH = re.compile(rb"/Length\s+(\d+)(?!\s+0\s+R)")
 _TEXT_OBJECT = re.compile(rb"BT(.*?)ET", re.DOTALL)
 # one token stream: show ops AND line-move ops, in document order
 _NUM = rb"-?\d+(?:\.\d+)?"
@@ -100,10 +100,31 @@ def _decode_pdf_string(raw: bytes) -> str:
 def _content_chunks(payload: bytes) -> List[bytes]:
     """Every content stream, FlateDecode-decompressed where declared.
 
-    No stream framing at all → the whole buffer (minimal/fixture PDFs)."""
+    Stream data is delimited by the dict's ``/Length`` when it is a direct
+    integer (the spec's framing — binary data may legally contain
+    ``endstream`` or end with ``\\r``, so byte-scanning alone is wrong);
+    only without a usable Length do we fall back to scanning for the
+    ``endstream`` keyword.  No stream framing at all → the whole buffer
+    (minimal/fixture PDFs)."""
     chunks: List[bytes] = []
-    for m in _STREAM_BLOCK.finditer(payload):
-        data = m.group("data")
+    for m in _STREAM_START.finditer(payload):
+        start = m.end()
+        lmatch = _LENGTH.search(m.group("dict"))
+        data = None
+        if lmatch is not None:
+            length = int(lmatch.group(1))
+            tail = payload[start + length : start + length + 16]
+            if tail.lstrip(b"\r\n ").startswith(b"endstream"):
+                data = payload[start : start + length]
+        if data is None:  # no direct /Length (or it didn't line up)
+            end = payload.find(b"endstream", start)
+            if end < 0:
+                continue
+            data = payload[start:end]
+            if data.endswith(b"\r\n"):
+                data = data[:-2]
+            elif data.endswith(b"\n") or data.endswith(b"\r"):
+                data = data[:-1]
         if b"FlateDecode" in m.group("dict"):
             try:
                 data = zlib.decompress(data)

@@ -94,3 +94,62 @@ class TestFastHtmlFuzzParity:
     def test_fast_equals_spec(self, fragments):
         html = "".join(fragments)
         assert extract_main_text_html_fast(html) == extract_main_text_html(html)
+
+
+class TestPdfProperties:
+    """Round-trip fuzz for the PDF kernel: any text we emit through a
+    synthesized content stream must come back through extract_text_pdf
+    exactly as join_clean_lines of the source lines — compressed or not."""
+
+    lines_strategy = st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_categories=("Cs", "Cc")),
+            min_size=0,
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    @staticmethod
+    def _pdf_escape(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    def _stream(self, lines):
+        shows = "\n".join(f"({self._pdf_escape(ln)}) Tj 0 -14 Td" for ln in lines)
+        return f"BT /F1 12 Tf 72 720 Td\n{shows}\nET".encode("utf-8")
+
+    @given(lines_strategy)
+    @settings(max_examples=150, deadline=None)
+    def test_uncompressed_roundtrip(self, lines):
+        from document_automation_spark.kernels.pdf_extract import PdfExtractError, extract_text_pdf
+
+        pdf = b"%PDF-1.4\n" + self._stream(lines) + b"\n%%EOF"
+        expected = join_clean_lines(lines)
+        try:
+            assert extract_text_pdf(pdf) == expected
+        except PdfExtractError:
+            # legal only when the ad-filter/strip pipeline leaves nothing
+            assert expected == "" or "stream" in str(pdf)
+
+    @given(lines_strategy)
+    @settings(max_examples=150, deadline=None)
+    def test_flate_roundtrip_matches_uncompressed(self, lines):
+        import zlib
+
+        from document_automation_spark.kernels.pdf_extract import PdfExtractError, extract_text_pdf
+
+        content = self._stream(lines)
+        data = zlib.compress(content)
+        pdf = (
+            b"%PDF-1.4\n4 0 obj<</Length "
+            + str(len(data)).encode()
+            + b"/Filter/FlateDecode>>stream\n"
+            + data
+            + b"\nendstream endobj\n%%EOF"
+        )
+        expected = join_clean_lines(lines)
+        try:
+            assert extract_text_pdf(pdf) == expected
+        except PdfExtractError:
+            assert expected == ""
