@@ -87,6 +87,24 @@ def streaming_user_totals(events_stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_dedup_pages(
+    pages_stream: DataFrame, watermark: str = "1 day"
+) -> DataFrame:
+    """Cross-micro-batch exact dedup — the continuous twin of
+    ``dedup.exact_dedup`` for a training-data ingest (re-crawled URLs and
+    mirror sites drop at the door).
+
+    Key = sha256 of the raw payload (8-byte-ish state per page instead of
+    the page itself); ``dropDuplicatesWithinWatermark`` bounds the dedup
+    state by the event-time watermark, so state size is O(pages per
+    watermark window), not O(corpus) — the property that keeps this
+    runnable forever at crawl scale."""
+    hashed = pages_stream.withColumn("content_hash", F.sha2(F.col("html"), 256))
+    return hashed.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
+
+
 def streaming_event_rollup(events_stream: DataFrame) -> DataFrame:
     """Watermarked tumbling-hour rollup per event type (late data ≤ 2h)."""
     return (

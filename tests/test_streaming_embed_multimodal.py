@@ -20,7 +20,7 @@ from document_automation_spark.operators.multimodal import (
     media_metadata,
     sniff_format,
 )
-from document_automation_spark.sources.pages import pages_df
+from document_automation_spark.sources.pages import PAGES_SCHEMA, pages_df
 from document_automation_spark.streaming.pipeline import (
     start_streaming_extraction,
     streaming_event_rollup,
@@ -264,3 +264,42 @@ class TestMediaFeatures:
         assert got["m1"].resize_w is not None and got["m1"].frame_offsets[0] == 0
         assert abs(sum(got["m1"].features) - 1.0) < 1e-3
         assert got["m2"].error is not None
+
+
+class TestStreamingDedup:
+    def test_cross_batch_duplicates_dropped(self, spark, tmp_path):
+        """Two file drops with overlapping payloads: the second drop's
+        re-crawls must be suppressed by the cross-batch hash state."""
+        from document_automation_spark.streaming.pipeline import streaming_dedup_pages
+
+        input_dir = tmp_path / "pages_dedup_in"
+        input_dir.mkdir()
+        pages = pages_df(spark, 60, partitions=2).cache()
+        # drop 1: pages 0..39;  drop 2: pages 20..59 (20..39 are re-crawls)
+        pages.filter(F.col("url").rlike("/(\\d|[12]\\d|3\\d)\\.html$")).write.parquet(
+            str(input_dir / "drop1")
+        )
+        pages.filter(F.col("url").rlike("/([2-5]\\d)\\.html$")).write.parquet(
+            str(input_dir / "drop2")
+        )
+
+        stream = (
+            spark.readStream.schema(PAGES_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(input_dir / "*"))
+        )
+        deduped = streaming_dedup_pages(stream, watermark="30 days")
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dedup_out")
+            .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        got = spark.sql("SELECT content_hash, count(*) AS n FROM dedup_out GROUP BY 1")
+        assert got.filter(F.col("n") > 1).count() == 0  # no hash emitted twice
+        n_unique = pages.select(F.sha2(F.col("html"), 256)).distinct().count()
+        assert spark.sql("SELECT count(*) FROM dedup_out").first()[0] == n_unique
