@@ -104,6 +104,11 @@ def assign_dense_vector_ids(
     more than one partition — unlike ``Window.orderBy(order_col)``, which
     moves ALL rows to a single partition.  Requires ``order_col`` unique
     (doc ids are); ids equal ``row_number() OVER (ORDER BY order_col) - 1``.
+
+    The range-partitioned input stays persisted (the count job and the id
+    job must see the same partitioning); callers looping over incremental
+    batches should ``spark.catalog.clearCache()`` between rounds or write
+    the ids out and re-read — one cached copy per call otherwise.
     """
     spark = embedded.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism

@@ -31,21 +31,25 @@ MERSENNE_31 = (1 << 31) - 1  # permutation field: products fit in uint64
 _MAX_HASH = (1 << 31) - 2
 
 
-@lru_cache(maxsize=1 << 20)
+#: cache sizing: the cost is paid PER PYTHON WORKER (one per core, e.g. 32
+#: per node), so the bound must stay small — 2^17 entries ≈ 30-50 MB per
+#: worker worst-case on low-reuse text, while boilerplate-heavy web corpora
+#: still hit >90% (their shingle vocabulary is tiny relative to volume).
+_HASH_CACHE_SIZE = 1 << 17
+
+
+@lru_cache(maxsize=_HASH_CACHE_SIZE)
 def stable_hash64(s: str) -> int:
     """Process-stable 64-bit hash of a string: first 16 hex chars of md5.
 
     Deterministic across processes (unlike builtin ``hash``) and
     reproducible in SQL — DuckDB: ``('0x' || substr(md5(s),1,16))::UBIGINT``
-    — so every fingerprint built on it is oracle-checkable.
-
-    LRU-cached: real corpora (and boilerplate-heavy web text especially)
-    reuse shingles massively, so the md5 cost is paid once per distinct
-    shingle per executor, not once per occurrence."""
+    — so every fingerprint built on it is oracle-checkable.  LRU-cached so
+    repeated (boilerplate) shingles pay md5 once per worker."""
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16)
 
 
-@lru_cache(maxsize=1 << 20)
+@lru_cache(maxsize=_HASH_CACHE_SIZE)
 def stable_hash60(s: str) -> int:
     """Top 60 bits of md5 (15 hex chars): always fits a signed int64, so
     products with 31-bit permutation constants stay below 2^63 in every

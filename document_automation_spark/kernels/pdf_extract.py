@@ -37,10 +37,15 @@ _STREAM_START = re.compile(
     rb"<<(?P<dict>(?:[^<>]|<<(?:[^<>]|<<[^<>]*>>)*>>)*)>>\s*stream(?:\r\n|\n)",
     re.DOTALL,
 )
-_LENGTH = re.compile(rb"/Length\s+(\d+)(?!\s+0\s+R)")
+# direct /Length only: (?!\d) pins the full digit run (no backtracking into
+# the lookahead), (?!\s+\d+\s+R) rejects indirect references of ANY
+# generation number ('/Length 30 0 R' must not parse as length 3)
+_LENGTH = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 _TEXT_OBJECT = re.compile(rb"BT(.*?)ET", re.DOTALL)
-# one token stream: show ops AND line-move ops, in document order
-_NUM = rb"-?\d+(?:\.\d+)?"
+# one token stream: show ops AND line-move ops, in document order.
+# PDF reals allow leading/trailing-dot forms ('.5', '5.', '-.5') — all
+# must count as move operands or distinct baselines merge silently.
+_NUM = rb"[-+]?(?:\d+\.?\d*|\.\d+)"
 _TOKEN = re.compile(
     rb"\((?P<s>(?:[^()\\]|\\.)*)\)\s*Tj"  # (string) Tj
     rb"|\[(?P<arr>(?:[^\]\\]|\\.)*)\]\s*TJ"  # [(a) -12 (b)] TJ
@@ -104,9 +109,12 @@ def _content_chunks(payload: bytes) -> List[bytes]:
     integer (the spec's framing — binary data may legally contain
     ``endstream`` or end with ``\\r``, so byte-scanning alone is wrong);
     only without a usable Length do we fall back to scanning for the
-    ``endstream`` keyword.  No stream framing at all → the whole buffer
-    (minimal/fixture PDFs)."""
+    ``endstream`` keyword.  Bytes OUTSIDE every stream are scanned too
+    (minimal/fixture PDFs put BT…ET at top level; mixed payloads must not
+    lose it), so with no stream framing at all the whole buffer is the one
+    chunk."""
     chunks: List[bytes] = []
+    spans: List[tuple] = []  # (start, end) of each consumed stream body
     for m in _STREAM_START.finditer(payload):
         start = m.end()
         lmatch = _LENGTH.search(m.group("dict"))
@@ -116,11 +124,15 @@ def _content_chunks(payload: bytes) -> List[bytes]:
             tail = payload[start + length : start + length + 16]
             if tail.lstrip(b"\r\n ").startswith(b"endstream"):
                 data = payload[start : start + length]
-        if data is None:  # no direct /Length (or it didn't line up)
+        data_end = None
+        if data is not None:
+            data_end = start + len(data)
+        else:  # no direct /Length (or it didn't line up)
             end = payload.find(b"endstream", start)
             if end < 0:
                 continue
             data = payload[start:end]
+            data_end = end
             if data.endswith(b"\r\n"):
                 data = data[:-2]
             elif data.endswith(b"\n") or data.endswith(b"\r"):
@@ -131,7 +143,18 @@ def _content_chunks(payload: bytes) -> List[bytes]:
             except zlib.error as err:
                 raise PdfExtractError(f"bad FlateDecode stream: {err}") from err
         chunks.append(data)
-    return chunks or [payload]
+        spans.append((m.start(), data_end))
+    if not chunks:
+        return [payload]
+    # everything between/around streams (object dicts, top-level BT…ET)
+    outside = bytearray()
+    prev = 0
+    for s, e in spans:
+        outside += payload[prev:s]
+        prev = e
+    outside += payload[prev:]
+    chunks.append(bytes(outside))
+    return chunks
 
 
 def _lines_from_text_object(body: bytes) -> List[str]:

@@ -25,11 +25,30 @@ are broadcast always.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 K1 = 1.2
 B = 0.75
+
+
+@dataclass
+class Bm25Index:
+    """The persisted postings-side state: build once, score many queries.
+
+    ``tf`` is persisted (three scoring-plan branches read it); call
+    :meth:`unpersist` when the index is retired — per-query scoring never
+    creates additional cached state."""
+
+    tf: DataFrame  # (doc_id, term, tf)
+    doclen: DataFrame  # (doc_id, dl)
+    idf: DataFrame  # (term, idf)
+    stats: DataFrame  # 1 row: (avgdl)
+
+    def unpersist(self) -> None:
+        self.tf.unpersist()
 
 
 def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -39,22 +58,14 @@ def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).filter(F.col("term") != "")
 
 
-def bm25_scores(
-    documents: DataFrame,
-    query_terms: DataFrame,
-    k1: float = K1,
-    b: float = B,
-) -> DataFrame:
-    """BM25 score per (query_id, doc_id).
+def build_bm25_index(documents: DataFrame) -> Bm25Index:
+    """Tokenize + aggregate the corpus side ONCE.
 
-    ``documents``: (doc_id, text); ``query_terms``: (query_id, term).
-    Returns (query_id, doc_id, bm25:double) for docs matching ≥1 term.
-    """
-    # Single tokenize pass: tf is the only child of the token stream; doclen
-    # and df are both derived FROM tf (dl = Σ tf per doc, df = postings per
-    # term), so the corpus is scanned and tokenized exactly once.  tf is
-    # persisted because three plan branches (scoring join, df, doclen) would
-    # otherwise each recompute the tokenize+shuffle.
+    Single tokenize pass: tf is the only child of the token stream; doclen
+    and df are both derived FROM tf (dl = Σ tf per doc, df = postings per
+    term), so the corpus is scanned and tokenized exactly once.  tf is
+    persisted because three plan branches (scoring join, df, doclen) would
+    otherwise each recompute the tokenize+shuffle."""
     tokens = tokenize(documents.select("doc_id", "text"))
     tf = (
         tokens.groupBy("doc_id", "term")
@@ -75,13 +86,23 @@ def bm25_scores(
     # avgdl stays IN the plan as a broadcast 1-row aggregate (no .collect()
     # barrier, no re-run of the tokenize lineage)
     stats = doclen.agg(F.avg("dl").alias("avgdl"))
+    return Bm25Index(tf=tf, doclen=doclen, idf=idf, stats=stats)
 
+
+def bm25_scores_from_index(
+    index: Bm25Index,
+    query_terms: DataFrame,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Score (query_id, term) pairs against a prebuilt index — zero new
+    cached state per call, so a serving loop can run queries indefinitely."""
     # vocabulary + query side are small → broadcast both into the postings
     matched = (
-        tf.join(F.broadcast(query_terms), "term")
-        .join(F.broadcast(idf), "term")
-        .join(doclen, "doc_id")
-        .join(F.broadcast(stats))
+        index.tf.join(F.broadcast(query_terms), "term")
+        .join(F.broadcast(index.idf), "term")
+        .join(index.doclen, "doc_id")
+        .join(F.broadcast(index.stats))
     )
 
     term_score = F.col("idf") * (
@@ -93,6 +114,23 @@ def bm25_scores(
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum("term_score"), 6).alias("bm25"))
     )
+
+
+def bm25_scores(
+    documents: DataFrame,
+    query_terms: DataFrame,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """BM25 score per (query_id, doc_id) — one-shot convenience.
+
+    ``documents``: (doc_id, text); ``query_terms``: (query_id, term).
+    Returns (query_id, doc_id, bm25:double) for docs matching ≥1 term.
+    NOTE: builds (and leaves persisted) a fresh index per call; callers
+    issuing MANY queries against one corpus should ``build_bm25_index``
+    once and use ``bm25_scores_from_index`` (see serving/retrieval.py).
+    """
+    return bm25_scores_from_index(build_bm25_index(documents), query_terms, k1=k1, b=b)
 
 
 def bm25_topk(

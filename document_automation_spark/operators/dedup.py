@@ -122,8 +122,14 @@ def minhash_lsh_candidates(
     # persist: the self-join references the banded table twice and the
     # signature computation is the expensive part — without this Spark
     # recomputes every MinHash on both sides of the join.
+    # Empty-text docs are excluded: their sentinel signatures would make
+    # every empty pair a mutual candidate (they're EXACT dups — that's
+    # exact_dedup's job), and the SQL oracle twin excludes them likewise.
     banded = (
-        documents.select("doc_id", "text").mapInPandas(band_batches, schema).persist()
+        documents.select("doc_id", "text")
+        .filter(F.length("text") > 0)
+        .mapInPandas(band_batches, schema)
+        .persist()
     )
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -137,7 +143,7 @@ def minhash_lsh_candidates(
     )
 
 
-def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+def connected_components(edges: DataFrame, max_iterations: int = 30) -> DataFrame:
     """Connected components over undirected (doc_a, doc_b) edges →
     (doc_id, component) where component = min doc_id of the component.
 
@@ -147,7 +153,10 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
     bounded by the graph diameter — near-dup components are overwhelmingly
     tiny cliques/chains, so a handful of joins suffices; each iteration is
     one shuffle on doc_id.  ``localCheckpoint`` truncates the lineage so
-    plans don't grow exponentially across iterations."""
+    plans don't grow exponentially across iterations.  Raises
+    ``RuntimeError`` if a fixed point was NOT reached within
+    ``max_iterations`` — silently-partial components would violate the
+    transitive-closure contract downstream dedup relies on."""
     sym = edges.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
         edges.selectExpr("doc_b AS src", "doc_a AS dst")
     )
@@ -156,6 +165,7 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
         .distinct()
         .withColumn("component", F.col("doc_id"))
     )
+    converged = False
     for _ in range(max_iterations):
         neighbour_min = (
             sym.join(labels, sym["dst"] == labels["doc_id"])
@@ -181,7 +191,13 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
         )
         labels = updated
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} iterations "
+            "(component diameter exceeds the bound) — raise max_iterations"
+        )
     return labels
 
 

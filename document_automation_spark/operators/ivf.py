@@ -49,6 +49,8 @@ def train_centroids(
         .limit(sample_size)
         .collect()
     )
+    if not rows:
+        raise ValueError("cannot train IVF centroids on an empty embeddings table")
     X = np.array([r.embedding for r in rows], dtype=np.float64)
     centers, _ = kmeans_fit(X, n_centroids, seed=seed)
     return centers

@@ -25,7 +25,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from document_automation_spark.functions.embed import embed_documents
-from document_automation_spark.operators.bm25 import bm25_scores
+from document_automation_spark.operators.bm25 import (
+    Bm25Index,
+    bm25_scores_from_index,
+    build_bm25_index,
+)
 from document_automation_spark.operators.rerank import maxsim_rerank
 from document_automation_spark.operators.similarity import cosine_col
 
@@ -34,16 +38,20 @@ DENSE_WEIGHT = 1.5  # reference ensemble weight (scripts/run_retrieval_eval.sh)
 
 @dataclass
 class RetrievalState:
-    """Reusable corpus-side state (persist once, query many times)."""
+    """Reusable corpus-side state (persist once, query many times).
+
+    Holding the BM25 index here (not rebuilding per query) is what makes
+    ``retrieve`` leak-free: repeated calls add ZERO cached state."""
 
     documents: DataFrame  # (doc_id, text)
     embedded: DataFrame  # (doc_id, embedding)
+    bm25: Bm25Index
 
 
 def build_retrieval_state(documents: DataFrame) -> RetrievalState:
     docs = documents.select("doc_id", "text").persist()
     emb = embed_documents(docs).persist()
-    return RetrievalState(documents=docs, embedded=emb)
+    return RetrievalState(documents=docs, embedded=emb, bm25=build_bm25_index(docs))
 
 
 def _query_df(spark: SparkSession, query_text: str) -> DataFrame:
@@ -81,7 +89,7 @@ def retrieve(
     sparse: Optional[DataFrame] = None
     dense: Optional[DataFrame] = None
     if method in ("bm25", "ensemble"):
-        sparse = bm25_scores(state.documents, _query_terms(queries))
+        sparse = bm25_scores_from_index(state.bm25, _query_terms(queries))
     if method in ("embedding", "ensemble"):
         q_emb = embed_documents(
             queries.select(F.col("query_id").alias("doc_id"), F.col("query_text").alias("text"))

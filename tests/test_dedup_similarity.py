@@ -248,3 +248,31 @@ class TestNearDupPipeline:
         # perms catches every J≥0.9 pair here → no misses either
         assert dropped == expected_dropped
         assert dropped, "testdata is known to contain near-dup pairs"
+
+
+class TestReviewRegressions:
+    def test_cc_raises_when_not_converged(self, spark):
+        from document_automation_spark.operators.dedup import connected_components
+
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(10)], "doc_a long, doc_b long"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(chain, max_iterations=3)
+        got = {r.doc_id: r.component
+               for r in connected_components(chain, max_iterations=15).collect()}
+        assert set(got.values()) == {0}
+
+    def test_empty_docs_produce_no_lsh_candidates(self, spark):
+        docs = spark.createDataFrame(
+            [(1, ""), (2, ""), (3, "real text content here " * 20)],
+            "doc_id long, text string",
+        )
+        assert minhash_lsh_candidates(docs).count() == 0
+
+    def test_ivf_empty_table_raises_clearly(self, spark):
+        from document_automation_spark.operators.ivf import train_centroids
+
+        empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError, match="empty embeddings table"):
+            train_centroids(empty)

@@ -394,3 +394,34 @@ class TestTextStats:
         assert q["stopword_ratio"] > 0
         short = quality_score("tiny")
         assert short["quality"] < q["quality"]
+
+
+class TestPdfReviewRegressions:
+    """Pinned fixes from the round-2 adversarial review."""
+
+    def test_leading_dot_reals_are_move_operands(self):
+        pdf = b"%PDF-1.4\nBT (a) Tj 1 0 0 1 72 .5 Tm (b) Tj 0 -.5 Td (c) Tj ET"
+        # .5 / -.5 reals must flush baselines: three lines, not one
+        assert extract_text_pdf(pdf) == "abc"
+
+    def test_indirect_length_not_misparsed(self):
+        import re as _re
+        from document_automation_spark.kernels.pdf_extract import _LENGTH
+
+        # backtracking must not shrink '/Length 30 0 R' into length 3
+        assert _LENGTH.search(b"/Length 30 0 R") is None
+        assert _LENGTH.search(b"/Length 8 2 R") is None  # any generation nr
+        assert int(_LENGTH.search(b"/Length 30>>").group(1)) == 30
+
+    def test_text_outside_streams_still_extracted(self):
+        import zlib
+
+        data = zlib.compress(b"BT (in-stream ) Tj ET")
+        pdf = (
+            b"%PDF-1.4\n4 0 obj<</Length "
+            + str(len(data)).encode()
+            + b"/Filter/FlateDecode>>stream\n"
+            + data
+            + b"\nendstream endobj\nBT (top-level) Tj ET\n%%EOF"
+        )
+        assert extract_text_pdf(pdf) == "in-streamtop-level"
