@@ -276,6 +276,63 @@ def simhash_fingerprints(documents: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def simhash_near_dup_pairs(
+    documents: DataFrame, max_hamming: int = 3, k: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance — banded multi-probe.
+
+    Pigeonhole construction: split the 64-bit fingerprint into ``n_bands``
+    bit-bands; any pair with Hamming ≤ ``max_hamming`` < n_bands must agree
+    on at least one whole band, so candidates form ONLY inside band-value
+    buckets (an equi-join on (band, bits) — no all-pairs).  Candidates are
+    then verified with the exact popcount, entirely JVM-side
+    (``bit_count(a ^ b)``): zero Python in the pair path.
+
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError("pigeonhole needs max_hamming < n_bands")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    fps = simhash_fingerprints(documents, k=k)
+    banded = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bits"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bits").persist()
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame, n: int = 3, threshold: float = 0.8
 ) -> DataFrame:

@@ -276,3 +276,34 @@ class TestReviewRegressions:
         empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
         with pytest.raises(ValueError, match="empty embeddings table"):
             train_centroids(empty)
+
+
+class TestSimhashNearDup:
+    def test_matches_bruteforce_hamming(self, spark, sf_dir):
+        from document_automation_spark.kernels.fingerprint import hamming64
+        from document_automation_spark.operators.dedup import simhash_near_dup_pairs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+        got = {
+            (r.doc_a, r.doc_b): r.hamming
+            for r in simhash_near_dup_pairs(docs, max_hamming=3).collect()
+        }
+        fps = {}
+        for r in docs.collect():
+            raw = simhash64(r.text, k=3)
+            fps[r.doc_id] = raw
+        expected = {}
+        ids = sorted(fps)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                h = hamming64(fps[a], fps[b])
+                if h <= 3:
+                    expected[(a, b)] = h
+        assert got == expected  # banded multi-probe is EXACT for h<=bands-1
+
+    def test_pigeonhole_guard(self, spark, sf_dir):
+        from document_automation_spark.operators.dedup import simhash_near_dup_pairs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+        with pytest.raises(ValueError, match="pigeonhole"):
+            simhash_near_dup_pairs(docs, max_hamming=4, n_bands=4)
