@@ -61,3 +61,40 @@ def test_extract_dedup_embed_retrieve(spark, passages):
     for q, row in top1.items():
         assert row.vec_id == q
         assert row.cosine == pytest.approx(1.0, abs=1e-5)
+
+
+def test_training_data_curation_stack(spark, passages):
+    """The task-brief curation pipeline as ONE composition:
+
+        extracted passages → quality gate → language ID → near-dup dedup
+        → token budget + fingerprint
+
+    Every stage is an operator under test elsewhere; this pins that they
+    compose on one lineage without schema/contract friction."""
+    from document_automation_spark.operators.dedup import near_dup_dedup
+    from document_automation_spark.operators.text_analysis import (
+        bpe_token_counts,
+        language_id_kernel,
+        quality_features,
+        rolling_fingerprint_col,
+    )
+
+    quality = quality_features(passages)
+    keep = quality.filter(F.col("quality") >= 0.5).select("doc_id")
+    gated = passages.join(keep, "doc_id")
+    n_gated = gated.count()
+    assert 0 < n_gated <= passages.count()
+
+    lang = language_id_kernel(gated)
+    assert lang.count() == n_gated
+    assert {r.detected_lang for r in lang.collect()} <= {"en", "de", "fr", "es", "zh", "ja", "ko", "ru", "und"}
+
+    deduped = near_dup_dedup(gated, jaccard_threshold=0.9)
+    n_unique = deduped.count()
+    assert 0 < n_unique <= n_gated
+
+    budget = bpe_token_counts(deduped).agg(F.sum("n_tokens_bpe")).first()[0]
+    assert budget > 0
+
+    fps = rolling_fingerprint_col(deduped)
+    assert fps.select("fingerprint").distinct().count() == n_unique  # no collisions here
