@@ -303,3 +303,21 @@ class TestStreamingDedup:
         assert got.filter(F.col("n") > 1).count() == 0  # no hash emitted twice
         n_unique = pages.select(F.sha2(F.col("html"), 256)).distinct().count()
         assert spark.sql("SELECT count(*) FROM dedup_out").first()[0] == n_unique
+
+
+class TestDenseIdInvariance:
+    def test_ids_invariant_to_partitioning(self, spark, sf_dir):
+        """Partition-offset id assignment must equal the global row_number
+        regardless of input partitioning or requested partition count."""
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        emb = embed_documents(docs)
+        expected = {
+            r.doc_id: i
+            for i, r in enumerate(sorted(emb.collect(), key=lambda r: r.doc_id))
+        }
+        for src, n in ((emb.coalesce(1), 1), (emb.repartition(16), 7), (emb, None)):
+            got = {
+                r.doc_id: r.vector_id
+                for r in assign_dense_vector_ids(src, num_partitions=n).collect()
+            }
+            assert got == expected, n
