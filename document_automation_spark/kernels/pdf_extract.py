@@ -114,8 +114,12 @@ def _content_chunks(payload: bytes) -> List[bytes]:
     lose it), so with no stream framing at all the whole buffer is the one
     chunk."""
     chunks: List[bytes] = []
-    spans: List[tuple] = []  # (start, end) of each consumed stream body
+    spans: List[tuple] = []  # (start, end) of each consumed stream region
+    consumed_until = 0  # guards against <<dict>>stream look-alikes INSIDE
+    # a stream body producing overlapping spans
     for m in _STREAM_START.finditer(payload):
+        if m.start() < consumed_until:
+            continue
         start = m.end()
         lmatch = _LENGTH.search(m.group("dict"))
         data = None
@@ -130,7 +134,11 @@ def _content_chunks(payload: bytes) -> List[bytes]:
         else:  # no direct /Length (or it didn't line up)
             end = payload.find(b"endstream", start)
             if end < 0:
-                continue
+                # unterminated (truncated) stream: its binary body must
+                # never be scanned as text — consume to end of payload
+                spans.append((m.start(), len(payload)))
+                consumed_until = len(payload)
+                break
             data = payload[start:end]
             data_end = end
             if data.endswith(b"\r\n"):
@@ -144,7 +152,8 @@ def _content_chunks(payload: bytes) -> List[bytes]:
                 raise PdfExtractError(f"bad FlateDecode stream: {err}") from err
         chunks.append(data)
         spans.append((m.start(), data_end))
-    if not chunks:
+        consumed_until = data_end
+    if not spans:
         return [payload]
     # everything between/around streams (object dicts, top-level BT…ET)
     outside = bytearray()

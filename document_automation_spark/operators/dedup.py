@@ -209,6 +209,7 @@ def near_dup_dedup(
     shingle_k: int = 5,
     seed: int = 42,
     canonicalize: str = "greedy",
+    cc_max_iterations: int = 30,
 ) -> DataFrame:
     """The production near-dup pipeline, end to end:
 
@@ -249,7 +250,9 @@ def near_dup_dedup(
         .filter(inter / union >= jaccard_threshold)
     )
     if canonicalize == "cc":
-        comps = connected_components(verified.select("doc_a", "doc_b"))
+        comps = connected_components(
+            verified.select("doc_a", "doc_b"), max_iterations=cc_max_iterations
+        )
         dropped = comps.filter(F.col("doc_id") != F.col("component")).select("doc_id")
         return documents.join(dropped, "doc_id", "left_anti")
     # greedy: doc_b > doc_a by construction → drop the higher id
@@ -289,24 +292,33 @@ def simhash_near_dup_pairs(
     (``bit_count(a ^ b)``): zero Python in the pair path.
 
     Returns (doc_a, doc_b, hamming) with doc_a < doc_b.
+
+    One-shot operator: the banded table stays persisted for the self-join;
+    loop callers should compute fingerprints once and bucket externally
+    (or ``spark.catalog.clearCache()`` between rounds).
     """
     if max_hamming >= n_bands:
         raise ValueError("pigeonhole needs max_hamming < n_bands")
     width = 64 // n_bands
-    mask = (1 << width) - 1
-    fps = simhash_fingerprints(documents, k=k)
+
+    def band_bits(b: int):
+        shifted = F.shiftright("simhash", b * width)
+        if width >= 64:  # single band: the whole fingerprint, no mask
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
+    # empty text → sentinel fingerprint 0 for ALL of them: they are exact
+    # dups (exact_dedup's job), and would otherwise bucket-collide m² ways
+    fps = simhash_fingerprints(
+        documents.filter(F.col("text").isNotNull() & (F.length("text") > 0)), k=k
+    )
     banded = fps.select(
         "doc_id",
         "simhash",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright("simhash", b * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bits"),
-                    )
+                    F.struct(F.lit(b).alias("band"), band_bits(b).alias("bits"))
                     for b in range(n_bands)
                 ]
             )

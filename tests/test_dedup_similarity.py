@@ -307,3 +307,36 @@ class TestSimhashNearDup:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
         with pytest.raises(ValueError, match="pigeonhole"):
             simhash_near_dup_pairs(docs, max_hamming=4, n_bands=4)
+
+    def test_simhash_near_dup_skips_empty_and_null(self, spark):
+        from document_automation_spark.operators.dedup import simhash_near_dup_pairs
+
+        docs = spark.createDataFrame(
+            [(1, ""), (2, ""), (3, None), (4, "real words here " * 30)],
+            "doc_id long, text string",
+        )
+        assert simhash_near_dup_pairs(docs).count() == 0
+
+    def test_simhash_single_band_exact_match_mode(self, spark):
+        from document_automation_spark.operators.dedup import simhash_near_dup_pairs
+
+        docs = spark.createDataFrame(
+            [(1, "same text content " * 20), (2, "same text content " * 20),
+             (3, "completely different words " * 20)],
+            "doc_id long, text string",
+        )
+        got = {(r.doc_a, r.doc_b) for r in
+               simhash_near_dup_pairs(docs, max_hamming=0, n_bands=1).collect()}
+        assert got == {(1, 2)}
+
+    def test_cc_iterations_forwardable(self, spark):
+        from document_automation_spark.operators.dedup import near_dup_dedup
+
+        docs = spark.createDataFrame(
+            [(i, f"unique text nr {i} " * 20) for i in range(4)],
+            "doc_id long, text string",
+        ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("s")) \
+         .withColumn("n_chars", F.length("text"))
+        # no dups at all: cc path with tiny iteration budget must still work
+        out = near_dup_dedup(docs, canonicalize="cc", cc_max_iterations=2)
+        assert out.count() == 4

@@ -405,7 +405,6 @@ class TestPdfReviewRegressions:
         assert extract_text_pdf(pdf) == "abc"
 
     def test_indirect_length_not_misparsed(self):
-        import re as _re
         from document_automation_spark.kernels.pdf_extract import _LENGTH
 
         # backtracking must not shrink '/Length 30 0 R' into length 3
@@ -425,3 +424,14 @@ class TestPdfReviewRegressions:
             + b"\nendstream endobj\nBT (top-level) Tj ET\n%%EOF"
         )
         assert extract_text_pdf(pdf) == "in-streamtop-level"
+
+    def test_truncated_stream_body_never_scanned_as_text(self):
+        import zlib
+
+        data = zlib.compress(b"BT (ok) Tj ET")
+        good = (b"%PDF-1.4\n4 0 obj<</Length " + str(len(data)).encode()
+                + b"/Filter/FlateDecode>>stream\n" + data + b"\nendstream endobj\n")
+        # second stream: unusable Length, body truncated (no endstream) and
+        # containing BT..ET-looking binary — must NOT leak into the output
+        truncated = b"5 0 obj<</Length 9 0 R>>stream\nBT (garbage\xff\xfe) Tj ET"
+        assert extract_text_pdf(b"".join([good, truncated])) == "ok"
