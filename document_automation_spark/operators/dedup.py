@@ -26,7 +26,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -34,21 +34,31 @@ from pyspark.sql import types as T
 def exact_dedup(documents: DataFrame) -> DataFrame:
     """Keep the lowest-doc_id representative of each exact-text group.
 
-    ``min(doc_id) over (partition by text)`` picks the canonical row; at
-    scale, pre-hash the text so the shuffle key is 8 bytes.
+    Scale shape: the canonical-id aggregation groups on ``sha2(text, 256)``
+    — a 32-byte content key — so the wide text column never becomes a
+    shuffle/sort KEY (a partial-aggregated (hash → min id) map plus a
+    doc_id semi-join replaces the partition-by-text window).  sha256 makes
+    key collisions a non-event even at 10^12 documents (unlike 64-bit
+    hashes, whose birthday bound bites at that scale).
     """
-    w = Window.partitionBy("text")
-    return (
-        documents.withColumn("keep_id", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") == F.col("keep_id"))
-        .select("doc_id", "text", "lang", "source", "n_chars")
+    keep = (
+        documents.select("doc_id", F.sha2(F.col("text"), 256).alias("content_key"))
+        .groupBy("content_key")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return documents.join(keep, "doc_id", "left_semi").select(
+        "doc_id", "text", "lang", "source", "n_chars"
     )
 
 
 def duplicate_groups(documents: DataFrame) -> DataFrame:
-    """Exact-dup accounting: one row per text with >1 occurrence."""
+    """Exact-dup accounting: one row per content with >1 occurrence.
+
+    Same 32-byte content key as :func:`exact_dedup` — the count/min
+    aggregate never keys on the raw text."""
     return (
-        documents.groupBy("text")
+        documents.groupBy(F.sha2(F.col("text"), 256).alias("content_key"))
         .agg(
             F.count(F.lit(1)).alias("n_dups"),
             F.min("doc_id").alias("canonical_doc_id"),
