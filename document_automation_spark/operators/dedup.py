@@ -3,8 +3,8 @@
 Five strategies, each with the scale path spelled out:
 
 * **exact**          — hash-groupBy on content; one shuffle on a uniform
-  hash key.  At 100 TB: group on ``xxhash64(text)`` (8 bytes) instead of
-  the raw text so the shuffle moves hashes, not documents.
+  hash key.  Groups on ``sha2(text, 256)`` (32 bytes, collision-free at
+  any scale) so the raw text never becomes a shuffle/sort key.
 * **minhash_lsh**    — shingle → MinHash signature (Arrow-batched kernel)
   → band keys → explode → groupBy band key.  Candidate pairs only ever
   form WITHIN a band bucket, so the shuffle is bounded by bucket sizes
