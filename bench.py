@@ -87,7 +87,8 @@ def main() -> None:
     # -- operator headliners -------------------------------------------
     # The 5 heaviest queries run best-of-3 so round-to-round regressions
     # are attributable above the ±40% shared-host noise (BASELINE.md);
-    # the cheap ones run once (their noise is absolute-small).
+    # everything else runs best-of-2 — single draws of even 1-second
+    # queries spike 3-5× on this shared host and distort the total.
     BEST_OF_3 = {
         "ngram_jaccard_pairs",
         "embedding_near_dup",
@@ -118,7 +119,7 @@ def main() -> None:
     ]
     qs = registry.queries()
     for name in headliners:
-        reps = 3 if name in BEST_OF_3 else 1
+        reps = 3 if name in BEST_OF_3 else 2
         best = float("inf")
         for _ in range(reps):
             t0 = time.time()
