@@ -105,6 +105,78 @@ def streaming_dedup_pages(
     )
 
 
+def streaming_lsh_candidates(
+    docs_stream: DataFrame,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Cross-micro-batch MinHash-LSH candidate pairs — the streaming twin
+    of ``dedup.minhash_lsh_candidates``.
+
+    Batch LSH self-joins the banded table; a stream can't (the matching
+    doc may have arrived an hour ago).  Instead each band bucket keeps its
+    member docs as STATE (``applyInPandasWithState``): when a new doc
+    lands in a bucket, it pairs with every doc already stored there —
+    exactly the pairs the batch self-join would emit, but incremental and
+    regardless of which micro-batch each side arrived in.
+
+    State per band bucket = the doc_ids seen (the band key already encodes
+    the signature band, so ids suffice); state size is bounded by bucket
+    cardinality, the same quantity that bounds the batch join.  Input:
+    (doc_id, text) stream; output: (doc_a, doc_b) with doc_a < doc_b,
+    possibly duplicated across bands — dedup downstream per micro-batch
+    (the batch operator's ``distinct`` slot).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from document_automation_spark.kernels.fingerprint import (
+        lsh_band_keys,
+        minhash_signature,
+    )
+
+    band_schema = "doc_id long, band_key string"
+
+    def band_batches(batches):
+        for batch in batches:
+            ids, keys = [], []
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                if not text:
+                    continue  # empty docs are exact dups — not LSH's job
+                sig = minhash_signature(text, num_perm=num_perm, k=shingle_k, seed=seed)
+                for key in lsh_band_keys(sig, bands=bands):
+                    ids.append(doc_id)
+                    keys.append(key)
+            yield pd.DataFrame({"doc_id": ids, "band_key": keys})
+
+    banded = docs_stream.select("doc_id", "text").mapInPandas(band_batches, band_schema)
+
+    def pair_with_state(key, batches, state):
+        seen = list(state.get[0]) if state.exists else []
+        out_a, out_b = [], []
+        for batch in batches:
+            for doc_id in batch["doc_id"]:
+                doc_id = int(doc_id)
+                for other in seen:
+                    lo, hi = (other, doc_id) if other < doc_id else (doc_id, other)
+                    if lo != hi:
+                        out_a.append(lo)
+                        out_b.append(hi)
+                seen.append(doc_id)
+        state.update((seen,))
+        yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+
+    return banded.groupBy("band_key").applyInPandasWithState(
+        pair_with_state,
+        outputStructType="doc_a long, doc_b long",
+        stateStructType="ids array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_event_rollup(events_stream: DataFrame) -> DataFrame:
     """Watermarked tumbling-hour rollup per event type (late data ≤ 2h)."""
     return (

@@ -321,3 +321,52 @@ class TestDenseIdInvariance:
                 for r in assign_dense_vector_ids(src, num_partitions=n).collect()
             }
             assert got == expected, n
+
+
+class TestStreamingLsh:
+    def test_cross_batch_pairs_match_batch_operator(self, spark, tmp_path):
+        """Near-dup pairs spanning micro-batches: doc A arrives in drop 1,
+        its near-dup B in drop 2 — the stateful band buckets must emit the
+        pair; the union over batches equals the batch self-join exactly."""
+        from document_automation_spark.operators.dedup import minhash_lsh_candidates
+        from document_automation_spark.streaming.pipeline import streaming_lsh_candidates
+
+        base = "the quick brown fox jumps over the lazy dog again and again "
+        rows = [
+            (1, base * 5),
+            (2, base * 5),                                # exact dup of 1
+            (3, (base * 5).replace("lazy", "tired")),     # near dup of 1/2
+            (4, "entirely different text about distributed joins " * 6),
+            (5, (base * 5).replace("quick", "rapid")),    # near dup, later drop
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+        in_dir = tmp_path / "lsh_in"
+        in_dir.mkdir()
+        docs.filter(F.col("doc_id") <= 3).coalesce(1).write.parquet(str(in_dir / "d1"))
+        docs.filter(F.col("doc_id") >= 4).coalesce(1).write.parquet(str(in_dir / "d2"))
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir / "*"))
+        )
+        q = (
+            streaming_lsh_candidates(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("lsh_pairs")
+            .option("checkpointLocation", str(tmp_path / "ckpt_lsh"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        streamed = {
+            (r.doc_a, r.doc_b)
+            for r in spark.sql("SELECT DISTINCT doc_a, doc_b FROM lsh_pairs").collect()
+        }
+        batch = {(r.doc_a, r.doc_b) for r in minhash_lsh_candidates(docs).collect()}
+        assert streamed == batch
+        # the doc-5 pairs REQUIRE cross-batch state (its dups are in drop 1)
+        assert any(b == 5 for _, b in streamed)
