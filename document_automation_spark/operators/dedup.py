@@ -99,14 +99,25 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    documents: DataFrame, num_perm: int = 32, bands: int = 8, k: int = 5, seed: int = 42
+    documents: DataFrame,
+    num_perm: int = 32,
+    bands: int = 8,
+    k: int = 5,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: signature → band keys → explode → self-group.
 
     The only shuffle is the groupBy on band key; pairs are emitted inside
     each bucket (sorted doc_id pairs, deduped across bands).  Bucket-size
-    skew (a boilerplate-heavy band bucket) is the scale risk — cap with a
-    bucket-size limit in production; here buckets are tiny.
+    skew (a boilerplate-heavy band bucket) is the scale risk:
+    ``max_bucket_size`` drops buckets above the cap BEFORE pairing — a
+    bucket of 1M near-identical boilerplate docs would otherwise emit
+    5·10^11 pairs and kill the job.  Docs in an over-cap bucket are
+    near-identical by construction (they agree on a whole signature band);
+    exact/greedy dedup on the content hash handles them far cheaper than
+    pairwise verification ever could.  Default ``None`` = no cap (exact
+    parity with the SQL oracle twin).
     """
     import pandas as pd
 
@@ -141,6 +152,10 @@ def minhash_lsh_candidates(
         .mapInPandas(band_batches, schema)
         .persist()
     )
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band_key").agg(F.count(F.lit(1)).alias("n"))
+        keep = sizes.filter(F.col("n") <= max_bucket_size).select("band_key")
+        banded = banded.join(keep, "band_key", "left_semi")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, on="band_key")

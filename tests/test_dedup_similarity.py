@@ -340,3 +340,17 @@ class TestSimhashNearDup:
         # no dups at all: cc path with tiny iteration budget must still work
         out = near_dup_dedup(docs, canonicalize="cc", cc_max_iterations=2)
         assert out.count() == 4
+
+    def test_bucket_cap_drops_hot_buckets(self, spark):
+        from document_automation_spark.operators.dedup import minhash_lsh_candidates
+
+        boiler = "identical boilerplate navigation text repeated everywhere " * 10
+        rows = [(i, boiler) for i in range(20)]  # one hot bucket of 20
+        rows += [(100, "some distinct words one " * 15),
+                 (101, "some distinct words one " * 15)]  # small genuine pair
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        uncapped = minhash_lsh_candidates(docs)
+        capped = minhash_lsh_candidates(docs, max_bucket_size=5)
+        assert uncapped.count() >= 190 + 1  # C(20,2) boilerplate + the pair
+        got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+        assert got == {(100, 101)}  # hot bucket gone, genuine pair kept
