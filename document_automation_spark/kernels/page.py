@@ -49,11 +49,22 @@ def doc_id_for(url: str, content: str) -> str:
     return hashlib.sha256((url + content).encode("utf-8")).hexdigest()
 
 
+GZIP_MAGIC = b"\x1f\x8b"
+
+
 def extract_payload_text(payload: bytes) -> str:
     """Dispatch a binary payload to the matching extractor.
 
-    Raises on undecodable/unsupported payloads — callers quarantine.
+    gzip envelopes (Common-Crawl payloads are frequently stored
+    Content-Encoding: gzip) are transparently decompressed first — magic
+    ``1f 8b`` sniff, stdlib zlib, corrupt members quarantine like any
+    other broken payload.  Raises on undecodable/unsupported payloads —
+    callers quarantine.
     """
+    if payload[:2] == GZIP_MAGIC:
+        import zlib
+
+        payload = zlib.decompress(payload, wbits=31)  # 31 = gzip container
     if looks_like_pdf(payload):
         return extract_text_pdf(payload)
     html = payload.decode("utf-8")  # strict: invalid UTF-8 → quarantine

@@ -435,3 +435,28 @@ class TestPdfReviewRegressions:
         # containing BT..ET-looking binary — must NOT leak into the output
         truncated = b"5 0 obj<</Length 9 0 R>>stream\nBT (garbage\xff\xfe) Tj ET"
         assert extract_text_pdf(b"".join([good, truncated])) == "ok"
+
+
+class TestGzipPayloads:
+    def test_gzip_html_extracts_like_plain(self):
+        import gzip
+
+        html = b"<body><article><p>" + b"z" * 600 + b"</p></article></body>"
+        plain = extract_page("https://h/a/p.html", html)
+        gzipped = extract_page("https://h/a/p.html", gzip.compress(html))
+        assert [(r.passage_idx, r.content) for r in plain] == [
+            (r.passage_idx, r.content) for r in gzipped
+        ]
+        assert plain[0].content is not None
+
+    def test_gzip_pdf_dispatches(self):
+        import gzip
+
+        pdf = b"%PDF-1.4\nBT (" + b"q" * 600 + b") Tj ET"
+        rows = extract_page("https://h/d.pdf", gzip.compress(pdf))
+        assert rows and rows[0].error is None
+        assert rows[0].content.startswith("qqq")
+
+    def test_corrupt_gzip_quarantined(self):
+        rows = extract_page("https://h/x.html", b"\x1f\x8b\x00broken")
+        assert len(rows) == 1 and rows[0].error is not None
