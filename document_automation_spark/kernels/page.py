@@ -17,6 +17,7 @@ Parity map (behavior, not code):
 from __future__ import annotations
 
 import hashlib
+import re
 from typing import List, NamedTuple, Optional
 
 from document_automation_spark.kernels.html_fast import extract_main_text_html_fast
@@ -67,10 +68,31 @@ def extract_payload_text(payload: bytes) -> str:
         payload = zlib.decompress(payload, wbits=31)  # 31 = gzip container
     if looks_like_pdf(payload):
         return extract_text_pdf(payload)
-    html = payload.decode("utf-8")  # strict: invalid UTF-8 → quarantine
+    html = _decode_html(payload)
     # hot path: regex tokenizer (kernels.html_fast), byte-equal to the
     # html.parser specification in kernels.html_extract (parity-tested)
     return extract_main_text_html_fast(html)
+
+
+_CHARSET_DECL = re.compile(rb"charset\s*=\s*[\"']?([A-Za-z0-9_\-]+)")
+
+
+def _decode_html(payload: bytes) -> str:
+    """UTF-8 first (strict); on failure, honor a DECLARED charset from the
+    document head (``<meta charset=...>`` / http-equiv content-type), the
+    way real crawler pipelines do.  Payloads that neither decode as UTF-8
+    nor declare a charset stay quarantine-bound (strict raise) — a random
+    binary blob never silently becomes mojibake text."""
+    try:
+        return payload.decode("utf-8")
+    except UnicodeDecodeError:
+        m = _CHARSET_DECL.search(payload[:4096])
+        if m is None:
+            raise
+        codec = m.group(1).decode("ascii")
+        if codec.lower() in ("utf-8", "utf8"):  # declared utf-8 but broken
+            raise
+        return payload.decode(codec)  # unknown codec → LookupError → quarantine
 
 
 def extract_page(

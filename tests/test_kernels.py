@@ -460,3 +460,33 @@ class TestGzipPayloads:
     def test_corrupt_gzip_quarantined(self):
         rows = extract_page("https://h/x.html", b"\x1f\x8b\x00broken")
         assert len(rows) == 1 and rows[0].error is not None
+
+
+class TestCharsetFallback:
+    def test_declared_latin1_decodes(self):
+        body = "<body><article><p>" + "café résumé naïve " * 40 + "</p></article></body>"
+        payload = ('<meta charset="latin-1">' + body).encode("latin-1")
+        rows = extract_page("https://h/l1.html", payload)
+        assert rows and rows[0].error is None
+        assert "café" in rows[0].content
+
+    def test_declared_gbk_decodes(self):
+        body = "<body><article><p>" + "中文网页内容测试数据 " * 60 + "</p></article></body>"
+        payload = ('<meta http-equiv="Content-Type" content="text/html; charset=gbk">' + body).encode("gbk")
+        rows = extract_page("https://h/g.html", payload)
+        assert rows and rows[0].error is None
+        assert "中文网页内容" in rows[0].content
+
+    def test_undeclared_binary_still_quarantined(self):
+        rows = extract_page("https://h/b.html", b"\xff\xfe\x80garbage")
+        assert len(rows) == 1 and rows[0].error is not None
+
+    def test_unknown_declared_codec_quarantined(self):
+        payload = b'<meta charset="no-such-codec">\xff\xfe\x80junk'
+        rows = extract_page("https://h/u.html", payload)
+        assert len(rows) == 1 and rows[0].error is not None
+
+    def test_broken_declared_utf8_quarantined(self):
+        payload = b'<meta charset="utf-8">\xff\xfe\x80junk'
+        rows = extract_page("https://h/bu.html", payload)
+        assert len(rows) == 1 and rows[0].error is not None
