@@ -76,3 +76,19 @@ class TestWarcSource:
         marker = [r for r in out if r.url.startswith("warc:") and r.url.endswith("#error")]
         assert len(marker) == 1
         assert len([r for r in out if not r.url.startswith("warc:")]) == 5
+
+
+class TestWarcGzipBodies:
+    def test_gzip_http_body_extracts_identically(self):
+        """Common-Crawl responses often carry Content-Encoding: gzip —
+        after the WARC/HTTP envelope strip, the page kernel's gzip sniff
+        must yield the same passages as the uncompressed payload."""
+        import gzip
+
+        page = next(iter(gen_rows(range(1))))
+        plain = extract_page(page["url"], page["html"])
+        assert plain and plain[0].error is None
+        gz = extract_page(page["url"], gzip.compress(page["html"]))
+        assert [(r.passage_idx, r.content, r.char_start, r.char_end) for r in plain] == [
+            (r.passage_idx, r.content, r.char_start, r.char_end) for r in gz
+        ]
