@@ -51,6 +51,36 @@ def doc_id_for(url: str, content: str) -> str:
 
 
 GZIP_MAGIC = b"\x1f\x8b"
+GZIP_MAX_BYTES = 1 << 26  # 64 MiB: far above any real page, far below a bomb
+
+
+def _gunzip_capped(payload: bytes, max_bytes: int = GZIP_MAX_BYTES) -> bytes:
+    """Decompress a (possibly multi-member) gzip payload with a size cap.
+
+    * multi-member streams (RFC-1952-legal, common in crawl data) are
+      fully concatenated — ``zlib.decompress(wbits=31)`` would silently
+      return only the FIRST member;
+    * trailing garbage after the last member raises (→ quarantine);
+    * output is capped so a decompression bomb raises instead of OOM-killing
+      the executor — 'quarantine, never task-fatal' must hold for hostile
+      payloads too.
+    """
+    import zlib
+
+    out = bytearray()
+    buf = payload
+    while True:
+        d = zlib.decompressobj(wbits=31)
+        out += d.decompress(buf, max_bytes - len(out) + 1)
+        if len(out) > max_bytes:
+            raise ValueError(f"gzip payload exceeds {max_bytes}-byte decompression cap")
+        if not d.eof:
+            raise ValueError("truncated gzip member")
+        buf = d.unused_data
+        if not buf:
+            return bytes(out)
+        if buf[:2] != GZIP_MAGIC:
+            raise ValueError("trailing garbage after gzip member")
 
 
 def extract_payload_text(payload: bytes) -> str:
@@ -58,14 +88,11 @@ def extract_payload_text(payload: bytes) -> str:
 
     gzip envelopes (Common-Crawl payloads are frequently stored
     Content-Encoding: gzip) are transparently decompressed first — magic
-    ``1f 8b`` sniff, stdlib zlib, corrupt members quarantine like any
-    other broken payload.  Raises on undecodable/unsupported payloads —
-    callers quarantine.
+    ``1f 8b`` sniff, capped multi-member decode (:func:`_gunzip_capped`).
+    Raises on undecodable/unsupported payloads — callers quarantine.
     """
     if payload[:2] == GZIP_MAGIC:
-        import zlib
-
-        payload = zlib.decompress(payload, wbits=31)  # 31 = gzip container
+        payload = _gunzip_capped(payload)
     if looks_like_pdf(payload):
         return extract_text_pdf(payload)
     html = _decode_html(payload)
@@ -74,15 +101,20 @@ def extract_payload_text(payload: bytes) -> str:
     return extract_main_text_html_fast(html)
 
 
-_CHARSET_DECL = re.compile(rb"charset\s*=\s*[\"']?([A-Za-z0-9_\-]+)")
+# ONLY a <meta ...charset=...> declaration counts: an unanchored
+# 'charset=' match (URLs, JS, binary coincidence) + a permissive
+# single-byte codec would turn arbitrary garbage into mojibake text.
+_CHARSET_DECL = re.compile(
+    rb"<meta[^>]{0,200}?charset\s*=\s*[\"']?([A-Za-z0-9_\-]+)", re.IGNORECASE
+)
 
 
 def _decode_html(payload: bytes) -> str:
-    """UTF-8 first (strict); on failure, honor a DECLARED charset from the
-    document head (``<meta charset=...>`` / http-equiv content-type), the
+    """UTF-8 first (strict); on failure, honor a charset DECLARED in a
+    ``<meta>`` tag (``<meta charset=...>`` / http-equiv content-type), the
     way real crawler pipelines do.  Payloads that neither decode as UTF-8
-    nor declare a charset stay quarantine-bound (strict raise) — a random
-    binary blob never silently becomes mojibake text."""
+    nor carry a meta declaration stay quarantine-bound (strict raise) — a
+    random binary blob never silently becomes mojibake text."""
     try:
         return payload.decode("utf-8")
     except UnicodeDecodeError:

@@ -155,7 +155,9 @@ def minhash_lsh_candidates(
     if max_bucket_size is not None:
         sizes = banded.groupBy("band_key").agg(F.count(F.lit(1)).alias("n"))
         keep = sizes.filter(F.col("n") <= max_bucket_size).select("band_key")
-        banded = banded.join(keep, "band_key", "left_semi")
+        # persist the CAPPED table too: both self-join sides read it, and
+        # without this the size-agg + semi-join would execute twice
+        banded = banded.join(keep, "band_key", "left_semi").persist()
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, on="band_key")

@@ -111,6 +111,8 @@ def streaming_lsh_candidates(
     bands: int = 8,
     shingle_k: int = 5,
     seed: int = 42,
+    max_bucket_size: int = 10_000,
+    state_ttl_minutes: int | None = None,
 ) -> DataFrame:
     """Cross-micro-batch MinHash-LSH candidate pairs — the streaming twin
     of ``dedup.minhash_lsh_candidates``.
@@ -123,11 +125,21 @@ def streaming_lsh_candidates(
     regardless of which micro-batch each side arrived in.
 
     State per band bucket = the doc_ids seen (the band key already encodes
-    the signature band, so ids suffice); state size is bounded by bucket
-    cardinality, the same quantity that bounds the batch join.  Input:
-    (doc_id, text) stream; output: (doc_a, doc_b) with doc_a < doc_b,
-    possibly duplicated across bands — dedup downstream per micro-batch
-    (the batch operator's ``distinct`` slot).
+    the signature band, so ids suffice).  Two bounds keep a CONTINUOUS
+    stream safe, mirroring the batch operator's guards and
+    ``streaming_dedup_pages``' watermark:
+
+    * ``max_bucket_size``: a bucket that reaches the cap saturates — it
+      stops emitting pairs and stops growing (batch twin:
+      ``minhash_lsh_candidates(max_bucket_size=...)``; a hot boilerplate
+      bucket would otherwise emit O(n²) pairs inside ONE stateful task);
+    * ``state_ttl_minutes``: processing-time TTL evicting idle buckets, so
+      total state is O(arrivals per TTL window), not O(corpus).  ``None``
+      (no eviction) is only sane for finite backfills.
+
+    Input: (doc_id, text) stream; output: (doc_a, doc_b) with
+    doc_a < doc_b, possibly duplicated across bands — dedup downstream per
+    micro-batch (the batch operator's ``distinct`` slot).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -154,10 +166,16 @@ def streaming_lsh_candidates(
     banded = docs_stream.select("doc_id", "text").mapInPandas(band_batches, band_schema)
 
     def pair_with_state(key, batches, state):
+        if state.hasTimedOut:  # idle bucket evicted by the TTL
+            state.remove()
+            yield pd.DataFrame({"doc_a": [], "doc_b": []})
+            return
         seen = list(state.get[0]) if state.exists else []
         out_a, out_b = [], []
         for batch in batches:
             for doc_id in batch["doc_id"]:
+                if len(seen) >= max_bucket_size:
+                    break  # saturated: stop pairing AND stop growing state
                 doc_id = int(doc_id)
                 for other in seen:
                     lo, hi = (other, doc_id) if other < doc_id else (doc_id, other)
@@ -166,14 +184,21 @@ def streaming_lsh_candidates(
                         out_b.append(hi)
                 seen.append(doc_id)
         state.update((seen,))
+        if state_ttl_minutes is not None:
+            state.setTimeoutDuration(state_ttl_minutes * 60_000)
         yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return banded.groupBy("band_key").applyInPandasWithState(
         pair_with_state,
         outputStructType="doc_a long, doc_b long",
         stateStructType="ids array<long>",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 
