@@ -67,7 +67,10 @@ def main() -> None:
     import tempfile
 
     n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", max(1000, int(2_000_000 * sf))))
-    pages_path = os.path.join(tempfile.gettempdir(), f"bench_pages_sf{sf}_n{n_pages}")
+    from document_automation_spark.sources.pages import FIXTURE_VERSION
+    pages_path = os.path.join(
+        tempfile.gettempdir(), f"bench_pages_v{FIXTURE_VERSION}_sf{sf}_n{n_pages}"
+    )
     if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
         pages_df(spark, n_pages, partitions=cpus * 2).write.mode("overwrite").parquet(
             pages_path

@@ -12,6 +12,9 @@ Payload mix mirrors the fixture spec:
 * Zipfian host distribution (a few hosts own ~half the rows → real
   host-level skew for the salting path);
 * ~5% tiny uncompressed PDF payloads (magic ``%PDF-``);
+* ~3% gzip-wrapped HTML (Content-Encoding: gzip analogue; mtime=0 for
+  deterministic bytes) and ~1% legacy-charset (gbk + meta declaration)
+  pages — the kernel's transparent-decode paths, exercised end to end;
 * ~1% malformed bytes (invalid UTF-8, no PDF magic) → quarantine path
   (reference analogue: broken-image tolerance,
   /root/reference/src/gen-sods-doc-image-ray.py:102-106);
@@ -131,6 +134,9 @@ def _make_pdf(rng: random.Random, article: str) -> bytes:
     return body.encode("utf-8")
 
 
+FIXTURE_VERSION = 2  # bump when gen_page output changes: benches key caches on it
+
+
 def gen_page(i: int, seed: int = 42) -> Dict:
     """Row ``i`` of the synthetic pages table — pure function of (seed, i)."""
     rng = random.Random((seed << 32) ^ i)
@@ -150,6 +156,14 @@ def gen_page(i: int, seed: int = 42) -> Dict:
         html = b"\xff\xfe\x00broken\x80payload" + bytes([rng.randrange(256) for _ in range(16)])
     elif kind_roll < 0.06:  # PDF payload
         html = _make_pdf(rng, article)
+    elif kind_roll < 0.09:  # gzip-wrapped HTML (Content-Encoding: gzip drop)
+        import gzip
+
+        plain = _make_html(rng, article, with_ad_line=rng.random() < 0.10)
+        html = gzip.compress(plain, mtime=0)  # mtime=0 → deterministic bytes
+    elif kind_roll < 0.11 and lang == "zh":  # legacy-charset page (gbk)
+        body = _make_html(rng, article, with_ad_line=False).decode("utf-8")
+        html = ('<meta charset="gbk">' + body).encode("gbk", errors="ignore")
     else:  # HTML payload
         html = _make_html(rng, article, with_ad_line=rng.random() < 0.10)
 

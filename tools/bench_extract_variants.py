@@ -40,7 +40,10 @@ def main() -> None:
             "spark.sql.files.openCostInBytes": "262144",
         },
     )
-    pages_path = os.path.join(tempfile.gettempdir(), f"bench_pages_sf0.1_n{args.pages}")
+    from document_automation_spark.sources.pages import FIXTURE_VERSION
+    pages_path = os.path.join(
+        tempfile.gettempdir(), f"bench_pages_v{FIXTURE_VERSION}_sf0.1_n{args.pages}"
+    )
     if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
         pages_df(spark, args.pages, partitions=args.cpus * 2).write.mode(
             "overwrite"

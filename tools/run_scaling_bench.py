@@ -114,7 +114,8 @@ def main() -> None:
     args = parser.parse_args()
 
     sys.path.insert(0, "/root/repo")
-    pages_path = f"/tmp/bench_pages_scaling_n{args.pages}"
+    from document_automation_spark.sources.pages import FIXTURE_VERSION
+    pages_path = f"/tmp/bench_pages_v{FIXTURE_VERSION}_scaling_n{args.pages}"
     if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
         from document_automation_spark.session import build_session
         from document_automation_spark.sources.pages import pages_df
