@@ -153,11 +153,19 @@ def minhash_lsh_candidates(
         .persist()
     )
     if max_bucket_size is not None:
-        sizes = banded.groupBy("band_key").agg(F.count(F.lit(1)).alias("n"))
-        keep = sizes.filter(F.col("n") <= max_bucket_size).select("band_key")
-        # persist the CAPPED table too: both self-join sides read it, and
-        # without this the size-agg + semi-join would execute twice
-        banded = banded.join(keep, "band_key", "left_semi").persist()
+        # hot buckets are by definition FEW (outliers above the cap), so
+        # collect their keys and push an isin-filter onto the one persisted
+        # table — no second cached copy, no per-join-side semi-join re-run
+        hot = [
+            r.band_key
+            for r in banded.groupBy("band_key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket_size)
+            .select("band_key")
+            .collect()
+        ]
+        if hot:
+            banded = banded.filter(~F.col("band_key").isin(hot))
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, on="band_key")

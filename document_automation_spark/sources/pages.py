@@ -163,7 +163,10 @@ def gen_page(i: int, seed: int = 42) -> Dict:
         html = gzip.compress(plain, mtime=0)  # mtime=0 → deterministic bytes
     elif kind_roll < 0.11 and lang == "zh":  # legacy-charset page (gbk)
         body = _make_html(rng, article, with_ad_line=False).decode("utf-8")
-        html = ('<meta charset="gbk">' + body).encode("gbk", errors="ignore")
+        # strict encode: any non-GBK character sneaking into the template
+        # must fail generation loudly, not silently desync html from text
+        # (© is the one known non-GBK template char — boilerplate anyway)
+        html = ('<meta charset="gbk">' + body.replace("©", "(c)")).encode("gbk")
     else:  # HTML payload
         html = _make_html(rng, article, with_ad_line=rng.random() < 0.10)
 

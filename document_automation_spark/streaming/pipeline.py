@@ -111,7 +111,7 @@ def streaming_lsh_candidates(
     bands: int = 8,
     shingle_k: int = 5,
     seed: int = 42,
-    max_bucket_size: int = 10_000,
+    max_bucket_size: int | None = None,
     state_ttl_minutes: int | None = None,
 ) -> DataFrame:
     """Cross-micro-batch MinHash-LSH candidate pairs — the streaming twin
@@ -129,10 +129,13 @@ def streaming_lsh_candidates(
     stream safe, mirroring the batch operator's guards and
     ``streaming_dedup_pages``' watermark:
 
-    * ``max_bucket_size``: a bucket that reaches the cap saturates — it
-      stops emitting pairs and stops growing (batch twin:
-      ``minhash_lsh_candidates(max_bucket_size=...)``; a hot boilerplate
-      bucket would otherwise emit O(n²) pairs inside ONE stateful task);
+    * ``max_bucket_size``: a bucket that reaches the cap SATURATES — it
+      stops emitting pairs and stops growing.  NOTE this necessarily
+      differs from the batch operator's whole-bucket drop: a stream cannot
+      retro-drop pairs it already emitted, so the cap is a forward stop.
+      Default ``None`` (uncapped) keeps exact batch parity; pairs are
+      yielded per input micro-batch so peak task memory is bounded by
+      ``batch × bucket`` even uncapped.
     * ``state_ttl_minutes``: processing-time TTL evicting idle buckets, so
       total state is O(arrivals per TTL window), not O(corpus).  ``None``
       (no eviction) is only sane for finite backfills.
@@ -171,10 +174,12 @@ def streaming_lsh_candidates(
             yield pd.DataFrame({"doc_a": [], "doc_b": []})
             return
         seen = list(state.get[0]) if state.exists else []
-        out_a, out_b = [], []
+        # yield per input batch: peak memory stays O(batch × bucket), never
+        # the full O(bucket²) pair set in one task
         for batch in batches:
+            out_a, out_b = [], []
             for doc_id in batch["doc_id"]:
-                if len(seen) >= max_bucket_size:
+                if max_bucket_size is not None and len(seen) >= max_bucket_size:
                     break  # saturated: stop pairing AND stop growing state
                 doc_id = int(doc_id)
                 for other in seen:
@@ -183,10 +188,12 @@ def streaming_lsh_candidates(
                         out_a.append(lo)
                         out_b.append(hi)
                 seen.append(doc_id)
+            if out_a:
+                yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
         state.update((seen,))
         if state_ttl_minutes is not None:
             state.setTimeoutDuration(state_ttl_minutes * 60_000)
-        yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+        yield pd.DataFrame({"doc_a": [], "doc_b": []})
 
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout

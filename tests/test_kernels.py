@@ -461,6 +461,34 @@ class TestGzipPayloads:
         rows = extract_page("https://h/x.html", b"\x1f\x8b\x00broken")
         assert len(rows) == 1 and rows[0].error is not None
 
+    def test_multi_member_gzip_fully_decompressed(self):
+        import gzip
+
+        half1 = "<body><article><p>" + "a" * 300
+        half2 = "b" * 300 + "</p></article></body>"
+        payload = gzip.compress(half1.encode()) + gzip.compress(half2.encode())
+        rows = extract_page("https://h/mm.html", payload)
+        assert rows and rows[0].error is None
+        joined = "".join(r.content for r in rows)
+        assert "a" * 300 + "b" * 300 in joined  # BOTH members present
+
+    def test_gzip_trailing_garbage_quarantined(self):
+        import gzip
+
+        payload = gzip.compress(b"<body><p>hi there friend</p></body>") + b"junkjunk"
+        rows = extract_page("https://h/tg.html", payload)
+        assert len(rows) == 1 and "trailing garbage" in rows[0].error
+
+    def test_gzip_bomb_capped(self):
+        import gzip
+
+        from document_automation_spark.kernels.page import _gunzip_capped
+
+        bomb = gzip.compress(b"\x00" * (1 << 22))  # 4 MiB of zeros, tiny compressed
+        with pytest.raises(ValueError, match="decompression cap"):
+            _gunzip_capped(bomb, max_bytes=1 << 20)
+
+
 
 class TestCharsetFallback:
     def test_declared_latin1_decodes(self):
@@ -490,33 +518,6 @@ class TestCharsetFallback:
         payload = b'<meta charset="utf-8">\xff\xfe\x80junk'
         rows = extract_page("https://h/bu.html", payload)
         assert len(rows) == 1 and rows[0].error is not None
-
-    def test_multi_member_gzip_fully_decompressed(self):
-        import gzip
-
-        half1 = "<body><article><p>" + "a" * 300
-        half2 = "b" * 300 + "</p></article></body>"
-        payload = gzip.compress(half1.encode()) + gzip.compress(half2.encode())
-        rows = extract_page("https://h/mm.html", payload)
-        assert rows and rows[0].error is None
-        joined = "".join(r.content for r in rows)
-        assert "a" * 300 + "b" * 300 in joined  # BOTH members present
-
-    def test_gzip_trailing_garbage_quarantined(self):
-        import gzip
-
-        payload = gzip.compress(b"<body><p>hi there friend</p></body>") + b"junkjunk"
-        rows = extract_page("https://h/tg.html", payload)
-        assert len(rows) == 1 and "trailing garbage" in rows[0].error
-
-    def test_gzip_bomb_capped(self):
-        import gzip
-
-        from document_automation_spark.kernels.page import _gunzip_capped
-
-        bomb = gzip.compress(b"\x00" * (1 << 22))  # 4 MiB of zeros, tiny compressed
-        with pytest.raises(ValueError, match="decompression cap"):
-            _gunzip_capped(bomb, max_bytes=1 << 20)
 
     def test_charset_in_link_does_not_trigger_fallback(self):
         payload = b'<a href="/view?charset=iso-8859-1">x</a>\xff\xfe\x80junk'
