@@ -1,0 +1,174 @@
+"""Pinned-golden DuckDB oracles for queries whose kernels SQL cannot replay.
+
+Two registry entries run Python kernels that no single SQL query can
+recompute: the flagship HTML/PDF extraction (``extraction_pipeline`` /
+``warc_extraction_pipeline``) and the iterative PCA+KMeans clustering
+(``kmeans_line_clusters``).  Both kernels are PURE and DETERMINISTIC, so an
+equally strong oracle exists: run the kernel once in plain Python (no
+Spark) over the same deterministic input the query uses, and emit the
+expected output as a ``VALUES``-table SQL literal.  DuckDB then "recomputes"
+the query by construction, and the driver's rows+schema+hash gate applies
+to the flagship exactly as it does to every relational query.
+
+The golden is INDEPENDENT of the distributed run in every way that
+matters: it exercises none of Spark's partitioning, Arrow batching, UDF
+plumbing or shuffle — precisely the machinery the driver check exists to
+validate.  (The kernel itself is additionally pinned by the pytest oracles
+in tests/test_extract_job.py and tests/test_cluster.py.)
+
+Generation is LAZY (first ``oracle_sql()`` call, cached) so importing the
+registry stays cheap for bench/test sessions that never read oracles.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+from typing import List, Optional, Tuple
+
+#: page count for the pinned extraction golden — matches the sf0.01-sized
+#: run round 2 registered (max(200, min(2000, 500 // 2))), now pinned so
+#: the golden is valid at EVERY sf the driver might choose.
+N_GOLDEN_PAGES = 250
+
+
+def _sql_str(value: Optional[str]) -> str:
+    if value is None:
+        return "NULL"
+    return "'" + value.replace("'", "''") + "'"
+
+
+def _sql_int(value) -> str:
+    return "NULL" if value is None else str(int(value))
+
+
+def extraction_golden_rows(
+    n_pages: int = N_GOLDEN_PAGES,
+) -> List[Tuple]:
+    """Pure-kernel expected output of the flagship extraction query.
+
+    One tuple per passage/quarantine row:
+    ``(url, passage_idx, content_md5, char_start, char_end, n_passages,
+    error)`` — ``content_md5`` pins the exact passage BYTES without
+    shipping the text into the SQL literal.
+    """
+    import hashlib
+
+    from document_automation_spark.kernels.page import extract_page
+    from document_automation_spark.sources.pages import gen_rows
+
+    rows: List[Tuple] = []
+    for page in gen_rows(range(n_pages)):
+        for r in extract_page(page["url"], page["html"]):
+            md5 = (
+                hashlib.md5(r.content.encode("utf-8")).hexdigest()
+                if r.content is not None
+                else None
+            )
+            rows.append(
+                (r.url, r.passage_idx, md5, r.char_start, r.char_end, r.n_passages, r.error)
+            )
+    return rows
+
+
+@lru_cache(maxsize=None)
+def extraction_golden_sql(n_pages: int = N_GOLDEN_PAGES) -> str:
+    vals = ",\n".join(
+        f"({_sql_str(u)},{_sql_int(pi)},{_sql_str(m)},{_sql_int(cs)},"
+        f"{_sql_int(ce)},{_sql_int(np_)},{_sql_str(err)})"
+        for (u, pi, m, cs, ce, np_, err) in extraction_golden_rows(n_pages)
+    )
+    return f"""
+    SELECT url,
+           CAST(passage_idx AS BIGINT) AS passage_idx,
+           content_md5,
+           CAST(char_start AS BIGINT) AS char_start,
+           CAST(char_end AS BIGINT) AS char_end,
+           CAST(n_passages AS BIGINT) AS n_passages,
+           error
+    FROM (VALUES {vals})
+         AS t(url, passage_idx, content_md5, char_start, char_end, n_passages, error)
+    """
+
+
+def oracle_sf_dir() -> str:
+    """The sf dir the DRIVER's correctness gate runs at (sf=0.01 per the
+    task contract); overridable so tools/check_correctness.py can align the
+    golden with whatever sf it is checking."""
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+@lru_cache(maxsize=None)
+def kmeans_golden_sql(
+    sf_dir: Optional[str] = None,
+    line_width: int = 80,
+    passage_len: int = 500,
+    n_components: int = 2,
+    seed: int = 42,
+) -> Optional[str]:
+    """Expected ``kmeans_line_clusters`` output over ``sf_dir`` documents,
+    computed by the pure seeded kernel (kernels/cluster.py) row by row.
+
+    Returns None (→ rows-only check) when the parquet isn't readable."""
+    path = os.path.join(sf_dir or oracle_sf_dir(), "documents.parquet")
+    try:
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(path, columns=["doc_id", "text"])
+    except Exception:
+        return None
+
+    from document_automation_spark.kernels.cluster import cluster_lines
+    from document_automation_spark.kernels.fingerprint import rolling_fingerprint
+    from document_automation_spark.operators.cluster_lines import split_fixed_lines
+
+    rows = []
+    for doc_id, text in zip(
+        table.column("doc_id").to_pylist(), table.column("text").to_pylist()
+    ):
+        lines = split_fixed_lines(text, line_width)
+        clusters = cluster_lines(
+            lines, passage_len=passage_len, n_components=n_components, seed=seed
+        )
+        for c, ctext in enumerate(clusters):
+            rows.append((doc_id, c, len(ctext), len(lines), rolling_fingerprint(ctext)))
+    vals = ",\n".join(f"({d},{c},{n},{m},{f})" for d, c, n, m, f in rows)
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_lines_total AS BIGINT) AS n_lines_total,
+           CAST(fingerprint AS BIGINT) AS fingerprint
+    FROM (VALUES {vals})
+         AS t(doc_id, cluster_id, n_chars, n_lines_total, fingerprint)
+    """
+
+
+@lru_cache(maxsize=None)
+def ivf_centroids(
+    n_centroids: int = 8,
+    sample_size: int = 4096,
+    seed: int = 42,
+    sf_dir: Optional[str] = None,
+):
+    """Train the IVF centroids EXACTLY as operators/ivf.train_centroids does
+    (lowest ``sample_size`` vec_ids, float32→float64 upcast, seeded
+    kmeans_fit) but from a plain pyarrow read — same bytes in, same numpy
+    ops, bit-identical centers; returns None when the parquet is absent."""
+    path = os.path.join(sf_dir or oracle_sf_dir(), "embeddings.parquet")
+    try:
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(path, columns=["vec_id", "embedding"])
+    except Exception:
+        return None
+    import numpy as np
+
+    from document_automation_spark.kernels.cluster import kmeans_fit
+
+    pairs = sorted(
+        zip(table.column("vec_id").to_pylist(), table.column("embedding").to_pylist())
+    )[:sample_size]
+    X = np.array([e for _, e in pairs], dtype=np.float64)
+    centers, _ = kmeans_fit(X, n_centroids, seed=seed)
+    return centers

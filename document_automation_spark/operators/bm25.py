@@ -40,7 +40,12 @@ class Bm25Index:
 
     ``tf`` is persisted (three scoring-plan branches read it); call
     :meth:`unpersist` when the index is retired — per-query scoring never
-    creates additional cached state."""
+    creates additional cached state.  Usable as a context manager so
+    library callers can't leak the cached postings:
+
+        with build_bm25_index(docs) as index:
+            bm25_scores_from_index(index, terms).collect()
+    """
 
     tf: DataFrame  # (doc_id, term, tf)
     doclen: DataFrame  # (doc_id, dl)
@@ -49,6 +54,12 @@ class Bm25Index:
 
     def unpersist(self) -> None:
         self.tf.unpersist()
+
+    def __enter__(self) -> "Bm25Index":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.unpersist()
 
 
 def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -121,23 +132,36 @@ def bm25_scores(
     query_terms: DataFrame,
     k1: float = K1,
     b: float = B,
+    index: Bm25Index | None = None,
 ) -> DataFrame:
     """BM25 score per (query_id, doc_id) — one-shot convenience.
 
     ``documents``: (doc_id, text); ``query_terms``: (query_id, term).
     Returns (query_id, doc_id, bm25:double) for docs matching ≥1 term.
-    NOTE: builds (and leaves persisted) a fresh index per call; callers
-    issuing MANY queries against one corpus should ``build_bm25_index``
-    once and use ``bm25_scores_from_index`` (see serving/retrieval.py).
+    NOTE: when ``index`` is not supplied, this builds (and leaves
+    persisted) a fresh index per call — the returned plan is lazy, so the
+    cache cannot be dropped before the caller consumes it.  Callers issuing
+    repeated queries against one corpus should ``build_bm25_index`` once
+    and pass it here (or use ``bm25_scores_from_index`` directly /
+    ``serving.retrieval.build_retrieval_state``), unpersisting via the
+    index's context-manager form when retired.
     """
-    return bm25_scores_from_index(build_bm25_index(documents), query_terms, k1=k1, b=b)
+    return bm25_scores_from_index(
+        index if index is not None else build_bm25_index(documents),
+        query_terms,
+        k1=k1,
+        b=b,
+    )
 
 
 def bm25_topk(
-    documents: DataFrame, query_terms: DataFrame, k: int = 10
+    documents: DataFrame,
+    query_terms: DataFrame,
+    k: int = 10,
+    index: Bm25Index | None = None,
 ) -> DataFrame:
     """Top-k BM25 hits per query with deterministic tie-break."""
-    scored = bm25_scores(documents, query_terms)
+    scored = bm25_scores(documents, query_terms, index=index)
     w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -56,11 +56,28 @@ def train_centroids(
     return centers
 
 
+def _centroid_dists(X: np.ndarray, C: np.ndarray, quantize_dp: int | None) -> np.ndarray:
+    """(n, k) centroid 'distances' d = |c|² − 2 x·c (|x|² dropped: constant
+    per row, so every argmin/argsort over a row is unchanged).
+
+    ``quantize_dp`` truncates d at that many decimals — the cross-engine
+    parity knob: the SQL oracle recomputes d as a left-fold, which differs
+    from the matmul in the last float bits, so BOTH engines truncate before
+    ranking (trunc, not round: half-even vs half-away tie risk) and break
+    ties by centroid index."""
+    c2 = (C * C).sum(axis=1)
+    d = c2[None, :] - 2.0 * (X @ C.T)
+    if quantize_dp is not None:
+        d = np.trunc(d * 10.0**quantize_dp) / 10.0**quantize_dp
+    return d
+
+
 def assign_buckets(
     embeddings: DataFrame,
     centers: np.ndarray,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    quantize_dp: int | None = None,
 ) -> DataFrame:
     """+bucket column = nearest centroid (L2), one numpy matmul per batch."""
     spark = embeddings.sparkSession
@@ -71,24 +88,51 @@ def assign_buckets(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         C = b_centers.value  # (k, dim)
-        c2 = (C * C).sum(axis=1)  # |c|^2 per centroid
         for batch in it:
             if len(batch) == 0:
                 continue
             X = np.array(list(batch[emb_col]), dtype=np.float64)  # (n, dim)
-            # argmin |x-c|^2 = argmin (|c|^2 - 2 x·c); |x|^2 is constant per row
-            d = c2[None, :] - 2.0 * (X @ C.T)
+            d = _centroid_dists(X, C, quantize_dp)
             out = batch[cols].copy()
+            # ties (possible after quantization) → lowest centroid index,
+            # matching the oracle's ORDER BY (d, cid) row_number
             out["bucket"] = np.argmin(d, axis=1).astype(np.int32)
             yield out
 
     return embeddings.mapInPandas(batches, schema)
 
 
-def _probe_buckets(vec: List[float], centers: np.ndarray, n_probe: int) -> List[int]:
-    x = np.array(vec, dtype=np.float64)
-    d = ((centers - x[None, :]) ** 2).sum(axis=1)
-    return [int(i) for i in np.argsort(d, kind="stable")[:n_probe]]
+def probe_buckets_df(
+    queries: DataFrame,
+    centers: np.ndarray,
+    n_probe: int,
+    emb_col: str = "query_embedding",
+    quantize_dp: int | None = None,
+) -> DataFrame:
+    """Each query row → its ``n_probe`` nearest-centroid buckets, one output
+    row per (query, bucket) — the same broadcast-centers narrow map as
+    :func:`assign_buckets` (argsort top-n instead of argmin), so probe
+    assignment is fully distributed: no driver collect anywhere in the
+    query path."""
+    spark = queries.sparkSession
+    b_centers = spark.sparkContext.broadcast(centers)
+    fields = queries.schema.fields
+    schema = T.StructType(list(fields) + [T.StructField("bucket", T.IntegerType())])
+    cols = [f.name for f in fields]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = b_centers.value
+        for batch in it:
+            if len(batch) == 0:
+                continue
+            X = np.array(list(batch[emb_col]), dtype=np.float64)
+            d = _centroid_dists(X, C, quantize_dp)
+            probes = np.argsort(d, axis=1, kind="stable")[:, :n_probe]  # ties → low cid
+            out = batch[cols].iloc[np.repeat(np.arange(len(batch)), n_probe)].copy()
+            out["bucket"] = probes.reshape(-1).astype(np.int32)
+            yield out
+
+    return queries.mapInPandas(batches, schema)
 
 
 def ivf_topk(
@@ -99,6 +143,7 @@ def ivf_topk(
     k: int = 10,
     sample_size: int = 4096,
     seed: int = 42,
+    quantize_dp: int | None = None,
 ) -> DataFrame:
     """ANN top-k per query via IVF probing.
 
@@ -106,16 +151,13 @@ def ivf_topk(
     query_embedding).  Returns (query_vec_id, vec_id, cosine, rank).
     """
     centers = train_centroids(embeddings, n_centroids, sample_size, seed)
-    assigned = assign_buckets(embeddings, centers)
-
-    probe_rows = [
-        (r.query_vec_id, r.query_embedding, _probe_buckets(r.query_embedding, centers, n_probe))
-        for r in queries.select("query_vec_id", "query_embedding").collect()
-    ]  # query side is small by contract (same as the LSH/brute-force paths)
-    spark = embeddings.sparkSession
-    qdf = spark.createDataFrame(
-        probe_rows, "query_vec_id long, query_embedding array<double>, buckets array<int>"
-    ).select("query_vec_id", "query_embedding", F.explode("buckets").alias("bucket"))
+    assigned = assign_buckets(embeddings, centers, quantize_dp=quantize_dp)
+    qdf = probe_buckets_df(
+        queries.select("query_vec_id", "query_embedding"),
+        centers,
+        n_probe,
+        quantize_dp=quantize_dp,
+    )
 
     candidates = assigned.join(F.broadcast(qdf), "bucket")  # equi-join, no cross join
     scored = candidates.select(

@@ -25,10 +25,13 @@ ROLLING_BASE = 31
 ROLLING_MOD = 140_737_488_355_213  # ≈2^47: intermediates stay < 2^53
 
 
-def token_stats(documents: DataFrame) -> DataFrame:
-    """Whitespace token count + length stats — pure column expressions."""
-    return documents.select(
-        "doc_id",
+def token_stats(documents: DataFrame, include_bpe: bool = False) -> DataFrame:
+    """Whitespace token count + length stats — pure column expressions.
+
+    ``include_bpe=True`` adds the BPE-ish token count (Arrow-batched
+    kernel UDF) in the SAME single-pass select — one scan, no join."""
+    cols = [
+        F.col("doc_id"),
         F.length("text").alias("n_chars_measured"),
         F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0))
         .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
@@ -36,7 +39,16 @@ def token_stats(documents: DataFrame) -> DataFrame:
         F.round(
             F.length(F.regexp_replace(F.col("text"), r"[^ ]", "")) / F.length("text"), 6
         ).alias("space_ratio"),
-    )
+    ]
+    if include_bpe:
+        from document_automation_spark.kernels.textstats import count_tokens_bpe_ish
+
+        @F.pandas_udf(T.LongType())
+        def bpe_udf(texts: pd.Series) -> pd.Series:
+            return texts.map(count_tokens_bpe_ish)
+
+        cols.append(bpe_udf(F.col("text")).alias("n_tokens_bpe"))
+    return documents.select(*cols)
 
 
 def detect_language_script(documents: DataFrame) -> DataFrame:

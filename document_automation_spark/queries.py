@@ -24,6 +24,7 @@ pytest oracles (same kernel, byte-compare).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Dict, Optional, Tuple
 
@@ -39,11 +40,15 @@ from document_automation_spark.operators.derived import (
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# registry: name -> (spark_fn, oracle_sql | None)
-_REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {}
+# registry: name -> (spark_fn, oracle_sql | None | () -> oracle_sql | None).
+# A CALLABLE oracle is resolved lazily on the first oracle_sql() call (and
+# cached): the pinned-golden oracles (document_automation_spark/golden.py)
+# run a pure kernel / read a parquet fixture to build their VALUES table,
+# and that work shouldn't tax sessions that never read oracles (bench).
+_REGISTRY: Dict[str, Tuple[QueryFn, object]] = {}
 
 
-def register(name: str, oracle: Optional[str]):
+def register(name: str, oracle):
     def deco(fn: QueryFn) -> QueryFn:
         _REGISTRY[name] = (fn, oracle)
         return fn
@@ -56,7 +61,14 @@ def queries() -> Dict[str, QueryFn]:
 
 
 def oracle_sql() -> Dict[str, str]:
-    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+    out: Dict[str, str] = {}
+    for name, (fn, sql) in _REGISTRY.items():
+        if callable(sql):
+            sql = sql()
+            _REGISTRY[name] = (fn, sql)  # cache the resolved SQL (or None)
+        if sql is not None:
+            out[name] = sql
+    return out
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -153,7 +165,9 @@ def q_max_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return max_value_per_user(_t(spark, sf_dir, "events"))
 
 
-@register("distinct_sources", "SELECT DISTINCT source FROM documents")
+# (distinct_sources no longer has its own registry entry: the DISTINCT
+# check rides inside salted_event_type_stats — seat freed for ivf_topk
+# under the driver's 50-entry report cap.)
 def q_distinct_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_automation_spark.operators.relational import distinct_sources
 
@@ -915,31 +929,57 @@ def q_positive_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dedup suite
 # =====================================================================
 
+# The sf0.01 documents fixture contains zero exact duplicates (500/500
+# distinct texts), which made round 2's dedup checks VACUOUS: the queries
+# passed without the min-id canonicalization or the n_dups>1 counting ever
+# firing.  Both queries therefore union an id-remapped duplicate slice
+# (doc_id + 10000, same text — 50 rows) into their input IN BOTH ENGINES,
+# so the driver check exercises real duplicate groups: the copies must be
+# dropped (higher id) and 50 groups with n_dups=2 must be reported.
+_DOCS_WITH_DUPS_SQL = """docs_dup AS (
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id, text, lang, source, n_chars
+        FROM documents WHERE doc_id < 50)"""
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    copies = docs.filter(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10000)
+    )
+    return docs.unionAll(copies)
+
+
 @register(
     "exact_dedup",
-    """
+    f"""
+    WITH {_DOCS_WITH_DUPS_SQL}
     SELECT doc_id, text, lang, source, n_chars FROM (
-        SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS keep_id FROM documents
+        SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS keep_id FROM docs_dup
     ) WHERE doc_id = keep_id
     """,
 )
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_automation_spark.operators.dedup import exact_dedup
 
-    return exact_dedup(_t(spark, sf_dir, "documents"))
+    return exact_dedup(_docs_with_dups(spark, sf_dir))
 
 
 @register(
     "duplicate_groups",
-    """
+    f"""
+    WITH {_DOCS_WITH_DUPS_SQL}
     SELECT CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id, COUNT(*) AS n_dups
-    FROM documents GROUP BY text HAVING COUNT(*) > 1
+    FROM docs_dup GROUP BY text HAVING COUNT(*) > 1
     """,
 )
 def q_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_automation_spark.operators.dedup import duplicate_groups
 
-    return duplicate_groups(_t(spark, sf_dir, "documents"))
+    return duplicate_groups(_docs_with_dups(spark, sf_dir))
 
 
 @register(
@@ -977,7 +1017,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MERSENNE_31 = 2147483647
 
 
-def _shingle_cte(k: int) -> str:
+def _shingle_cte(k: int, src: str = "documents") -> str:
     """Distinct character k-shingles per doc (len<k → the whole text, as
     kernels/fingerprint.char_shingles does; empty text excluded — the
     corpus has none, and the kernel's empty-text sentinel has no pairs)."""
@@ -987,7 +1027,7 @@ def _shingle_cte(k: int) -> str:
                  ELSE list_transform(generate_series(1, length(text) - {k - 1}),
                                      i -> substr(text, CAST(i AS INT), {k}))
             END)) AS s
-        FROM documents WHERE length(text) > 0)"""
+        FROM {src} WHERE length(text) > 0)"""
 
 
 def _minhash_cand_cte() -> str:
@@ -1075,7 +1115,10 @@ def q_near_dup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text", "lang", "source", "n_chars")
 
 
-def _simhash_sql() -> str:
+def _simhash_fps_cte(k: int = 3, src: str = "documents") -> str:
+    """CTE chain ending in ``fps(doc_id, simhash)``: 64 per-bit vote sums
+    over md5 shingle hashes → signed-int64 reinterpreted fingerprint, for
+    every non-empty-text doc in ``src``."""
     bit_exprs = ",\n        ".join(
         f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE 0 END) AS c{b}"
         for b in range(64)
@@ -1084,25 +1127,61 @@ def _simhash_sql() -> str:
         f"(CASE WHEN 2*c{b} - n > 0 THEN {1 << b}::HUGEINT ELSE 0::HUGEINT END)"
         for b in range(64)
     )
-    return f"""
-    WITH {_shingle_cte(3)},
+    return f"""{_shingle_cte(k, src)},
     h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 16))::UBIGINT AS hv FROM sh),
     bits AS (SELECT doc_id, COUNT(*) AS n, {bit_exprs} FROM h GROUP BY doc_id),
-    vals AS (SELECT doc_id, {val_terms} AS v FROM bits)
-    SELECT doc_id,
-           CAST(CASE WHEN v >= {1 << 63}::HUGEINT THEN v - {1 << 64}::HUGEINT
-                     ELSE v END AS BIGINT) AS simhash
-    FROM vals
+    vals AS (SELECT doc_id, {val_terms} AS v FROM bits),
+    fps AS (
+        SELECT doc_id,
+               CAST(CASE WHEN v >= {1 << 63}::HUGEINT THEN v - {1 << 64}::HUGEINT
+                         ELSE v END AS BIGINT) AS simhash
+        FROM vals)"""
+
+
+def _simhash_sql() -> str:
+    return f"""
+    WITH {_simhash_fps_cte(3)}
+    SELECT doc_id, simhash FROM fps
     UNION ALL
     SELECT doc_id, CAST(0 AS BIGINT) AS simhash
     FROM documents WHERE length(text) = 0
     """
 
 
-@register("kmeans_line_clusters", None)  # iterative PCA+KMeans → rows-only:
-# k-means++ + Lloyd iterations are not expressible as one SQL query; the
-# strong checks are pytest pinned-golden + distributed-vs-kernel parity +
-# partition-count invariance (tests/test_cluster.py).
+def _simhash_pairs_sql(max_hamming: int = 3, n_bands: int = 4) -> str:
+    """Full SQL replay of the pigeonhole band join + popcount verify over
+    the duplicate-enriched corpus (exact copies guarantee hamming-0 pairs,
+    so the check can never pass vacuously)."""
+    width = 64 // n_bands
+    return f"""
+    WITH {_DOCS_WITH_DUPS_SQL},
+    {_simhash_fps_cte(3, "docs_dup")},
+    banded AS (
+        SELECT doc_id, simhash, band,
+               (simhash >> (band * {width})) & {(1 << width) - 1} AS bits
+        FROM fps CROSS JOIN (SELECT unnest(generate_series(0, {n_bands - 1})) AS band)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+def _golden_kmeans_oracle() -> Optional[str]:
+    from document_automation_spark.golden import kmeans_golden_sql
+
+    return kmeans_golden_sql()
+
+
+# k-means++ + Lloyd iterations are not expressible as one SQL query, so the
+# oracle is a pinned golden: the pure seeded kernel (the same function the
+# mapInPandas batches call) run over the driver's sf0.01 documents in plain
+# Python → VALUES table (golden.py; falls back to rows-only if the fixture
+# parquet is unreadable).  pytest additionally pins distributed-vs-kernel
+# parity + partition-count invariance (tests/test_cluster.py).
+@register("kmeans_line_clusters", _golden_kmeans_oracle)
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K9: deterministic seeded PCA+KMeans clustering of per-document line
     embeddings (reference: postprocess_ocr_by_clustering_line_embedding,
@@ -1120,6 +1199,22 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_automation_spark.operators.dedup import simhash_fingerprints
 
     return simhash_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+@register("simhash_near_dup_pairs", lambda: _simhash_pairs_sql())
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-≤3 pairs via pigeonhole bit-bands (4 bands of 16
+    bits: any pair within Hamming 3 must agree on ≥1 whole band), verified
+    JVM-side with ``bit_count``.  The oracle replays band keys + popcount
+    in SQL; the duplicate-enriched input guarantees hamming-0 pairs exist
+    (never vacuous).  New seat this round (was pytest-only under the
+    50-entry cap)."""
+    from document_automation_spark.operators.dedup import simhash_near_dup_pairs
+
+    out = simhash_near_dup_pairs(_docs_with_dups(spark, sf_dir), max_hamming=3)
+    return out.select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 # =====================================================================
@@ -1256,6 +1351,97 @@ def _lsh_oracle_sql(n_planes: int = 4, dim: int = 64, seed: int = 42) -> str:
     """
 
 
+def _ivf_oracle_sql(
+    n_centroids: int = 8, n_probe: int = 3, k: int = 10, dim: int = 64
+) -> Optional[str]:
+    """DuckDB twin of the IVF ANN path: the seeded-kmeans centroids are
+    embedded as literals (trained identically in golden.ivf_centroids from
+    the same sample bytes), bucket assignment/probing replays the
+    d = |c|² − 2x·c argmin with trunc-6 quantization + centroid-index
+    tie-break, and the probed-bucket equi-join + exact cosine top-k follow
+    the same rounded ordering as every other ANN oracle here."""
+    from document_automation_spark.golden import ivf_centroids
+
+    C = ivf_centroids(n_centroids=n_centroids)
+    if C is None:
+        return None
+    c2 = (C * C).sum(axis=1)
+    cent_vals = ",\n        ".join(
+        f"({i}, {float(c2[i])!r}, [{', '.join(repr(float(v)) for v in C[i])}])"
+        for i in range(n_centroids)
+    )
+    dot_c = (
+        f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {dim}),"
+        f" i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i])), (a, b) -> a + b)"
+    )
+
+    def fold(x: str, y: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {dim}),"
+            f" i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE))), (a, b) -> a + b)"
+        )
+
+    cosine = (
+        f"{fold('a.embedding', 'p.query_embedding')}"
+        f" / (sqrt({fold('a.embedding', 'a.embedding')})"
+        f" * sqrt({fold('p.query_embedding', 'p.query_embedding')}))"
+    )
+    return f"""
+    WITH cent AS (SELECT * FROM (VALUES {cent_vals}) AS c0(cid, c2, cvec)),
+    dists AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               trunc((c.c2 - 2 * {dot_c}) * 1000000) / 1000000 AS d
+        FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cid AS bucket FROM (
+            SELECT vec_id, embedding, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+            FROM dists) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_vec_id, embedding AS query_embedding,
+               cid AS bucket FROM (
+            SELECT vec_id, embedding, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+            FROM dists WHERE vec_id < 5) WHERE rn <= {n_probe}
+    ),
+    scored AS (
+        SELECT p.query_vec_id, a.vec_id, ROUND({cosine}, 6) AS cosine
+        FROM assigned a JOIN probes p USING (bucket)
+    )
+    SELECT query_vec_id, vec_id, cosine, rank FROM (
+        SELECT query_vec_id, vec_id, cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_vec_id ORDER BY cosine DESC, vec_id
+               ) AS rank
+        FROM scored) WHERE rank <= {k}
+    """
+
+
+@register("ivf_topk", lambda: _ivf_oracle_sql())
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k (FAISS's index family re-expressed relationally):
+    seeded-kmeans centroids → distributed bucket assignment AND probe
+    assignment (broadcast-centers narrow maps — the round-2 driver collect
+    is gone) → probe-bucket equi-join → exact cosine top-k.  New seat this
+    round (was pytest-only under the 50-entry cap); pytest additionally
+    pins full-probe == brute-force."""
+    from document_automation_spark.operators.ivf import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_vec_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    out = ivf_topk(
+        emb, queries_df, n_centroids=8, n_probe=3, k=10, seed=42, quantize_dp=6
+    )
+    return out.select(
+        "query_vec_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
 @register("lsh_bucketed_topk", _lsh_oracle_sql())
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_automation_spark.operators.similarity import lsh_bucketed_topk
@@ -1275,27 +1461,34 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Text analysis
 # =====================================================================
 
-@register(
-    "token_stats",
-    r"""
+def _token_stats_sql() -> str:
+    # n_tokens_bpe folded in (was its own registry entry in round 2 —
+    # merged to free a seat under the driver's 50-entry report cap; the
+    # operator bpe_token_counts stays available standalone)
+    return rf"""
     SELECT doc_id,
            length(text) AS n_chars_measured,
            CASE WHEN length(trim(text)) = 0 THEN 0
                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens_ws,
            ROUND(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
-                 / length(text), 6) AS space_ratio
+                 / length(text), 6) AS space_ratio,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS BIGINT)
+               AS n_tokens_bpe
     FROM documents
-    """,
-)
+    """
+
+
+@register("token_stats", lambda: _token_stats_sql())
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_automation_spark.operators.text_analysis import token_stats
 
-    out = token_stats(_t(spark, sf_dir, "documents"))
+    out = token_stats(_t(spark, sf_dir, "documents"), include_bpe=True)
     return out.select(
         "doc_id",
         F.col("n_chars_measured").cast("long").alias("n_chars_measured"),
         F.col("n_tokens_ws").cast("long").alias("n_tokens_ws"),
         "space_ratio",
+        "n_tokens_bpe",
     )
 
 
@@ -1344,19 +1537,9 @@ _BPE_RE_SQL = (
 )
 
 
-@register(
-    "bpe_token_counts",
-    f"""
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS BIGINT)
-               AS n_tokens_bpe
-    FROM documents
-    """,
-)
-def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from document_automation_spark.operators.text_analysis import bpe_token_counts
-
-    return bpe_token_counts(_t(spark, sf_dir, "documents"))
+# (bpe_token_counts no longer has its own registry entry: its column is
+# checked inside token_stats — seat freed for simhash_near_dup_pairs under
+# the driver's 50-entry report cap.)
 
 
 # whitespace tokens of trim'd text, as the kernel's re.split(r"\s+") does
@@ -1459,50 +1642,41 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "event_type_pivot",
-    """
-    SELECT user_id,
-           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
-           CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
-           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase
-    FROM events GROUP BY user_id
-    """,
-)
-def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot (long → wide) via Spark's native ``.pivot()``; the oracle is
-    the portable conditional-aggregation form — identical results."""
-    events = _t(spark, sf_dir, "events")
-    out = (
-        events.groupBy("user_id")
-        .pivot("event_type", ["click", "view", "purchase"])
-        .agg(F.count(F.lit(1)))
-    )
-    return out.select(
-        "user_id",
-        F.coalesce(F.col("click"), F.lit(0)).cast("long").alias("click"),
-        F.coalesce(F.col("view"), F.lit(0)).cast("long").alias("view"),
-        F.coalesce(F.col("purchase"), F.lit(0)).cast("long").alias("purchase"),
-    )
-
-
-@register(
-    "event_unpivot_roundtrip",
+    "event_pivot_unpivot",
     """
     SELECT user_id, metric, CAST(value AS BIGINT) AS value FROM (
         SELECT user_id,
                CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
-               CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+               CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+                   AS purchase
         FROM events GROUP BY user_id
-    ) UNPIVOT (value FOR metric IN (click, view))
+    ) UNPIVOT (value FOR metric IN (click, view, purchase))
     """,
 )
-def q_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unpivot (wide → long) via ``stack``; DuckDB's UNPIVOT drops no rows
-    here because counts are never NULL."""
-    wide = q_event_pivot(spark, sf_dir).select("user_id", "click", "view")
+def q_event_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide) via Spark's native ``.pivot()`` immediately
+    unpivoted back (wide → long) via ``stack`` — both reshape operators in
+    one driver-checked roundtrip (merged from round 2's two entries to free
+    a report seat).  The oracle is the portable conditional-aggregation +
+    UNPIVOT form; DuckDB's UNPIVOT drops no rows because counts are never
+    NULL after COALESCE."""
+    events = _t(spark, sf_dir, "events")
+    wide = (
+        events.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            F.coalesce(F.col("click"), F.lit(0)).cast("long").alias("click"),
+            F.coalesce(F.col("view"), F.lit(0)).cast("long").alias("view"),
+            F.coalesce(F.col("purchase"), F.lit(0)).cast("long").alias("purchase"),
+        )
+    )
     return wide.selectExpr(
         "user_id",
-        "stack(2, 'click', click, 'view', view) AS (metric, value)",
+        "stack(3, 'click', click, 'view', view, 'purchase', purchase)"
+        " AS (metric, value)",
     )
 
 
@@ -1568,14 +1742,19 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type, COUNT(*) AS n_events,
            ROUND(SUM(value), 6) AS sum_value,
-           ROUND(MAX(value), 6) AS max_value
+           ROUND(MAX(value), 6) AS max_value,
+           (SELECT string_agg(DISTINCT source, '|' ORDER BY source)
+            FROM documents) AS distinct_sources
     FROM events GROUP BY event_type
     """,
 )
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """event_type is the skewed key (few distinct values over many rows) —
     the salted two-phase plan must produce EXACTLY the plain GROUP BY
-    result, which is what the oracle checks."""
+    result, which is what the oracle checks.  The A6 DISTINCT check (round
+    2's standalone ``distinct_sources`` entry) rides along as a sorted
+    '|'-joined constant column: the full distinct VALUE SET stays
+    hash-checked while freeing a report seat."""
     from document_automation_spark.operators.skew import salted_agg
 
     events = _t(spark, sf_dir, "events")
@@ -1589,12 +1768,18 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         n_salt=16,
     )
+    sources = (
+        _t(spark, sf_dir, "documents")
+        .select("source")
+        .distinct()
+        .agg(F.array_join(F.sort_array(F.collect_set("source")), "|").alias("distinct_sources"))
+    )
     return out.select(
         "event_type",
         "n_events",
         F.round("sum_value_raw", 6).alias("sum_value"),
         F.round("max_value_raw", 6).alias("max_value"),
-    )
+    ).crossJoin(F.broadcast(sources))
 
 
 # =====================================================================
@@ -1914,19 +2099,80 @@ def q_dpr_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# Flagship extraction (HTML/PDF kernels → rows-only; byte-exactness is
-# proven by the pytest oracle, tests/test_extract_job.py)
+# Flagship extraction (HTML/PDF kernels).  Oracle = pinned golden: the
+# pure kernel (kernels/page.extract_page — the SAME function the Spark
+# mapInPandas batches iterate) is run once in plain Python over the same
+# deterministic 250-page set and emitted as a VALUES table
+# (document_automation_spark/golden.py), so the driver's rows+schema+hash
+# gate covers the flagship.  content_md5 pins the exact passage bytes;
+# byte-level span/text parity is additionally pytest-pinned
+# (tests/test_extract_job.py).
 # =====================================================================
 
-@register("extraction_pipeline", None)
+def _golden_extraction_oracle() -> str:
+    from document_automation_spark.golden import extraction_golden_sql
+
+    return extraction_golden_sql()
+
+
+def _extraction_projection(docs: DataFrame) -> DataFrame:
+    """Compact driver-checkable projection of the documents output:
+    the md5 stands in for the full passage text (hash-stable, no 500-char
+    strings in the compare), spans/counters ride along verbatim."""
+    return docs.select(
+        "url",
+        F.col("passage_idx").cast("long").alias("passage_idx"),
+        F.md5(F.col("content")).alias("content_md5"),
+        "char_start",
+        "char_end",
+        F.col("n_passages").cast("long").alias("n_passages"),
+        "error",
+    )
+
+
+@register("extraction_pipeline", _golden_extraction_oracle)
 def q_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_automation_spark.golden import N_GOLDEN_PAGES
     from document_automation_spark.operators.extract import ExtractConfig, extract_documents
     from document_automation_spark.sources.pages import pages_df
 
-    docs = _t(spark, sf_dir, "documents")
-    n_pages = max(200, min(2000, docs.count() // 2))
-    pages = pages_df(spark, n_pages)
-    return extract_documents(pages, ExtractConfig(n_buckets=16))
+    pages = pages_df(spark, N_GOLDEN_PAGES)
+    return _extraction_projection(extract_documents(pages, ExtractConfig(n_buckets=16)))
+
+
+@register("warc_extraction_pipeline", _golden_extraction_oracle)
+def q_warc_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real Common-Crawl container shape, end to end: the same 250
+    deterministic pages are framed into WARC/1.0 segment files (HTTP
+    response envelopes included), ingested back through the binaryFile →
+    Arrow-parse source (sources/warc.py), and extracted.  The oracle is the
+    SAME pinned golden as ``extraction_pipeline`` — WARC framing must be a
+    byte-exact roundtrip (also pytest-pinned, tests/test_warc.py)."""
+    import tempfile
+
+    from document_automation_spark.golden import N_GOLDEN_PAGES
+    from document_automation_spark.kernels.warc import build_warc
+    from document_automation_spark.operators.extract import ExtractConfig, extract_documents
+    from document_automation_spark.sources.pages import FIXTURE_VERSION, gen_rows
+    from document_automation_spark.sources.warc import pages_from_warc
+
+    warc_dir = os.path.join(
+        tempfile.gettempdir(), f"warc_golden_v{FIXTURE_VERSION}_n{N_GOLDEN_PAGES}"
+    )
+    marker = os.path.join(warc_dir, "_COMPLETE")
+    if not os.path.exists(marker):
+        os.makedirs(warc_dir, exist_ok=True)
+        per_file = 50  # several files → several binaryFile scan rows
+        for part in range(0, N_GOLDEN_PAGES, per_file):
+            pages = gen_rows(range(part, min(part + per_file, N_GOLDEN_PAGES)))
+            tmp = os.path.join(warc_dir, f".part-{part:05d}.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(build_warc(pages))
+            os.replace(tmp, os.path.join(warc_dir, f"part-{part:05d}.warc"))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    pages = pages_from_warc(spark, warc_dir)
+    return _extraction_projection(extract_documents(pages, ExtractConfig(n_buckets=16)))
 
 
 # The driver's CORRECTNESS report covers at most the FIRST 50 registry
@@ -1938,3 +2184,6 @@ _REGISTRY = {
     **{k: _REGISTRY[k] for k in _FRONT if k in _REGISTRY},
     **{k: v for k, v in _REGISTRY.items() if k not in _FRONT},
 }
+# loud overflow guard: a future @register pushing entry 51 out of the
+# driver's report would otherwise silently drop coverage
+assert len(_REGISTRY) <= 50, f"registry has {len(_REGISTRY)} entries (driver reports 50)"

@@ -41,11 +41,27 @@ class RetrievalState:
     """Reusable corpus-side state (persist once, query many times).
 
     Holding the BM25 index here (not rebuilding per query) is what makes
-    ``retrieve`` leak-free: repeated calls add ZERO cached state."""
+    ``retrieve`` leak-free: repeated calls add ZERO cached state.  The
+    state pins three cached tables (documents, embeddings, BM25 postings)
+    for its whole lifetime — call :meth:`unpersist` (or use the state as a
+    context manager) when retiring it; one-shot ``bm25_scores`` calls that
+    bypass this state leave their per-call index persisted (see the NOTE
+    on operators.bm25.bm25_scores)."""
 
     documents: DataFrame  # (doc_id, text)
     embedded: DataFrame  # (doc_id, embedding)
     bm25: Bm25Index
+
+    def unpersist(self) -> None:
+        self.documents.unpersist()
+        self.embedded.unpersist()
+        self.bm25.unpersist()
+
+    def __enter__(self) -> "RetrievalState":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.unpersist()
 
 
 def build_retrieval_state(documents: DataFrame) -> RetrievalState:
