@@ -94,7 +94,10 @@ def embed_documents(documents: DataFrame, dim: int = 16) -> DataFrame:
 
 
 def assign_dense_vector_ids(
-    embedded: DataFrame, order_col: str = "doc_id", num_partitions: int | None = None
+    embedded: DataFrame,
+    order_col: str = "doc_id",
+    num_partitions: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Dense 0-based vector_id over a deterministic total order (A9).
 
@@ -105,19 +108,30 @@ def assign_dense_vector_ids(
     moves ALL rows to a single partition.  Requires ``order_col`` unique
     (doc ids are); ids equal ``row_number() OVER (ORDER BY order_col) - 1``.
 
-    The range-partitioned input stays persisted (the count job and the id
-    job must see the same partitioning); callers looping over incremental
-    batches should ``spark.catalog.clearCache()`` between rounds or write
-    the ids out and re-read — one cached copy per call otherwise.
+    Cache lifecycle: the range-partitioned input stays persisted (explicit
+    MEMORY_AND_DISK: evicted memory blocks spill rather than silently
+    recompute) because the count job and the id job must see the same
+    partitioning.  Correctness does NOT depend on the cache surviving:
+    a lost block recomputes through ``repartitionByRange``, whose boundary
+    sampling is seed-deterministic per partition on the same input, so
+    recomputed partitions carry the same rows/offsets (pinned by
+    tests/test_embed.py::test_dense_ids_survive_cache_eviction).  Pass
+    ``cache_registry=[]`` to receive the persisted handle for explicit
+    ``unpersist()`` once the output is materialized; loop callers may
+    instead ``spark.catalog.clearCache()`` between rounds.
     """
+    from pyspark import StorageLevel
+
     spark = embedded.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     parts = (
         embedded.repartitionByRange(n, order_col)
         .sortWithinPartitions(order_col)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if cache_registry is not None:
+        cache_registry.append(parts)
     counts = parts.groupBy("_pid").count().collect()
     offsets: dict[int, int] = {}
     acc = 0

@@ -49,9 +49,13 @@ _NUM = rb"[-+]?(?:\d+\.?\d*|\.\d+)"
 _TOKEN = re.compile(
     rb"\((?P<s>(?:[^()\\]|\\.)*)\)\s*Tj"  # (string) Tj
     rb"|\[(?P<arr>(?:[^\]\\]|\\.)*)\]\s*TJ"  # [(a) -12 (b)] TJ
-    rb"|(?P<move>" + _NUM + rb"\s+" + _NUM + rb"\s+T[dD]"  # x y Td / TD
+    # PDF lexing permits '20Td' — no delimiter between the LAST operand and
+    # the operator (numbers self-terminate at a non-number char), so the
+    # trailing separator is \s* where \s+ would silently drop the move op
+    # and merge distinct baselines into one line
+    rb"|(?P<move>" + _NUM + rb"\s+" + _NUM + rb"\s*T[dD]"  # x y Td / TD
     rb"|T\*"  # next line
-    rb"|(?:" + _NUM + rb"\s+){6}Tm)",  # text matrix reset
+    rb"|(?:" + _NUM + rb"\s+){5}" + _NUM + rb"\s*Tm)",  # text matrix reset
     re.DOTALL,
 )
 _ARRAY_STRING = re.compile(rb"\((?P<s>(?:[^()\\]|\\.)*)\)", re.DOTALL)

@@ -153,18 +153,22 @@ def minhash_lsh_candidates(
         .persist()
     )
     if max_bucket_size is not None:
-        # hot buckets are by definition FEW (outliers above the cap), so
-        # collect their keys and push an isin-filter onto the one persisted
-        # table — no second cached copy, no per-join-side semi-join re-run
-        hot = [
-            r.band_key
-            for r in banded.groupBy("band_key")
+        # hot buckets are by definition FEW (outliers above the cap); band
+        # keys however are LONG raw signature strings, so a big hot list as
+        # an isin literal would bloat the plan (and the driver).  Hybrid:
+        # collect when the list is tiny (cheap pushed-down In filter on the
+        # one persisted table), broadcast left_anti join otherwise.
+        _ISIN_CAP = 64
+        hot_df = (
+            banded.groupBy("band_key")
             .agg(F.count(F.lit(1)).alias("n"))
             .filter(F.col("n") > max_bucket_size)
             .select("band_key")
-            .collect()
-        ]
-        if hot:
+        )
+        hot = [r.band_key for r in hot_df.limit(_ISIN_CAP + 1).collect()]
+        if len(hot) > _ISIN_CAP:
+            banded = banded.join(F.broadcast(hot_df), "band_key", "left_anti")
+        elif hot:
             banded = banded.filter(~F.col("band_key").isin(hot))
     a, b = banded.alias("a"), banded.alias("b")
     return (

@@ -354,3 +354,22 @@ class TestSimhashNearDup:
         assert uncapped.count() >= 190 + 1  # C(20,2) boilerplate + the pair
         got = {(r.doc_a, r.doc_b) for r in capped.collect()}
         assert got == {(100, 101)}  # hot bucket gone, genuine pair kept
+
+    def test_hot_bucket_cap_broadcast_path(self, spark):
+        """>64 distinct hot band keys → the broadcast left_anti path (no
+        giant isin literal) must drop the same buckets the isin path would:
+        every over-cap clique vanishes, the under-cap pair survives."""
+        from document_automation_spark.operators.dedup import minhash_lsh_candidates
+
+        rows = []
+        # 9 cliques of 3 identical docs: each clique owns 8 hot band keys
+        # (one per band) → 72 hot keys > the 64-key isin cap
+        for g in range(9):
+            text = f"clique {g} boilerplate sentence repeated for shingles " * 8
+            rows += [(g * 10 + j, text) for j in range(3)]
+        rows += [(900, "unique survivor pair text with words " * 10),
+                 (901, "unique survivor pair text with words " * 10)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        capped = minhash_lsh_candidates(docs, max_bucket_size=2)
+        got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+        assert got == {(900, 901)}

@@ -404,6 +404,16 @@ class TestPdfReviewRegressions:
         # .5 / -.5 reals must flush baselines: three lines, not one
         assert extract_text_pdf(pdf) == "abc"
 
+    def test_undelimited_move_operator_flushes_baseline(self):
+        # PDF lexing allows '20Td' / '...20Tm' with NO whitespace before the
+        # operator (numbers self-terminate): the move must still flush the
+        # line or distinct baselines silently merge (round-2 advice)
+        pdf = b"%PDF-1.4\nBT (a) Tj 0 -14Td (b) Tj 1 0 0 1 72 700Tm (c) Tj ET"
+        assert extract_text_pdf(pdf) == "abc"
+        # fixture shape (delimited) must be unchanged
+        pdf2 = b"%PDF-1.4\nBT (a) Tj 0 -14 Td (b) Tj ET"
+        assert extract_text_pdf(pdf2) == "ab"
+
     def test_indirect_length_not_misparsed(self):
         from document_automation_spark.kernels.pdf_extract import _LENGTH
 

@@ -67,3 +67,23 @@ class TestRetrieve:
         for doc_id, score in ens.items():
             expected = bm25.get(doc_id, 0.0) + 1.5 * cos.get(doc_id, 0.0)
             assert score == pytest.approx(expected, abs=1e-9)
+
+
+class TestStateLifecycle:
+    """Round-3 advice: cached state must be releasable (no silent leaks)."""
+
+    def test_bm25_index_context_manager_unpersists(self, spark, sf_dir):
+        from document_automation_spark.operators.bm25 import build_bm25_index
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+        with build_bm25_index(docs) as index:
+            index.tf.count()
+            assert index.tf.storageLevel.useMemory or index.tf.storageLevel.useDisk
+        assert not (index.tf.storageLevel.useMemory or index.tf.storageLevel.useDisk)
+
+    def test_retrieval_state_context_manager_unpersists(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+        with build_retrieval_state(docs) as st:
+            st.documents.count()
+        for df in (st.documents, st.embedded, st.bm25.tf):
+            assert not (df.storageLevel.useMemory or df.storageLevel.useDisk)

@@ -156,6 +156,24 @@ class TestEmbed:
         by_doc = sorted(out, key=lambda r: r.doc_id)
         assert [r.vector_id for r in by_doc] == ids  # ordered by doc_id
 
+    def test_dense_ids_survive_cache_eviction(self, spark, sf_dir):
+        """Ids must stay dense + identical when the persisted range
+        partitioning is dropped and recomputed (RangePartitioner boundary
+        sampling is seed-deterministic on the same input) — the correctness
+        property the MEMORY_AND_DISK cache is an optimization for, not a
+        dependency of."""
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+        handles: list = []
+        out = assign_dense_vector_ids(embed_documents(docs), cache_registry=handles)
+        first = {r.doc_id: r.vector_id for r in out.collect()}
+        assert len(handles) == 1
+        # evict the cached partitioning: the next materialization recomputes
+        # through repartitionByRange from scratch
+        handles[0].unpersist(blocking=True)
+        second = {r.doc_id: r.vector_id for r in out.collect()}
+        assert first == second
+        assert sorted(second.values()) == list(range(len(second)))
+
     def test_missing_embeddings_resume_predicate(self, spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
         partial = embed_documents(docs.filter(F.col("doc_id") < 10))
