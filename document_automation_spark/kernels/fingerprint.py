@@ -14,8 +14,9 @@ than crc32.  md5 is ~3× slower per shingle, but it is the only hash this
 container's SQL oracle engine (DuckDB) can recompute — which turns MinHash
 signatures, LSH candidate pairs, SimHash fingerprints and the whole
 near-dup pipeline into *driver-checkable* queries instead of trust-me
-Python.  At 100 TB, if verification is handled elsewhere, swap
-``stable_hash60/stable_hash64`` for crc32/xxhash — every downstream
+Python.  At 100 TB, if verification is handled elsewhere, pass
+``hash_impl='crc32'`` (a TESTED switch on every fingerprint kernel and the
+dedup operators above them — :func:`fast_hash64`) — every downstream
 contract (permutation math, banding, Hamming buckets) is hash-agnostic.
 """
 
@@ -58,6 +59,34 @@ def stable_hash60(s: str) -> int:
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
 
 
+@lru_cache(maxsize=_HASH_CACHE_SIZE)
+def fast_hash64(s: str) -> int:
+    """The flagged FAST base hash (``hash_impl='crc32'``): two C-speed
+    crc32 passes with different init values → 64 process-stable bits.
+
+    This is the documented "swap at one point" path for 100 TB runs where
+    driver-checkability isn't needed: every downstream contract
+    (permutation math, banding, Hamming buckets) is hash-agnostic, and
+    tests/test_dedup_similarity.py pins that both impls produce the SAME
+    candidate-pair sets on the near-dup fixture.  (xxhash would be the
+    usual pick; this container has no python xxhash, and crc32 via zlib is
+    the same C-speed class.)  NOT SQL-reproducible — the md5 default stays
+    the oracle-parity impl."""
+    import zlib
+
+    b = s.encode("utf-8")
+    return (zlib.crc32(b) << 32) | zlib.crc32(b, 0x9E3779B9)
+
+
+@lru_cache(maxsize=_HASH_CACHE_SIZE)
+def fast_hash60(s: str) -> int:
+    return fast_hash64(s) >> 4
+
+
+_HASH60 = {"md5": stable_hash60, "crc32": fast_hash60}
+_HASH64 = {"md5": stable_hash64, "crc32": fast_hash64}
+
+
 def char_shingles(text: str, k: int = 5) -> List[str]:
     """Overlapping character k-grams (code-point based)."""
     if len(text) < k:
@@ -79,7 +108,9 @@ def _perm_params(num_perm: int, seed: int = 42) -> List[tuple]:
 _PERM_CACHE: dict = {}
 
 
-def minhash_signature(text: str, num_perm: int = 32, k: int = 5, seed: int = 42) -> List[int]:
+def minhash_signature(
+    text: str, num_perm: int = 32, k: int = 5, seed: int = 42, hash_impl: str = "md5"
+) -> List[int]:
     """MinHash signature over character k-shingles.
 
     ``sig[i] = min over shingles of (a_i·h(shingle) + b_i) mod (2^31-1)``.
@@ -89,7 +120,8 @@ def minhash_signature(text: str, num_perm: int = 32, k: int = 5, seed: int = 42)
     every product ``a·h + b`` stays below 2^63, so the whole
     (num_perm × n_shingles) sweep runs as native uint64 ops — ~50× the
     scalar loop.  The shingle base hash is md5-top-60-bits (cached,
-    SQL-reproducible — see module docstring).
+    SQL-reproducible — see module docstring) by default;
+    ``hash_impl='crc32'`` is the flagged fast path (:func:`fast_hash60`).
     """
     key = (num_perm, seed)
     if key not in _PERM_CACHE:
@@ -99,12 +131,13 @@ def minhash_signature(text: str, num_perm: int = 32, k: int = 5, seed: int = 42)
             np.array([b for _, b in params], dtype=np.uint64),
         )
     a_vec, b_vec = _PERM_CACHE[key]
+    base_hash = _HASH60[hash_impl]
 
     shingles = set(char_shingles(text, k))
     if not shingles:
         return [_MAX_HASH] * num_perm
     h = np.fromiter(
-        (stable_hash60(s) % MERSENNE_31 for s in shingles),
+        (base_hash(s) % MERSENNE_31 for s in shingles),
         dtype=np.uint64,
         count=len(shingles),
     )
@@ -131,7 +164,7 @@ def lsh_band_keys(signature: Sequence[int], bands: int = 8) -> List[str]:
     return keys
 
 
-def simhash64(text: str, k: int = 3) -> int:
+def simhash64(text: str, k: int = 3, hash_impl: str = "md5") -> int:
     """64-bit SimHash over character k-shingles (unweighted).
 
     Vectorized: shingle hashes → (n, 64) bit matrix via numpy shifts; the
@@ -139,8 +172,9 @@ def simhash64(text: str, k: int = 3) -> int:
     shingles = set(char_shingles(text, k))
     if not shingles:
         return 0
+    base_hash = _HASH64[hash_impl]
     h = np.fromiter(
-        (stable_hash64(s) for s in shingles), dtype=np.uint64, count=len(shingles)
+        (base_hash(s) for s in shingles), dtype=np.uint64, count=len(shingles)
     )
     bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
     ones = bits.sum(axis=0, dtype=np.int64)

@@ -69,7 +69,11 @@ def duplicate_groups(documents: DataFrame) -> DataFrame:
 
 
 def minhash_signatures(
-    documents: DataFrame, num_perm: int = 32, k: int = 5, seed: int = 42
+    documents: DataFrame,
+    num_perm: int = 32,
+    k: int = 5,
+    seed: int = 42,
+    hash_impl: str = "md5",
 ) -> DataFrame:
     """(doc_id, signature:array<long>) via the Arrow-batched MinHash kernel."""
     import pandas as pd
@@ -89,7 +93,9 @@ def minhash_signatures(
                 {
                     "doc_id": batch["doc_id"].values,
                     "signature": [
-                        minhash_signature(t, num_perm=num_perm, k=k, seed=seed)
+                        minhash_signature(
+                            t, num_perm=num_perm, k=k, seed=seed, hash_impl=hash_impl
+                        )
                         for t in batch["text"]
                     ],
                 }
@@ -105,6 +111,7 @@ def minhash_lsh_candidates(
     k: int = 5,
     seed: int = 42,
     max_bucket_size: int | None = None,
+    hash_impl: str = "md5",
 ) -> DataFrame:
     """LSH candidate pairs: signature → band keys → explode → self-group.
 
@@ -134,7 +141,9 @@ def minhash_lsh_candidates(
         for batch in batches:
             ids, keys = [], []
             for doc_id, text in zip(batch["doc_id"], batch["text"]):
-                sig = minhash_signature(text, num_perm=num_perm, k=k, seed=seed)
+                sig = minhash_signature(
+                    text, num_perm=num_perm, k=k, seed=seed, hash_impl=hash_impl
+                )
                 for key in lsh_band_keys(sig, bands=bands):
                     ids.append(doc_id)
                     keys.append(key)
@@ -249,6 +258,7 @@ def near_dup_dedup(
     seed: int = 42,
     canonicalize: str = "greedy",
     cc_max_iterations: int = 30,
+    hash_impl: str = "md5",
 ) -> DataFrame:
     """The production near-dup pipeline, end to end:
 
@@ -270,7 +280,8 @@ def near_dup_dedup(
     Returns the surviving documents (same schema as the input).
     """
     candidates = minhash_lsh_candidates(
-        documents, num_perm=num_perm, bands=bands, k=shingle_k, seed=seed
+        documents, num_perm=num_perm, bands=bands, k=shingle_k, seed=seed,
+        hash_impl=hash_impl,
     )
     # verify-stage set algebra runs on 8-byte xxhash64 gram hashes, not the
     # gram strings: identical Jaccard values absent collisions (per-pair
@@ -304,7 +315,9 @@ def near_dup_dedup(
     return documents.join(dropped, "doc_id", "left_anti")
 
 
-def simhash_fingerprints(documents: DataFrame, k: int = 3) -> DataFrame:
+def simhash_fingerprints(
+    documents: DataFrame, k: int = 3, hash_impl: str = "md5"
+) -> DataFrame:
     """(doc_id, simhash:long) — 64-bit fingerprint, bucketable directly.
 
     Stored as signed int64 (bit-pattern reinterpret) to stay Spark/Parquet
@@ -316,7 +329,7 @@ def simhash_fingerprints(documents: DataFrame, k: int = 3) -> DataFrame:
 
     @F.pandas_udf(T.LongType())
     def simhash_udf(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: to_signed64(simhash64(t, k=k)))
+        return texts.map(lambda t: to_signed64(simhash64(t, k=k, hash_impl=hash_impl)))
 
     return documents.select(
         "doc_id", simhash_udf(F.col("text")).alias("simhash")
@@ -324,7 +337,11 @@ def simhash_fingerprints(documents: DataFrame, k: int = 3) -> DataFrame:
 
 
 def simhash_near_dup_pairs(
-    documents: DataFrame, max_hamming: int = 3, k: int = 3, n_bands: int = 4
+    documents: DataFrame,
+    max_hamming: int = 3,
+    k: int = 3,
+    n_bands: int = 4,
+    hash_impl: str = "md5",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance — banded multi-probe.
 
@@ -354,7 +371,9 @@ def simhash_near_dup_pairs(
     # empty text → sentinel fingerprint 0 for ALL of them: they are exact
     # dups (exact_dedup's job), and would otherwise bucket-collide m² ways
     fps = simhash_fingerprints(
-        documents.filter(F.col("text").isNotNull() & (F.length("text") > 0)), k=k
+        documents.filter(F.col("text").isNotNull() & (F.length("text") > 0)),
+        k=k,
+        hash_impl=hash_impl,
     )
     banded = fps.select(
         "doc_id",
