@@ -167,6 +167,59 @@ def main() -> None:
         spark.catalog.clearCache()
     timings["minhash_lsh_candidates_crc32"] = round(best, 3)
 
+    # -- skew evidence: one key owns 95% of a shuffle join's fact side.
+    # Three variants: unsalted with AQE off (the naive single-reducer
+    # plan), manually salted (operators/skew.salted_join — the explicit
+    # lever), and unsalted with AQE's runtime skew-join split.  Broadcast
+    # is disabled for all three: a broadcastable dim would HIDE the skew,
+    # and at 100 TB the skewed side of a storage-partitioned or
+    # bucket-join isn't always broadcastable.
+    from document_automation_spark.operators.skew import salted_join
+
+    n_fact = max(400_000, int(40_000_000 * sf))
+    fact = spark.range(n_fact).selectExpr(
+        "CASE WHEN id % 100 < 95 THEN 'hot' ELSE concat('k', id % 37) END AS key",
+        "id AS v",
+        "repeat('x', 32) AS pad",  # realistic row width so shuffle bytes matter
+    )
+    dim = (
+        spark.range(38)
+        .selectExpr(
+            "CASE WHEN id = 0 THEN 'hot' ELSE concat('k', id % 37) END AS key",
+            "id * 10 AS dim_v",
+        )
+        .dropDuplicates(["key"])
+    )
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # AQE's skew split never fires at bench scale with the 256 MB default
+    # threshold — tune it to the data so the AQE variant shows AQE's best
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+
+    def _timed_best2(make_df) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            sink(make_df())
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    timings["skew_join_hot95_unsalted_noaqe"] = _timed_best2(
+        lambda: fact.join(dim, ["key"])
+    )
+    timings["skew_join_hot95_salted"] = _timed_best2(
+        lambda: salted_join(fact, dim, ["key"], n_salt=cpus)
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    timings["skew_join_hot95_unsalted_aqe"] = _timed_best2(
+        lambda: fact.join(dim, ["key"])
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+    spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -100,3 +100,47 @@ def salted_agg(
 
     partials = df.withColumn("__salt", salt).groupBy(*key_cols, "__salt").agg(*phase1_aggs)
     return partials.groupBy(*key_cols).agg(*phase2_aggs)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key_cols: Sequence[str],
+    n_salt: int = 16,
+    salt_only: List | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join, result-identical to ``fact.join(dim, key_cols,
+    how)`` for ``inner``/``left`` joins.
+
+    A sort-merge join on a 95%-hot key puts 95% of the fact table into ONE
+    reducer; AQE's skew-join split fixes this at runtime, but only for
+    shuffle joins it can see the sizes of — this is the explicit/manual
+    lever for when AQE is unavailable (plan boundaries, disabled, or a
+    storage-partitioned join).  Mechanism: every fact row gets a
+    deterministic task-local salt; the dim side is replicated ``n_salt``
+    ways (dims are the small side by definition — replication is cheap);
+    the join keys on (key…, salt), splitting each hot key across
+    ``n_salt`` reducers.  Each fact row still matches exactly one dim
+    replica, so multiplicities are unchanged.  ``salt_only`` restricts
+    salting to known-hot key values (cold keys keep salt 0 — no extra dim
+    replicas matched, no shuffle inflation).
+
+    ``right``/``full`` joins are rejected: an unmatched dim row would
+    surface once per replica.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    first_key = F.col(key_cols[0])
+    task_salt = F.pmod(F.spark_partition_id().cast("long"), F.lit(n_salt))
+    if salt_only is None:
+        fact_salt = task_salt
+    else:
+        fact_salt = F.when(first_key.isin(list(salt_only)), task_salt).otherwise(
+            F.lit(0)
+        )
+    salted_fact = fact.withColumn("__salt", fact_salt)
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i).cast("long") for i in range(n_salt)]))
+    )
+    return salted_fact.join(salted_dim, [*key_cols, "__salt"], how).drop("__salt")

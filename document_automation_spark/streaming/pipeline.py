@@ -112,7 +112,7 @@ def streaming_lsh_candidates(
     shingle_k: int = 5,
     seed: int = 42,
     max_bucket_size: int | None = None,
-    state_ttl_minutes: int | None = None,
+    state_ttl_minutes: float | None = None,
 ) -> DataFrame:
     """Cross-micro-batch MinHash-LSH candidate pairs — the streaming twin
     of ``dedup.minhash_lsh_candidates``.
@@ -138,7 +138,11 @@ def streaming_lsh_candidates(
       ``batch × bucket`` even uncapped.
     * ``state_ttl_minutes``: processing-time TTL evicting idle buckets, so
       total state is O(arrivals per TTL window), not O(corpus).  ``None``
-      (no eviction) is only sane for finite backfills.
+      (no eviction) is only sane for finite backfills.  Semantics to know:
+      a bucket receiving new data in a batch is never ``hasTimedOut`` (its
+      clock resets), and with the TTL armed an idle always-on query keeps
+      scheduling micro-batches to process evictions — state hygiene in
+      production; use ``trigger(availableNow=True)`` for finite drains.
 
     Input: (doc_id, text) stream; output: (doc_a, doc_b) with
     doc_a < doc_b, possibly duplicated across bands — dedup downstream per
@@ -192,7 +196,7 @@ def streaming_lsh_candidates(
                 yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
         state.update((seen,))
         if state_ttl_minutes is not None:
-            state.setTimeoutDuration(state_ttl_minutes * 60_000)
+            state.setTimeoutDuration(int(state_ttl_minutes * 60_000))
         yield pd.DataFrame({"doc_a": [], "doc_b": []})
 
     timeout = (

@@ -82,3 +82,58 @@ def test_host_of(spark):
 def test_salted_agg_rejects_non_algebraic(skewed):
     with pytest.raises(ValueError):
         salted_agg(skewed, ["k"], {"m": ("median", "v")})
+
+
+class TestSaltedJoin:
+    @staticmethod
+    def _skewed(spark):
+        fact = spark.range(20_000).selectExpr(
+            "CASE WHEN id % 100 < 95 THEN 'hot' ELSE concat('k', id % 37) END AS key",
+            "id AS v",
+        )
+        dim = spark.range(40).selectExpr(
+            "CASE WHEN id = 0 THEN 'hot' ELSE concat('k', id % 37) END AS key",
+            "id * 10 AS dim_v",
+        ).dropDuplicates(["key"])
+        return fact, dim
+
+    def test_inner_identical_to_plain(self, spark):
+        from document_automation_spark.operators.skew import salted_join
+
+        fact, dim = self._skewed(spark)
+        plain = fact.join(dim, ["key"]).groupBy("key").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"), F.max("dim_v").alias("dv")
+        )
+        salted = salted_join(fact, dim, ["key"], n_salt=8).groupBy("key").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"), F.max("dim_v").alias("dv")
+        )
+        assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    def test_left_keeps_unmatched_fact_rows_once(self, spark):
+        from document_automation_spark.operators.skew import salted_join
+
+        fact, dim = self._skewed(spark)
+        dim_missing = dim.filter(F.col("key") != "k3")
+        plain = fact.join(dim_missing, ["key"], "left")
+        salted = salted_join(fact, dim_missing, ["key"], n_salt=8, how="left")
+        assert plain.count() == salted.count() == fact.count()
+        assert (
+            salted.filter(F.col("key") == "k3").filter(F.col("dim_v").isNotNull()).count() == 0
+        )
+
+    def test_salt_only_restricts_replication_matches(self, spark):
+        from document_automation_spark.operators.skew import salted_join
+
+        fact, dim = self._skewed(spark)
+        plain_n = fact.join(dim, ["key"]).count()
+        salted = salted_join(fact, dim, ["key"], n_salt=8, salt_only=["hot"])
+        assert salted.count() == plain_n
+
+    def test_right_full_rejected(self, spark):
+        from document_automation_spark.operators.skew import salted_join
+
+        fact, dim = self._skewed(spark)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="inner/left"):
+            salted_join(fact, dim, ["key"], how="full")
