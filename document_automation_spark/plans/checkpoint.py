@@ -136,9 +136,17 @@ def run_extraction_job(
     )
     wall_ms = int((time.time() - started) * 1000)
 
-    # Post-commit accounting per bucket (a second tiny scan of what was
-    # just written — cheap relative to extraction, and exact).
-    written = spark.read.schema(DOCUMENTS_SCHEMA).parquet(data_path(output_path))
+    # Post-commit accounting per bucket: a second scan of what was just
+    # written, but PRUNED to the two tiny columns the counters need (the
+    # bucket partition column is discovered from the directory layout).
+    # Reading the full schema here cost ~14 s of a 24 s sf0.1 job — the
+    # cold re-read of the wide `content` column; the pruned read is ~1 s.
+    # (Persisting the extracted rows through the write to skip the re-scan
+    # entirely was measured WORSE: caching the wide rows inflated the
+    # write phase 14 s → 32 s.)
+    written = spark.read.schema("passage_idx int, error string").parquet(
+        data_path(output_path)
+    )
     if already_done:
         written = written.filter(~F.col("bucket").isin(sorted(already_done)))
     stats = (
