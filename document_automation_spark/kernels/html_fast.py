@@ -29,23 +29,38 @@ from document_automation_spark.kernels.html_extract import (
 )
 from document_automation_spark.kernels.textproc import join_clean_lines
 
-# One token per scan step: comment | declaration | end tag | start tag.
-_TOKEN = re.compile(
+# One token per scan step: comment | declaration | end tag | start tag,
+# with the tolerant fallbacks (malformed attribute quoting, bogus end
+# tags) as LOWER-priority alternatives in the same pattern — alternation
+# order reproduces the old strict-then-tolerant two-step exactly, while a
+# single ``finditer`` sweep replaces the python-level find('<') + match()
+# + match() loop (the kernel's hottest lines).
+#
+# html.parser alignment (round 3 — the class of divergence a fuzz sweep
+# found in the round-2 pattern):
+# * tag NAMES use tagfind_tolerant's charset ``[a-zA-Z][^\t\n\r\f />\0]*``
+#   (so ``<a'>`` names the element "a'", exactly like html.parser — the
+#   old pattern mis-lexed the quote as an attribute and spanned past the
+#   ``>``);
+# * quoted attribute spans only swallow ``>`` when the quote follows
+#   ``=`` (html.parser treats a bare quote as an attribute NAME char, so
+#   ``<p "x>y">`` must end at the first ``>``).
+# Parity: 0 divergences vs the html.parser spec over a 4000-case seeded
+# tag-soup fuzz + the whole fixture corpus (tests/test_kernels.py).
+# Groups: 1 strict end | 2,3,4 strict start | 5 tolerant end |
+# 6,7,8 tolerant start | (bogus end: no groups).
+_NAME = r"[a-zA-Z][^\t\n\r\f />\x00]*"
+_TOKEN_ALL = re.compile(
     r"<!--.*?-->"
     r"|<!\[CDATA\[.*?\]\]>"
     r"|<![^>]*>"
     r"|<\?[^>]*>"
-    r"|</\s*([a-zA-Z][a-zA-Z0-9:_-]*)\s*>"
-    r"|<([a-zA-Z][a-zA-Z0-9:_-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/?)>",
+    rf"|</\s*({_NAME})\s*>"
+    rf"|<({_NAME})((?:=\s*\"[^\"]*\"|=\s*'[^']*'|=|[^>\"'=])*)(/?)>"
+    rf"|</\s*({_NAME})[^>]*>"
+    rf"|<({_NAME})([^>]*?)(/?)>"
+    r"|</[^>]*>",  # bogus end tag (</>, </123>) — html.parser skips it
     re.DOTALL,
-)
-
-# tolerant fallback for malformed attribute quoting (e.g. <a'>): consume to
-# the next '>' like html.parser's tolerant start-tag scan
-_TOKEN_TOLERANT = re.compile(
-    r"</\s*([a-zA-Z][a-zA-Z0-9:_-]*)[^>]*>"
-    r"|<([a-zA-Z][a-zA-Z0-9:_-]*)([^>]*?)(/?)>"
-    r"|</[^>]*>"  # bogus end tag (</>, </123>) — html.parser skips it
 )
 
 _ATTR = re.compile(
@@ -101,6 +116,8 @@ def extract_main_text_html_fast(html: str) -> str:
         nonlocal cur_chars, cur_link
         if drop_depth > 0 or not text:
             return
+        if text.isspace():  # would normalize to stripped_len 0 below
+            return
         if _HAS_ENTITY.search(text):
             text = unescape(text)
         normalized = _WS_RUN.sub(" ", text)
@@ -112,70 +129,87 @@ def extract_main_text_html_fast(html: str) -> str:
         if anchor_depth > 0:
             cur_link += stripped_len
 
+    def gap(text: str) -> None:
+        # text between token matches.  A '<' inside it is one the tokenizer
+        # found no tag at (html.parser's stray-'<' recovery): emit it as
+        # its own data chunk, exactly as the old per-position loop did —
+        # whitespace normalization is per-chunk, so chunk boundaries are
+        # semantics, not cosmetics.
+        if "<" in text:
+            first = True
+            for piece in text.split("<"):
+                if not first:
+                    data("<")
+                if piece:
+                    data(piece)
+                first = False
+        else:
+            data(text)
+
     pos = 0
     n = len(html)
-    while pos < n:
-        lt = html.find("<", pos)
-        if lt == -1:
-            data(html[pos:])
-            break
-        if lt > pos:
-            data(html[pos:lt])
-        m = _TOKEN.match(html, lt)
-        if m is None:
-            m = _TOKEN_TOLERANT.match(html, lt)
-        if m is None:  # stray '<' — treat as text like html.parser's recovery
-            data("<")
-            pos = lt + 1
-            continue
-        pos = m.end()
-        end_tag, start_tag, attr_str, self_close = m.groups()[:4]
-        if start_tag is not None:
-            tag = start_tag.lower()
-            if tag in _RAWTEXT_CLOSE and not self_close:
-                close = _RAWTEXT_CLOSE[tag].search(html, pos)
-                raw_end = close.start() if close else n
-                pos = close.end() if close else n
-                # raw content of script/style/... is never document text
-                raw_is_dropped = True
-            else:
-                raw_is_dropped = False
-            dropped = tag in _DROP_TAGS or _attrs_boilerplate(attr_str)
-            if self_close:
+    while True:
+        jumped = False
+        for m in _TOKEN_ALL.finditer(html, pos):
+            if m.start() > pos:
+                gap(html[pos : m.start()])
+            pos = m.end()
+            # dispatch on lastindex — each alternative ends in a distinct
+            # group: strict end → 1, strict start → 4 (the (/?) group
+            # matches empty, so it always participates), tolerant end → 5,
+            # tolerant start → 8, comment/declaration/bogus end → None.
+            li = m.lastindex
+            if li == 4 or li == 8:
+                if li == 4:
+                    start_tag, attr_str, self_close = m.group(2, 3, 4)
+                else:
+                    start_tag, attr_str, self_close = m.group(6, 7, 8)
+                tag = start_tag.lower()
+                if tag in _RAWTEXT_CLOSE and not self_close:
+                    # raw content of script/style/... is never document
+                    # text; subtree contributes nothing (matches
+                    # html.parser + _DROP_TAGS behavior).  finditer can't
+                    # skip forward, so restart the sweep past the close.
+                    close = _RAWTEXT_CLOSE[tag].search(html, pos)
+                    pos = close.end() if close else n
+                    jumped = True
+                    break
+                dropped = tag in _DROP_TAGS or _attrs_boilerplate(attr_str)
+                if self_close:
+                    if tag in _BLOCK_TAGS:
+                        flush()
+                    continue
+                if tag not in _VOID_TAGS:
+                    stack.append((tag, dropped))
+                    if dropped:
+                        drop_depth += 1
                 if tag in _BLOCK_TAGS:
                     flush()
-                continue
-            if raw_is_dropped:
-                # consumed its own close tag already; subtree contributed
-                # nothing (matches html.parser + _DROP_TAGS behavior)
-                continue
-            if tag not in _VOID_TAGS:
-                stack.append((tag, dropped))
-                if dropped:
-                    drop_depth += 1
-            if tag in _BLOCK_TAGS:
-                flush()
-            if tag == "a":
-                anchor_depth += 1
-        elif end_tag is not None:
-            tag = end_tag.lower()
-            if tag in _BLOCK_TAGS:
-                flush()
-            if tag in _VOID_TAGS:
-                continue
-            # matching-pop: close the nearest open tag of this name; a
-            # stray close (incl. raw-text closes, which are never pushed)
-            # is ignored — same rule as the html.parser specification
-            for i in range(len(stack) - 1, -1, -1):
-                if stack[i][0] == tag:
-                    for popped_tag, popped_drop in stack[i:]:
-                        if popped_drop:
-                            drop_depth -= 1
-                        if popped_tag == "a" and anchor_depth > 0:
-                            anchor_depth -= 1
-                    del stack[i:]
-                    break
-        # comments/declarations: skipped entirely
+                if tag == "a":
+                    anchor_depth += 1
+            elif li == 1 or li == 5:
+                tag = m.group(li).lower()
+                if tag in _BLOCK_TAGS:
+                    flush()
+                if tag in _VOID_TAGS:
+                    continue
+                # matching-pop: close the nearest open tag of this name; a
+                # stray close (incl. raw-text closes, which are never
+                # pushed) is ignored — same rule as the html.parser spec
+                for i in range(len(stack) - 1, -1, -1):
+                    if stack[i][0] == tag:
+                        for popped_tag, popped_drop in stack[i:]:
+                            if popped_drop:
+                                drop_depth -= 1
+                            if popped_tag == "a" and anchor_depth > 0:
+                                anchor_depth -= 1
+                        del stack[i:]
+                        break
+            # comments/declarations/bogus ends: skipped entirely
+        if not jumped:
+            break
+    if pos < n:
+        gap(html[pos:])
 
     flush()
 

@@ -533,3 +533,45 @@ class TestCharsetFallback:
         payload = b'<a href="/view?charset=iso-8859-1">x</a>\xff\xfe\x80junk'
         rows = extract_page("https://h/cl.html", payload)
         assert len(rows) == 1 and rows[0].error is not None  # still quarantined
+
+
+class TestFastHtmlFuzzParity:
+    """Round-3: the regex tokenizer is fuzz-pinned against the html.parser
+    specification — including the malformed-markup classes the round-2
+    pattern mis-lexed (quote characters in tag-name position, quoted
+    attribute spans without '=')."""
+
+    FRAGS = [
+        "<p>", "</p>", "<div class='sidebar'>", "</div>", "<a href=x>",
+        "</a>", "text ", "more words here ", "<", ">", "'", '"', "=",
+        "<a'>", "</a'>", '<p "x>y">', "<b>", "</b>", "&amp;", "  ",
+        "<br/>", "<script>s</script>", "<img src=x>", "<span a='b>c'>",
+        "<i =>", "</ p>", "</123>", "<em x=>", "q<r",
+    ]
+
+    def test_seeded_tag_soup_matches_spec(self):
+        import random
+
+        from document_automation_spark.kernels.html_extract import extract_main_text_html
+        from document_automation_spark.kernels.html_fast import extract_main_text_html_fast
+
+        rng = random.Random(7)
+        for _ in range(800):
+            s = "".join(rng.choice(self.FRAGS) for _ in range(rng.randrange(1, 12)))
+            assert extract_main_text_html_fast(s) == extract_main_text_html(s), repr(s)
+
+    @pytest.mark.parametrize(
+        "snippet",
+        [
+            "<a'>quote is part of the tag name</a'><p>kept text</p>",
+            '<p "x>y">bare quoted attr ends at first gt',
+            "<span a='b>c'>quoted value after = may span gt</span><p>t</p>",
+            "<em x=>empty value</em>",
+            "</ p>tolerant end<p>q</p>",
+        ],
+    )
+    def test_malformed_markup_matches_spec(self, snippet):
+        from document_automation_spark.kernels.html_extract import extract_main_text_html
+        from document_automation_spark.kernels.html_fast import extract_main_text_html_fast
+
+        assert extract_main_text_html_fast(snippet) == extract_main_text_html(snippet)
