@@ -87,3 +87,88 @@ class TestStateLifecycle:
             st.documents.count()
         for df in (st.documents, st.embedded, st.bm25.tf):
             assert not (df.storageLevel.useMemory or df.storageLevel.useDisk)
+
+
+class TestHttpApi:
+    """The HTTP surface (serving/api.py) — the reference's Haystack REST
+    API slot, stdlib-only.  One server per class, ephemeral port."""
+
+    @pytest.fixture(scope="class")
+    def server(self, spark, sf_dir):
+        import threading
+
+        from document_automation_spark.serving.api import make_server
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(80)
+        srv = make_server(spark, docs, port=0)
+        thread = threading.Thread(target=srv.serve_forever, daemon=True)
+        thread.start()
+        yield srv
+        srv.shutdown()
+        srv.retrieval_state.unpersist()
+
+    @staticmethod
+    def _post(server, payload, path="/query"):
+        import json
+        import urllib.error
+        import urllib.request
+
+        url = f"http://127.0.0.1:{server.server_address[1]}{path}"
+        req = urllib.request.Request(
+            url, data=json.dumps(payload).encode(), method="POST",
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                return resp.status, json.loads(resp.read())
+        except urllib.error.HTTPError as err:
+            return err.code, json.loads(err.read())
+
+    def test_health(self, server):
+        import json
+        import urllib.request
+
+        url = f"http://127.0.0.1:{server.server_address[1]}/health"
+        with urllib.request.urlopen(url, timeout=60) as resp:
+            body = json.loads(resp.read())
+        assert resp.status == 200 and body == {"status": "ok", "n_docs": 80}
+
+    def test_query_self_retrieval(self, server, spark, sf_dir):
+        row = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") == 41).first()
+        )
+        probe = " ".join(row.text.lower().split()[2:14])
+        status, body = self._post(
+            server, {"query": probe, "method": "bm25", "top_k": 5}
+        )
+        assert status == 200
+        assert body["documents"][0]["doc_id"] == 41
+        assert body["documents"][0]["rank"] == 1
+        assert body["documents"][0]["text"] == row.text
+        ranks = [d["rank"] for d in body["documents"]]
+        assert ranks == sorted(ranks)
+
+    def test_query_matches_retrieve_plan(self, server, spark, sf_dir):
+        from document_automation_spark.serving.retrieval import retrieve
+
+        status, body = self._post(
+            server,
+            {"query": "spark table scan", "method": "ensemble", "top_k": 7,
+             "include_text": False},
+        )
+        assert status == 200
+        direct = retrieve(
+            spark, server.retrieval_state, "spark table scan", "ensemble", k=7
+        ).collect()
+        expected = {r.doc_id: (r.score, r.rank) for r in direct}
+        got = {d["doc_id"]: (d["score"], d["rank"]) for d in body["documents"]}
+        assert got == expected
+
+    def test_errors_are_4xx_not_crashes(self, server):
+        assert self._post(server, {"query": "x", "method": "faiss"})[0] == 400
+        assert self._post(server, {"method": "bm25"})[0] == 400
+        assert self._post(server, {"query": "x", "top_k": 0})[0] == 400
+        assert self._post(server, {"query": "x"}, path="/nope")[0] == 404
+        # server still alive after the 4xx storm
+        assert self._post(server, {"query": "still works", "top_k": 1})[0] == 200
