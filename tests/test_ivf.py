@@ -61,3 +61,30 @@ class TestIvf:
         assert len(sizes) >= 4  # corpus spreads over several buckets
         total = sum(sizes.values())
         assert max(sizes.values()) < total  # no single-bucket degenerate fit
+
+
+class TestIvfPartitionPruning:
+    def test_probed_bucket_scan_prunes_partitions(self, spark, emb, tmp_path):
+        """The 100 TB claim in SCALE.md made observable: the assigned table
+        written bucket-partitioned, a probe query filtering to its n_probe
+        buckets must PRUNE the parquet scan to those partition dirs (the
+        physical plan's partition filters carry the bucket predicate and
+        the scan reads n_probe/n_centroids of the files)."""
+        centers = train_centroids(emb, n_centroids=8)
+        path = str(tmp_path / "ivf_assigned")
+        assign_buckets(emb, centers).write.partitionBy("bucket").parquet(path)
+
+        assigned = spark.read.parquet(path)
+        probed = assigned.filter(F.col("bucket").isin([1, 3]))
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        # bucket is a partition column: the predicate must appear as a
+        # PartitionFilter on the scan, not a post-scan Filter
+        assert "PartitionFilters" in plan
+        assert "bucket" in plan.split("PartitionFilters", 1)[1][:200]
+        # and the scan really reads only the probed slice of the corpus
+        n_probed = probed.count()
+        per_bucket = {
+            r.bucket: r["count"] for r in assigned.groupBy("bucket").count().collect()
+        }
+        assert n_probed == per_bucket.get(1, 0) + per_bucket.get(3, 0)
+        assert n_probed < sum(per_bucket.values())

@@ -62,6 +62,12 @@ def main() -> int:
     only = set(argv[1:])
 
     sys.path.insert(0, "/root/repo")
+    # the pinned-golden oracles (kmeans, IVF centroids) read a fixture
+    # parquet at oracle-resolution time — align them with the sf under test
+    # BEFORE the registry import resolves anything
+    import os
+
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", sf_dir)
     import __spark_entry__ as entrymod
     from document_automation_spark.session import build_session
 
