@@ -190,8 +190,13 @@ def main() -> None:
         )
         .dropDuplicates(["key"])
     )
-    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    _SKEW_CONFS = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    )
+    prev = {key: spark.conf.get(key, None) for key in _SKEW_CONFS}
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     # AQE's skew split never fires at bench scale with the 256 MB default
     # threshold — tune it to the data so the AQE variant shows AQE's best
@@ -217,8 +222,11 @@ def main() -> None:
     timings["skew_join_hot95_unsalted_aqe"] = _timed_best2(
         lambda: fact.join(dim, ["key"])
     )
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
-    spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    for key, value in prev.items():  # restore ALL touched confs
+        if value is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, value)
 
     total = round(sum(timings.values()), 3)
     print(

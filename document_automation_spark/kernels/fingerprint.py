@@ -62,7 +62,16 @@ def stable_hash60(s: str) -> int:
 @lru_cache(maxsize=_HASH_CACHE_SIZE)
 def fast_hash64(s: str) -> int:
     """The flagged FAST base hash (``hash_impl='crc32'``): two C-speed
-    crc32 passes with different init values → 64 process-stable bits.
+    crc32 passes → 64 process-stable bits.
+
+    The second word hashes the REVERSED bytes (plus a different init) —
+    NOT the same message with another init: crc32 is affine in its init,
+    so ``crc32(b) ^ crc32(b, seed)`` is one constant for every
+    equal-length input, and fixed-k shingles would carry only 32
+    independent bits (halving SimHash's effective width; caught by the
+    round-3 review, pinned by tests/test_kernels.py).  Reversal is a
+    different message, so the two words are independent linear maps of the
+    input bits.
 
     This is the documented "swap at one point" path for 100 TB runs where
     driver-checkability isn't needed: every downstream contract
@@ -75,7 +84,7 @@ def fast_hash64(s: str) -> int:
     import zlib
 
     b = s.encode("utf-8")
-    return (zlib.crc32(b) << 32) | zlib.crc32(b, 0x9E3779B9)
+    return (zlib.crc32(b) << 32) | zlib.crc32(b[::-1], 0x5EED5EED)
 
 
 @lru_cache(maxsize=_HASH_CACHE_SIZE)

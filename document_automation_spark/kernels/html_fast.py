@@ -36,7 +36,7 @@ from document_automation_spark.kernels.textproc import join_clean_lines
 # single ``finditer`` sweep replaces the python-level find('<') + match()
 # + match() loop (the kernel's hottest lines).
 #
-# html.parser alignment (round 3 — the class of divergence a fuzz sweep
+# html.parser alignment (round 3 — divergence classes differential fuzzing
 # found in the round-2 pattern):
 # * tag NAMES use tagfind_tolerant's charset ``[a-zA-Z][^\t\n\r\f />\0]*``
 #   (so ``<a'>`` names the element "a'", exactly like html.parser — the
@@ -44,9 +44,24 @@ from document_automation_spark.kernels.textproc import join_clean_lines
 #   ``>``);
 # * quoted attribute spans only swallow ``>`` when the quote follows
 #   ``=`` (html.parser treats a bare quote as an attribute NAME char, so
-#   ``<p "x>y">`` must end at the first ``>``).
-# Parity: 0 divergences vs the html.parser spec over a 4000-case seeded
-# tag-soup fuzz + the whole fixture corpus (tests/test_kernels.py).
+#   ``<p "x>y">`` must end at the first ``>``);
+# * ``/`` is an attribute char only when NOT directly before ``>``, so
+#   ``<div x/>`` lexes as SELF-CLOSING (the round-2 charset ate the slash
+#   and turned every self-closed non-void element into an open one —
+#   a self-closed boilerplate div then dropped the rest of the page) —
+#   EXCEPT inside a bare unquoted value, which attrfind consumes slash and
+#   all (``<a href=x/>`` is an OPEN anchor with value "x/", not
+#   self-closed);
+# * the tolerant END alternative takes no leading whitespace: html.parser
+#   only reaches its tolerant endtag scan at ``</name`` directly
+#   (``</ p q>`` is a bogus comment — skipped, never an endtag);
+# * a tolerant START match is only a candidate: html.parser's
+#   parse_starttag re-scan decides real-tag vs text-recovery
+#   (:func:`_hp_start_decision`), so unterminated-quote fragments like
+#   ``<p s=">rest`` surface as TEXT exactly like the spec.
+# Parity: 0 divergences vs the html.parser spec over seeded tag-soup fuzz
+# (incl. the classes above) + the whole fixture corpus
+# (tests/test_kernels.py).
 # Groups: 1 strict end | 2,3,4 strict start | 5 tolerant end |
 # 6,7,8 tolerant start | (bogus end: no groups).
 _NAME = r"[a-zA-Z][^\t\n\r\f />\x00]*"
@@ -56,12 +71,71 @@ _TOKEN_ALL = re.compile(
     r"|<![^>]*>"
     r"|<\?[^>]*>"
     rf"|</\s*({_NAME})\s*>"
-    rf"|<({_NAME})((?:=\s*\"[^\"]*\"|=\s*'[^']*'|=|[^>\"'=])*)(/?)>"
-    rf"|</\s*({_NAME})[^>]*>"
+    rf"|<({_NAME})((?:=\s*\"[^\"]*\"|=\s*'[^']*'|=\s*(?![\"'])[^>\s]+|=|/(?!>)|[^>\"'=/])*)(/?)>"
+    rf"|</({_NAME})[^>]*>"
     rf"|<({_NAME})([^>]*?)(/?)>"
-    r"|</[^>]*>",  # bogus end tag (</>, </123>) — html.parser skips it
+    r"|</[^>]*>",  # bogus end tag (</>, </123>, </ p q>) — skipped
     re.DOTALL,
 )
+
+# html.parser's own scanner pieces, used to adjudicate the RARE tolerant
+# start-tag matches exactly the way parse_starttag does (stdlib-private
+# but stable across 3.x; _hp_start_decision degrades to trusting the
+# tolerant match if an import ever breaks).
+try:  # pragma: no cover - import guard
+    from html.parser import (
+        attrfind_tolerant as _HP_ATTRFIND,
+        locatestarttagend_tolerant as _HP_LOCATE,
+        tagfind_tolerant as _HP_TAGFIND,
+    )
+except ImportError:  # pragma: no cover
+    _HP_ATTRFIND = _HP_LOCATE = _HP_TAGFIND = None
+
+
+def _hp_start_decision(html: str, i: int):
+    """Re-run html.parser's start-tag adjudication at ``html[i] == '<'``.
+
+    Returns ``("tag", endpos, name, attr_str, self_close)`` when
+    parse_starttag would report a real start tag, else
+    ``("data", endpos)`` when it would emit ``html[i:endpos]`` as text
+    (invalid-tag recovery, truncated tag at EOF, ...).  Mirrors
+    check_for_whole_start_tag + parse_starttag's post-scan check.
+    """
+    if _HP_LOCATE is None:  # pragma: no cover — stdlib regexes missing
+        return None
+    n = len(html)
+    m = _HP_LOCATE.match(html, i)
+    j = m.end()
+    nxt = html[j : j + 1]
+    if nxt == ">":
+        endpos = j + 1
+    elif nxt == "/" and html.startswith("/>", j):
+        endpos = j + 2
+    elif nxt == "" or nxt in (
+        "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    ):
+        # incomplete tag (check_for_whole_start_tag returns -1; the
+        # feeder's close() then recovers: data up to just past the next
+        # '>', else up to the next '<', else one char — goahead()'s k<0
+        # branch)
+        gt = html.find(">", i + 1)
+        if gt != -1:
+            return ("data", gt + 1)
+        lt = html.find("<", i + 1)
+        return ("data", lt if lt != -1 else min(i + 1, n))
+    else:
+        endpos = j  # invalid tag: parse_starttag emits [i:endpos] as data
+    mt = _HP_TAGFIND.match(html, i + 1)
+    k = mt.end()
+    while k < endpos:
+        ma = _HP_ATTRFIND.match(html, k)
+        if not ma:
+            break
+        k = ma.end()
+    end = html[k:endpos].strip()
+    if end not in (">", "/>"):
+        return ("data", endpos)
+    return ("tag", endpos, mt.group(1), html[mt.end(1) : endpos - len(end)], end == "/>")
 
 _ATTR = re.compile(
     r"""([a-zA-Z][a-zA-Z0-9:_-]*)\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]*))""",
@@ -163,7 +237,25 @@ def extract_main_text_html_fast(html: str) -> str:
                 if li == 4:
                     start_tag, attr_str, self_close = m.group(2, 3, 4)
                 else:
-                    start_tag, attr_str, self_close = m.group(6, 7, 8)
+                    # tolerant candidate: html.parser's own re-scan decides
+                    # real-tag vs text-recovery (and the authoritative end)
+                    decision = _hp_start_decision(html, m.start())
+                    if decision is not None and decision[0] == "data":
+                        # recovery text arrives as ONE handle_data chunk in
+                        # html.parser (whitespace normalizes per chunk), so
+                        # no gap()-style splitting on inner '<'
+                        data(html[m.start() : decision[1]])
+                        pos = decision[1]
+                        jumped = True
+                        break
+                    if decision is not None:
+                        _, endpos, start_tag, attr_str, closed = decision
+                        self_close = "/" if closed else ""
+                        if endpos != pos:
+                            pos = endpos
+                            jumped = True  # restart the sweep at the true end
+                    else:  # pragma: no cover — stdlib regexes missing
+                        start_tag, attr_str, self_close = m.group(6, 7, 8)
                 tag = start_tag.lower()
                 if tag in _RAWTEXT_CLOSE and not self_close:
                     # raw content of script/style/... is never document
@@ -178,6 +270,8 @@ def extract_main_text_html_fast(html: str) -> str:
                 if self_close:
                     if tag in _BLOCK_TAGS:
                         flush()
+                    if jumped:  # tolerant endpos differed: restart sweep
+                        break
                     continue
                 if tag not in _VOID_TAGS:
                     stack.append((tag, dropped))
@@ -187,6 +281,8 @@ def extract_main_text_html_fast(html: str) -> str:
                     flush()
                 if tag == "a":
                     anchor_depth += 1
+                if jumped:  # tolerant endpos differed: restart sweep
+                    break
             elif li == 1 or li == 5:
                 tag = m.group(li).lower()
                 if tag in _BLOCK_TAGS:

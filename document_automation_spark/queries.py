@@ -167,11 +167,8 @@ def q_max_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # (distinct_sources no longer has its own registry entry: the DISTINCT
 # check rides inside salted_event_type_stats — seat freed for ivf_topk
-# under the driver's 50-entry report cap.)
-def q_distinct_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from document_automation_spark.operators.relational import distinct_sources
-
-    return distinct_sources(_t(spark, sf_dir, "documents"))
+# under the driver's 50-entry report cap; the operator
+# relational.distinct_sources remains available.)
 
 
 @register(
@@ -1769,9 +1766,9 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_salt=16,
     )
     sources = (
+        # collect_set already deduplicates — no pre-distinct shuffle
         _t(spark, sf_dir, "documents")
         .select("source")
-        .distinct()
         .agg(F.array_join(F.sort_array(F.collect_set("source")), "|").alias("distinct_sources"))
     )
     return out.select(

@@ -97,7 +97,11 @@ def _make_handler(spark: SparkSession, state: RetrievalState, n_docs: int):
                     rerank=bool(req.get("rerank", False)),
                 )
                 if req.get("include_text", True):
-                    out = out.join(texts, "doc_id")
+                    # k-row result side broadcast: attaching texts must
+                    # never shuffle the whole corpus per request
+                    from pyspark.sql import functions as F
+
+                    out = texts.join(F.broadcast(out), "doc_id")
                 rows = sorted(out.collect(), key=lambda r: r.rank)
                 docs = [
                     {

@@ -547,6 +547,11 @@ class TestFastHtmlFuzzParity:
         "<a'>", "</a'>", '<p "x>y">', "<b>", "</b>", "&amp;", "  ",
         "<br/>", "<script>s</script>", "<img src=x>", "<span a='b>c'>",
         "<i =>", "</ p>", "</123>", "<em x=>", "q<r",
+        # round-3 review classes: self-closed non-voids, bare values
+        # swallowing '/', unterminated quotes, bogus spaced end tags
+        "<div/>", "<a/>", "<span class='menu'/>", '<p s=">', "/>",
+        "</ p q>", "<p attr='uncl", "<hr/>", "<div x/>", "<a href=x/>",
+        "<p a= />", "=x/>",
     ]
 
     def test_seeded_tag_soup_matches_spec(self):
@@ -568,6 +573,11 @@ class TestFastHtmlFuzzParity:
             "<span a='b>c'>quoted value after = may span gt</span><p>t</p>",
             "<em x=>empty value</em>",
             "</ p>tolerant end<p>q</p>",
+            '<div class="sidebar"/><p>self-closed boilerplate must not drop this</p>',
+            "<a href=x/>bare value eats the slash: open anchor, text dropped by density",
+            '<p s=">rest of an unterminated-quote tag is TEXT',
+            "<div x/>self-closing after a bare attr name",
+            "</ p q>bogus end tag is skipped<p>ok</p>",
         ],
     )
     def test_malformed_markup_matches_spec(self, snippet):
@@ -575,3 +585,28 @@ class TestFastHtmlFuzzParity:
         from document_automation_spark.kernels.html_fast import extract_main_text_html_fast
 
         assert extract_main_text_html_fast(snippet) == extract_main_text_html(snippet)
+
+
+class TestFastHashIndependence:
+    def test_fast_hash64_words_not_affinely_locked(self):
+        """crc32 is affine in its init value: hashing the SAME message with
+        two inits makes the two 32-bit words xor to a length-only constant
+        (only 32 independent bits for fixed-k shingles — would double
+        effective SimHash Hamming distances).  The second word must hash a
+        DIFFERENT message; pin that the cross-word xor VARIES over
+        equal-length inputs."""
+        from document_automation_spark.kernels.fingerprint import fast_hash64
+
+        xors = set()
+        for i in range(64):
+            h = fast_hash64(f"abcd{i % 10}{i // 10}")  # fixed length 6
+            xors.add((h >> 32) ^ (h & 0xFFFFFFFF))
+        assert len(xors) > 32  # affine lock would make this exactly 1
+
+    def test_fast_hash64_stable_and_64bit(self):
+        from document_automation_spark.kernels.fingerprint import fast_hash64
+
+        assert fast_hash64("spark") == fast_hash64("spark")
+        vals = {fast_hash64(f"shingle-{i}") for i in range(256)}
+        assert len(vals) == 256
+        assert any(v >> 32 for v in vals) and any(v & 0xFFFFFFFF for v in vals)
