@@ -138,7 +138,7 @@ def main() -> None:
         "similarity_topk",
         "embedding_near_dup",
         "token_stats",
-        "rolling_fingerprint",
+        "duplicate_spans",
         "hash_embeddings",
     ]
     qs = registry.queries()

@@ -26,7 +26,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -444,4 +444,73 @@ def ngram_jaccard_pairs(
             F.round(inter / union, 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def duplicate_spans(
+    documents: DataFrame, k: int = 32, min_docs: int = 2
+) -> DataFrame:
+    """Cross-document EXACT-SUBSTRING duplicate spans — the sixth dedup
+    strategy: the span-level operator of "Deduplicating Training Data
+    Makes Language Models Better" (Lee et al., 2022), re-expressed
+    relationally (their suffix-array build is a single-machine artifact;
+    the window-hash formulation is the shuffle-native equivalent).
+
+    Every length-``k`` character window whose text occurs in at least
+    ``min_docs`` DISTINCT documents is marked, and overlapping/adjacent
+    marked positions within a document merge into maximal spans:
+
+        windows   = posexplode(xxhash64 over all k-grams)   [narrow map]
+        dup grams = groupBy(gram) havING n_distinct_docs ≥ min_docs
+        marked    = windows ⋈ dup grams                      [equi-join]
+        spans     = gaps-and-islands per doc (window ordered by pos)
+
+    Returns (doc_id, span_start, span_end) — code-point offsets, end
+    exclusive; ``text[span_start:span_end]`` is duplicated content a
+    training-data pipeline would cut or down-weight.
+
+    Scale shape: the only wide operations are the groupBy on the 8-byte
+    gram hash (uniform key) and the marked-position join (gram-keyed);
+    the islands window partitions by doc_id — bounded by one document's
+    windows, never the corpus.  Grams are compared as xxhash64 values
+    (identical spans absent collisions, the same trade as
+    ``ngram_jaccard_pairs``); the SQL oracle twin compares the raw k-gram
+    STRINGS, so the driver check also guards against any hash-collision
+    span appearing at fixture scale.
+    """
+    grams = documents.filter(F.length("text") >= k).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - (k - 1)),
+                lambda i: F.xxhash64(F.col("text").substr(i, F.lit(k))),
+            )
+        ).alias("pos", "gram"),
+    )
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gram")
+    )
+    marked = grams.join(dup_grams, "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = marked.select(
+        "doc_id",
+        "pos",
+        F.sum(
+            F.when(
+                F.col("pos") - F.lag("pos", 1, 0).over(w) > k, F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+        .over(w)
+        .alias("island"),
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k).cast("long").alias("span_end"),
+        )
+        .select("doc_id", "span_start", "span_end")
     )

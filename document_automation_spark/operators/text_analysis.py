@@ -25,11 +25,16 @@ ROLLING_BASE = 31
 ROLLING_MOD = 140_737_488_355_213  # ≈2^47: intermediates stay < 2^53
 
 
-def token_stats(documents: DataFrame, include_bpe: bool = False) -> DataFrame:
+def token_stats(
+    documents: DataFrame,
+    include_bpe: bool = False,
+    include_fingerprint: bool = False,
+) -> DataFrame:
     """Whitespace token count + length stats — pure column expressions.
 
     ``include_bpe=True`` adds the BPE-ish token count (Arrow-batched
-    kernel UDF) in the SAME single-pass select — one scan, no join."""
+    kernel UDF) and ``include_fingerprint=True`` the rolling-hash document
+    fingerprint — all in the SAME single-pass select: one scan, no join."""
     cols = [
         F.col("doc_id"),
         F.length("text").alias("n_chars_measured"),
@@ -48,6 +53,14 @@ def token_stats(documents: DataFrame, include_bpe: bool = False) -> DataFrame:
             return texts.map(count_tokens_bpe_ish)
 
         cols.append(bpe_udf(F.col("text")).alias("n_tokens_bpe"))
+    if include_fingerprint:
+        cols.append(
+            F.aggregate(
+                F.split(F.col("text"), ""),
+                F.lit(0).cast("long"),
+                lambda acc, ch: (acc * ROLLING_BASE + F.ascii(ch)) % F.lit(ROLLING_MOD),
+            ).alias("fingerprint")
+        )
     return documents.select(*cols)
 
 

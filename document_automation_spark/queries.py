@@ -1459,9 +1459,10 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 def _token_stats_sql() -> str:
-    # n_tokens_bpe folded in (was its own registry entry in round 2 —
-    # merged to free a seat under the driver's 50-entry report cap; the
-    # operator bpe_token_counts stays available standalone)
+    # n_tokens_bpe + the rolling-hash fingerprint folded in (each was its
+    # own registry entry in earlier rounds — merged to free seats under
+    # the driver's 50-entry report cap; the standalone operators
+    # bpe_token_counts / rolling_fingerprint_col remain available)
     return rf"""
     SELECT doc_id,
            length(text) AS n_chars_measured,
@@ -1470,7 +1471,11 @@ def _token_stats_sql() -> str:
            ROUND(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
                  / length(text), 6) AS space_ratio,
            CAST(len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS BIGINT)
-               AS n_tokens_bpe
+               AS n_tokens_bpe,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(str_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 140737488355213) AS fingerprint
     FROM documents
     """
 
@@ -1479,13 +1484,16 @@ def _token_stats_sql() -> str:
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_automation_spark.operators.text_analysis import token_stats
 
-    out = token_stats(_t(spark, sf_dir, "documents"), include_bpe=True)
+    out = token_stats(
+        _t(spark, sf_dir, "documents"), include_bpe=True, include_fingerprint=True
+    )
     return out.select(
         "doc_id",
         F.col("n_chars_measured").cast("long").alias("n_chars_measured"),
         F.col("n_tokens_ws").cast("long").alias("n_tokens_ws"),
         "space_ratio",
         "n_tokens_bpe",
+        "fingerprint",
     )
 
 
@@ -1507,21 +1515,55 @@ def q_detect_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detect_language_script(_t(spark, sf_dir, "documents"))
 
 
-@register(
-    "rolling_fingerprint",
-    """
-    SELECT doc_id,
-           list_reduce(
-               list_prepend(CAST(0 AS BIGINT),
-                   list_transform(str_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
-               (acc, c) -> (acc * 31 + c) % 140737488355213) AS fingerprint
-    FROM documents
-    """,
-)
-def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from document_automation_spark.operators.text_analysis import rolling_fingerprint_col
+# (rolling_fingerprint no longer has its own registry entry: the
+# fingerprint column is checked inside token_stats — seat freed for
+# duplicate_spans; rolling_fingerprint_col remains available.)
 
-    return rolling_fingerprint_col(_t(spark, sf_dir, "documents"))
+
+def _duplicate_spans_sql(k: int = 32, min_docs: int = 2) -> str:
+    """Oracle twin of the exact-substring span dedup over the
+    duplicate-enriched corpus.  Compares RAW k-gram strings where the
+    Spark operator compares xxhash64 values — identical spans absent
+    collisions, so this also guards against a collision ever surfacing at
+    fixture scale."""
+    return f"""
+    WITH {_DOCS_WITH_DUPS_SQL},
+    wins AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+               substr(text, CAST(i AS INT), {k}) AS g
+        FROM docs_dup, LATERAL unnest(generate_series(1, length(text) - {k - 1})) AS t(i)
+        WHERE length(text) >= {k}
+    ),
+    dup AS (SELECT g FROM wins GROUP BY g HAVING COUNT(DISTINCT doc_id) >= {min_docs}),
+    marked AS (SELECT doc_id, pos FROM wins JOIN dup USING (g)),
+    flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - LAG(pos, 1, 0) OVER (PARTITION BY doc_id ORDER BY pos) > {k}
+                    THEN 1 ELSE 0 END AS gap
+        FROM marked
+    ),
+    islands AS (
+        SELECT doc_id, pos,
+               SUM(gap) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM flagged
+    )
+    SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {k} AS BIGINT) AS span_end
+    FROM islands GROUP BY doc_id, island
+    """
+
+
+@register("duplicate_spans", lambda: _duplicate_spans_sql())
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring duplicate spans (Lee et al. 2022
+    span-level dedup) over the duplicate-enriched corpus: the id-remapped
+    full-text copies guarantee whole-document spans, and any naturally
+    shared 32-gram between distinct fixture docs surfaces as well.  The
+    Spark side marks windows by xxhash64; the oracle re-derives the same
+    spans from the raw gram strings."""
+    from document_automation_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(_docs_with_dups(spark, sf_dir), k=32, min_docs=2)
 
 
 # DuckDB twin of kernels/textstats._TOKEN_RE.  RE2 quirks accounted for:

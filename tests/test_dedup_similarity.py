@@ -447,3 +447,48 @@ class TestFastHashPath:
                     set(char_shingles(texts[a], 3)), set(char_shingles(texts[b], 3))
                 )
                 assert j >= 0.5, (impl, a, b, j)
+
+
+class TestDuplicateSpans:
+    """Cross-document exact-substring span dedup (Lee et al. 2022 style)."""
+
+    def test_known_shared_span_positions(self, spark):
+        from document_automation_spark.operators.dedup import duplicate_spans
+
+        shared = "S" * 40  # one shared 40-char run → 9 overlapping 32-grams
+        rows = [
+            (1, "a" * 20 + shared + "b" * 20),   # span at [20, 60)
+            (2, "c" * 5 + shared + "d" * 50),    # span at [5, 45)
+            (3, "entirely unique text " * 8),     # no spans
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: (r.span_start, r.span_end)
+               for r in duplicate_spans(docs, k=32, min_docs=2).collect()}
+        assert got == {1: (20, 60), 2: (5, 45)}
+
+    def test_separate_islands_not_merged(self, spark):
+        from document_automation_spark.operators.dedup import duplicate_spans
+
+        s1, s2 = "X" * 32, "Y" * 32
+        gap = "gap filler words between the shared runs " * 3  # > k chars
+        rows = [
+            (1, s1 + gap + s2),
+            (2, "prefix " + s1 + " middle unique " * 9 + s2 + " tail"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {}
+        for r in duplicate_spans(docs, k=32, min_docs=2).collect():
+            out.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+        assert len(out[1]) == 2 and len(out[2]) == 2  # two islands per doc
+        t1 = rows[0][1]
+        for a, b in out[1]:  # every span really is duplicated text
+            assert t1[a:b] in rows[1][1] or set(t1[a:b]) <= {"X", "Y"}
+
+    def test_within_doc_repeat_alone_does_not_mark(self, spark):
+        from document_automation_spark.operators.dedup import duplicate_spans
+
+        rows = [(1, "Z" * 100 + " unique a " * 5),
+                (2, "totally different content here " * 8)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        # the Z-run repeats WITHIN doc 1 only → countDistinct(doc)=1 → no span
+        assert duplicate_spans(docs, k=32, min_docs=2).count() == 0
