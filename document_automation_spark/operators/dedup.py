@@ -514,3 +514,58 @@ def duplicate_spans(
         )
         .select("doc_id", "span_start", "span_end")
     )
+
+
+def cut_spans(documents: DataFrame, spans: DataFrame) -> DataFrame:
+    """Remove ``[span_start, span_end)`` ranges from each document's text —
+    the action half of :func:`duplicate_spans` (cut duplicated content
+    before training).  Policy stays with the caller: pass the spans
+    DataFrame as-is to cut every duplicated span everywhere, or filter it
+    first (e.g. anti-join one canonical doc per duplicate group) for a
+    keep-one-copy policy.
+
+    Entirely JVM-side: spans collect into ONE small per-doc array (span
+    counts are bounded by document length), broadcast-joined to the docs,
+    and the text surgery is a single ``F.aggregate`` fold over the sorted
+    spans — no Python, no shuffle of text beyond the one spans join.
+    Spans must be non-overlapping per doc (``duplicate_spans`` output is,
+    by construction — merged islands); code-point offsets, like the rest
+    of the engine.
+
+    Returns the input documents with ``text`` rewritten (docs without
+    spans pass through unchanged) plus ``n_cut_chars``.
+    """
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("span_start", "span_end"))).alias("_spans")
+    )
+    joined = documents.join(F.broadcast(per_doc), "doc_id", "left")
+    text = F.col("text")
+    fold = F.aggregate(
+        F.col("_spans"),
+        F.struct(F.lit(0).cast("long").alias("pos"), F.lit("").alias("acc")),
+        lambda acc, s: F.struct(
+            s["span_end"].alias("pos"),
+            F.concat(
+                acc["acc"],
+                text.substr(
+                    (acc["pos"] + 1).cast("int"),
+                    F.greatest(F.lit(0), s["span_start"] - acc["pos"]).cast("int"),
+                ),
+            ).alias("acc"),
+        ),
+        lambda acc: F.concat(acc["acc"], text.substr((acc["pos"] + 1).cast("int"), F.length(text))),
+    )
+    out_cols = [
+        F.col(c) if c != "text" else
+        F.when(F.col("_spans").isNull(), text).otherwise(fold).alias("text")
+        for c in documents.columns
+    ]
+    cut_chars = F.coalesce(
+        F.aggregate(
+            F.col("_spans"),
+            F.lit(0).cast("long"),
+            lambda a, s: a + (s["span_end"] - s["span_start"]),
+        ),
+        F.lit(0).cast("long"),
+    )
+    return joined.select(*out_cols, cut_chars.alias("n_cut_chars"))

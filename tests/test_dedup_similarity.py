@@ -492,3 +492,37 @@ class TestDuplicateSpans:
         docs = spark.createDataFrame(rows, "doc_id long, text string")
         # the Z-run repeats WITHIN doc 1 only → countDistinct(doc)=1 → no span
         assert duplicate_spans(docs, k=32, min_docs=2).count() == 0
+
+    def test_cut_spans_surgery_and_convergence(self, spark):
+        from document_automation_spark.operators.dedup import cut_spans, duplicate_spans
+
+        shared = "S" * 40
+        rows = [
+            (1, "a" * 20 + shared + "b" * 20),
+            (2, "c" * 5 + shared + "d" * 50),
+            (3, "untouched unique document text " * 4),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        spans = duplicate_spans(docs, k=32, min_docs=2)
+        out = {r.doc_id: (r.text, r.n_cut_chars) for r in cut_spans(docs, spans).collect()}
+        assert out[1] == ("a" * 20 + "b" * 20, 40)
+        assert out[2] == ("c" * 5 + "d" * 50, 40)
+        assert out[3] == (rows[2][1], 0)  # span-free docs pass through
+        # convergence: after cutting every duplicated span everywhere, a
+        # re-run finds nothing (no cross-doc 32-gram survives here)
+        cleaned = cut_spans(docs, spans).select("doc_id", "text")
+        assert duplicate_spans(cleaned, k=32, min_docs=2).count() == 0
+
+    def test_cut_spans_multiple_islands(self, spark):
+        from document_automation_spark.operators.dedup import cut_spans, duplicate_spans
+
+        s1, s2 = "X" * 32, "Y" * 32
+        # boundary chars around the shared runs must DIFFER between docs,
+        # or the straddling window (e.g. ' ' + 31 Y's) is itself duplicated
+        # and the span legitimately widens by one char
+        mid = "many distinct middle words here." * 3
+        rows = [(1, s1 + mid + s2), (2, s1 + "other unique middle text;" * 4 + s2)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        spans = duplicate_spans(docs, k=32, min_docs=2)
+        out = {r.doc_id: r.text for r in cut_spans(docs, spans).collect()}
+        assert out[1] == mid  # both islands excised, middle intact
