@@ -1,6 +1,6 @@
 """Deduplication operators for training-data pipelines.
 
-Five strategies, each with the scale path spelled out:
+Six strategies, each with the scale path spelled out:
 
 * **exact**          — hash-groupBy on content; one shuffle on a uniform
   hash key.  Groups on ``sha2(text, 256)`` (32 bytes, collision-free at
@@ -16,6 +16,10 @@ Five strategies, each with the scale path spelled out:
   follows LSH candidate generation in a production pipeline.
 * **embedding near-dup** — cosine over the embeddings table with a
   blocking key (label) — see operators/similarity.py for the ANN path.
+* **exact-substring spans** — cross-document duplicated k-gram windows
+  merged to maximal spans (Lee et al. 2022 style), plus ``cut_spans``
+  to excise them; gram-hash groupBy + gram-keyed join, islands window
+  bounded per doc.
 
 All signature computation is deterministic/process-stable
 (kernels.fingerprint), a hard cluster requirement.
@@ -478,14 +482,23 @@ def duplicate_spans(
     STRINGS, so the driver check also guards against any hash-collision
     span appearing at fixture scale.
     """
-    grams = documents.filter(F.length("text") >= k).select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("text") - (k - 1)),
-                lambda i: F.xxhash64(F.col("text").substr(i, F.lit(k))),
-            )
-        ).alias("pos", "gram"),
+    # persist: the window explode (one row per character position — the
+    # operator's heaviest stage) feeds BOTH the dup-gram aggregation and
+    # the marked-position join; without this Spark recomputes it twice
+    # (same reason minhash_lsh_candidates persists its banded table).
+    # One-shot operator: loop callers should clearCache() between rounds.
+    grams = (
+        documents.filter(F.length("text") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("text") - (k - 1)),
+                    lambda i: F.xxhash64(F.col("text").substr(i, F.lit(k))),
+                )
+            ).alias("pos", "gram"),
+        )
+        .persist()
     )
     dup_grams = (
         grams.groupBy("gram")
@@ -524,10 +537,13 @@ def cut_spans(documents: DataFrame, spans: DataFrame) -> DataFrame:
     first (e.g. anti-join one canonical doc per duplicate group) for a
     keep-one-copy policy.
 
-    Entirely JVM-side: spans collect into ONE small per-doc array (span
-    counts are bounded by document length), broadcast-joined to the docs,
-    and the text surgery is a single ``F.aggregate`` fold over the sorted
-    spans — no Python, no shuffle of text beyond the one spans join.
+    Entirely JVM-side: spans collect into one per-doc array (span counts
+    are bounded by document length), joined to the docs on doc_id, and the
+    text surgery is a single ``F.aggregate`` fold over the sorted spans —
+    no Python.  The join is left to the planner: the per-doc span table
+    has one row per SPANNED doc, which on a dedup-heavy corpus is O(docs)
+    — forcing a broadcast would OOM exactly when the operator matters
+    most; AQE broadcasts it when it measures small.
     Spans must be non-overlapping per doc (``duplicate_spans`` output is,
     by construction — merged islands); code-point offsets, like the rest
     of the engine.
@@ -538,7 +554,7 @@ def cut_spans(documents: DataFrame, spans: DataFrame) -> DataFrame:
     per_doc = spans.groupBy("doc_id").agg(
         F.sort_array(F.collect_list(F.struct("span_start", "span_end"))).alias("_spans")
     )
-    joined = documents.join(F.broadcast(per_doc), "doc_id", "left")
+    joined = documents.join(per_doc, "doc_id", "left")
     text = F.col("text")
     fold = F.aggregate(
         F.col("_spans"),

@@ -25,6 +25,19 @@ ROLLING_BASE = 31
 ROLLING_MOD = 140_737_488_355_213  # ≈2^47: intermediates stay < 2^53
 
 
+def _fingerprint_expr(text_col: str = "text"):
+    """Polynomial rolling hash over code points as ONE shared fold
+    expression — ``h = (h*31 + cp) % (~2^47)`` via ``F.aggregate``,
+    identical math to kernels.fingerprint.rolling_fingerprint and to the
+    DuckDB list_reduce oracle twin (token_stats and
+    rolling_fingerprint_col must never drift apart)."""
+    return F.aggregate(
+        F.split(F.col(text_col), ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * ROLLING_BASE + F.ascii(ch)) % F.lit(ROLLING_MOD),
+    )
+
+
 def token_stats(
     documents: DataFrame,
     include_bpe: bool = False,
@@ -54,13 +67,7 @@ def token_stats(
 
         cols.append(bpe_udf(F.col("text")).alias("n_tokens_bpe"))
     if include_fingerprint:
-        cols.append(
-            F.aggregate(
-                F.split(F.col("text"), ""),
-                F.lit(0).cast("long"),
-                lambda acc, ch: (acc * ROLLING_BASE + F.ascii(ch)) % F.lit(ROLLING_MOD),
-            ).alias("fingerprint")
-        )
+        cols.append(_fingerprint_expr().alias("fingerprint"))
     return documents.select(*cols)
 
 
@@ -80,15 +87,9 @@ def detect_language_script(documents: DataFrame) -> DataFrame:
 
 
 def rolling_fingerprint_col(documents: DataFrame) -> DataFrame:
-    """Polynomial rolling hash over code points as a fold expression —
-    ``h = (h*31 + cp) % (~2^47)`` via ``F.aggregate`` (identical math to
-    kernels.fingerprint.rolling_fingerprint and to DuckDB list_reduce)."""
-    fold = F.aggregate(
-        F.split(F.col("text"), ""),
-        F.lit(0).cast("long"),
-        lambda acc, ch: (acc * ROLLING_BASE + F.ascii(ch)) % F.lit(ROLLING_MOD),
-    )
-    return documents.select("doc_id", fold.alias("fingerprint"))
+    """Standalone (doc_id, fingerprint) projection of the shared
+    :func:`_fingerprint_expr` fold."""
+    return documents.select("doc_id", _fingerprint_expr().alias("fingerprint"))
 
 
 def quality_features(documents: DataFrame) -> DataFrame:
