@@ -87,8 +87,9 @@ def fast_hash64(s: str) -> int:
     return (zlib.crc32(b) << 32) | zlib.crc32(b[::-1], 0x5EED5EED)
 
 
-@lru_cache(maxsize=_HASH_CACHE_SIZE)
 def fast_hash60(s: str) -> int:
+    # no own cache: fast_hash64 is already lru_cached and the shift is
+    # free — a second cache would store every shingle string twice
     return fast_hash64(s) >> 4
 
 

@@ -65,13 +65,22 @@ from document_automation_spark.kernels.textproc import join_clean_lines
 # Groups: 1 strict end | 2,3,4 strict start | 5 tolerant end |
 # 6,7,8 tolerant start | (bogus end: no groups).
 _NAME = r"[a-zA-Z][^\t\n\r\f />\x00]*"
+# the STRICT start alternative takes the name POSSESSIVELY (``*+``):
+# html.parser's tagfind is a maximal munch, and plain greedy would let the
+# regex backtrack chars from the name into the attribute segment, matching
+# shapes like <b= b='> that html.parser treats as text (found by the
+# round-3 high-effort review's differential fuzz).  NUL is likewise
+# excluded from the bare attribute class: its validity is
+# position-dependent in html.parser, so every NUL-bearing tag goes through
+# the exact _hp_start_decision emulation instead.
+_NAME_POSSESSIVE = r"[a-zA-Z][^\t\n\r\f />\x00]*+"
 _TOKEN_ALL = re.compile(
     r"<!--.*?-->"
     r"|<!\[CDATA\[.*?\]\]>"
     r"|<![^>]*>"
     r"|<\?[^>]*>"
     rf"|</\s*({_NAME})\s*>"
-    rf"|<({_NAME})((?:=\s*\"[^\"]*\"|=\s*'[^']*'|=\s*(?![\"'])[^>\s]+|=|/(?!>)|[^>\"'=/])*)(/?)>"
+    rf"|<({_NAME_POSSESSIVE})((?:=\s*\"[^\"]*\"|=\s*'[^']*'|=\s*(?![\"'])[^>\s]+|=|/(?!>)|[^>\"'=/\x00])*)(/?)>"
     rf"|</({_NAME})[^>]*>"
     rf"|<({_NAME})([^>]*?)(/?)>"
     r"|</[^>]*>",  # bogus end tag (</>, </123>, </ p q>) — skipped

@@ -122,13 +122,16 @@ def probe_buckets_df(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         C = b_centers.value
+        # n_probe > n_centroids degrades to probing everything (the
+        # recall-tuning 'probe all and then some' call must not crash)
+        eff_probe = min(n_probe, C.shape[0])
         for batch in it:
             if len(batch) == 0:
                 continue
             X = np.array(list(batch[emb_col]), dtype=np.float64)
             d = _centroid_dists(X, C, quantize_dp)
-            probes = np.argsort(d, axis=1, kind="stable")[:, :n_probe]  # ties → low cid
-            out = batch[cols].iloc[np.repeat(np.arange(len(batch)), n_probe)].copy()
+            probes = np.argsort(d, axis=1, kind="stable")[:, :eff_probe]  # ties → low cid
+            out = batch[cols].iloc[np.repeat(np.arange(len(batch)), eff_probe)].copy()
             out["bucket"] = probes.reshape(-1).astype(np.int32)
             yield out
 

@@ -2200,16 +2200,25 @@ def q_warc_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     marker = os.path.join(warc_dir, "_COMPLETE")
     if not os.path.exists(marker):
-        os.makedirs(warc_dir, exist_ok=True)
+        # cross-process-safe publish: build in a pid-unique dir, then one
+        # atomic rename — two racing sessions can never interleave writes
+        # into the shared cache path (the loser just discards its build)
+        import shutil
+
+        build_dir = f"{warc_dir}.build-{os.getpid()}"
+        shutil.rmtree(build_dir, ignore_errors=True)
+        os.makedirs(build_dir)
         per_file = 50  # several files → several binaryFile scan rows
         for part in range(0, N_GOLDEN_PAGES, per_file):
             pages = gen_rows(range(part, min(part + per_file, N_GOLDEN_PAGES)))
-            tmp = os.path.join(warc_dir, f".part-{part:05d}.tmp")
-            with open(tmp, "wb") as fh:
+            with open(os.path.join(build_dir, f"part-{part:05d}.warc"), "wb") as fh:
                 fh.write(build_warc(pages))
-            os.replace(tmp, os.path.join(warc_dir, f"part-{part:05d}.warc"))
-        with open(marker, "w") as fh:
+        with open(os.path.join(build_dir, "_COMPLETE"), "w") as fh:
             fh.write("ok")
+        try:
+            os.rename(build_dir, warc_dir)
+        except OSError:  # lost the race — the winner's dir is complete
+            shutil.rmtree(build_dir, ignore_errors=True)
     pages = pages_from_warc(spark, warc_dir)
     return _extraction_projection(extract_documents(pages, ExtractConfig(n_buckets=16)))
 

@@ -84,7 +84,11 @@ def _make_handler(spark: SparkSession, state: RetrievalState, n_docs: int):
             if method not in _METHODS:
                 self._reply(400, {"error": f"method must be one of {_METHODS}"})
                 return
-            if not isinstance(top_k, int) or not (1 <= top_k <= 1000):
+            if (
+                not isinstance(top_k, int)
+                or isinstance(top_k, bool)  # JSON true/false are ints in Python
+                or not (1 <= top_k <= 1000)
+            ):
                 self._reply(400, {"error": "'top_k' must be an int in [1, 1000]"})
                 return
             try:
@@ -132,7 +136,13 @@ def make_server(
     unpersist the state when done (the server object carries the state as
     ``server.retrieval_state`` for that purpose)."""
     state = build_retrieval_state(documents)
-    n_docs = state.documents.count()  # also materializes the persisted state
-    server = ThreadingHTTPServer((host, port), _make_handler(spark, state, n_docs))
+    try:
+        n_docs = state.documents.count()  # also materializes the persisted state
+        server = ThreadingHTTPServer((host, port), _make_handler(spark, state, n_docs))
+    except Exception:
+        # bind failure (port in use) etc. must not leak three persisted
+        # tables into the long-lived session with no handle to drop them
+        state.unpersist()
+        raise
     server.retrieval_state = state  # type: ignore[attr-defined]
     return server

@@ -88,3 +88,14 @@ class TestIvfPartitionPruning:
         }
         assert n_probed == per_bucket.get(1, 0) + per_bucket.get(3, 0)
         assert n_probed < sum(per_bucket.values())
+
+
+class TestProbeOverflow:
+    def test_n_probe_above_n_centroids_degrades_to_full_probe(self, emb, queries):
+        """n_probe > n_centroids (a natural recall-tuning call) must probe
+        everything, not crash the Arrow worker with a length mismatch."""
+        exact = {(r.query_vec_id, r.rank): r.vec_id
+                 for r in ivf_topk(emb, queries, n_centroids=4, n_probe=4, k=10).collect()}
+        over = {(r.query_vec_id, r.rank): r.vec_id
+                for r in ivf_topk(emb, queries, n_centroids=4, n_probe=8, k=10).collect()}
+        assert over == exact

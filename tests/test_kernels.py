@@ -552,6 +552,9 @@ class TestFastHtmlFuzzParity:
         "<div/>", "<a/>", "<span class='menu'/>", '<p s=">', "/>",
         "</ p q>", "<p attr='uncl", "<hr/>", "<div x/>", "<a href=x/>",
         "<p a= />", "=x/>",
+        # high-effort review classes: NUL bytes (position-dependent
+        # validity) and '=' directly after the tag name
+        "\x00", "<p\x00>", "<b= b='>", "<b=c>", "= '", "<p \x00=x>",
     ]
 
     def test_seeded_tag_soup_matches_spec(self):
@@ -578,6 +581,9 @@ class TestFastHtmlFuzzParity:
             '<p s=">rest of an unterminated-quote tag is TEXT',
             "<div x/>self-closing after a bare attr name",
             "</ p q>bogus end tag is skipped<p>ok</p>",
+            "<p\x00>NUL after name makes the tag invalid (text)",
+            "<b= b='>equals right after the name: text, not a tag",
+            "<div\x00 class=sidebar>kept, not dropped</div>",
         ],
     )
     def test_malformed_markup_matches_spec(self, snippet):
