@@ -161,6 +161,40 @@ def extract_page(
             )
         ]
 
+    return rows_from_text(
+        url, text, max_len=max_len, overlap=overlap, min_chars=min_chars,
+        split_doc=split_doc,
+    )
+
+
+def rows_from_text(
+    url: str,
+    text: Optional[str],
+    max_len: int = DEFAULT_MAX_LEN,
+    overlap: int = DEFAULT_OVERLAP,
+    min_chars: int = DEFAULT_MIN_CHARS,
+    split_doc: bool = True,
+) -> List[DocRow]:
+    """Pre-extracted text → passage rows: the gate/split/doc_id tail of
+    :func:`extract_page` without the payload decode — the per-row unit for
+    WET (Common-Crawl extracted-text) ingestion, where extraction already
+    happened upstream.  Null text (an undecodable WET payload) quarantines
+    exactly like a broken HTML payload."""
+    link = link_from_url(url)
+    if text is None:
+        return [
+            DocRow(
+                url=url,
+                doc_id=None,
+                passage_idx=None,
+                content=None,
+                char_start=None,
+                char_end=None,
+                link=link,
+                n_passages=0,
+                error="ValueError: null text",
+            )
+        ]
     passages = extract_document(
         text, max_len=max_len, overlap=overlap, min_chars=min_chars, split_doc=split_doc
     )

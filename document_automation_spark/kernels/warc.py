@@ -88,25 +88,26 @@ def iter_warc_records(data: bytes) -> Tuple[List[WarcRecord], Optional[str]]:
         pos = body_end
 
         record_type = headers.get("warc-type", "unknown")
-        if record_type == "response":
-            status: Optional[int] = None
-            payload = body
-            if body.startswith(b"HTTP/"):
-                http_end = body.find(_BLOCK_END)
-                if http_end != -1:
-                    status_line = body.split(_CRLF, 1)[0].split(b" ")
-                    if len(status_line) >= 2 and status_line[1].isdigit():
-                        status = int(status_line[1])
-                    payload = body[http_end + len(_BLOCK_END) :]
-            records.append(
-                WarcRecord(
-                    uri=headers.get("warc-target-uri"),
-                    warc_date=_parse_warc_date(headers.get("warc-date")),
-                    record_type=record_type,
-                    http_status=status,
-                    payload=payload,
-                )
+        status: Optional[int] = None
+        payload = body
+        if record_type == "response" and body.startswith(b"HTTP/"):
+            # response records carry an HTTP envelope to strip; conversion
+            # (WET) and other record types are raw payloads
+            http_end = body.find(_BLOCK_END)
+            if http_end != -1:
+                status_line = body.split(_CRLF, 1)[0].split(b" ")
+                if len(status_line) >= 2 and status_line[1].isdigit():
+                    status = int(status_line[1])
+                payload = body[http_end + len(_BLOCK_END) :]
+        records.append(
+            WarcRecord(
+                uri=headers.get("warc-target-uri"),
+                warc_date=_parse_warc_date(headers.get("warc-date")),
+                record_type=record_type,
+                http_status=status,
+                payload=payload,
             )
+        )
     return records, None
 
 
@@ -142,5 +143,35 @@ def build_warc(pages: List[dict]) -> bytes:
                 ("WARC-Date", stamp),
             ],
             bytes(body),
+        )
+    return bytes(out)
+
+
+def build_wet(pages: List[dict]) -> bytes:
+    """Deterministic WET bytes (WARC/1.0 ``conversion`` records) from pages
+    rows — the Common-Crawl EXTRACTED-TEXT container (*.warc.wet): payload
+    is the plain text, no HTTP envelope.  Each page dict needs url,
+    warc_ts (datetime) and text (str)."""
+    out = bytearray()
+
+    def record(headers: List[Tuple[str, str]], body: bytes) -> None:
+        out.extend(b"WARC/1.0\r\n")
+        for key, value in headers + [("Content-Length", str(len(body)))]:
+            out.extend(f"{key}: {value}\r\n".encode("latin-1"))
+        out.extend(_CRLF)
+        out.extend(body)
+        out.extend(_BLOCK_END)
+
+    record([("WARC-Type", "warcinfo")], b"software: document_automation_spark fixture\r\n")
+    for page in pages:
+        stamp = page["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ")
+        record(
+            [
+                ("WARC-Type", "conversion"),
+                ("WARC-Target-URI", page["url"]),
+                ("WARC-Date", stamp),
+                ("Content-Type", "text/plain"),
+            ],
+            page["text"].encode("utf-8"),
         )
     return bytes(out)

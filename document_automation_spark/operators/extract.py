@@ -246,3 +246,51 @@ def passage_counts(documents: DataFrame) -> DataFrame:
         F.count(F.col("doc_id")).alias("rows_emitted"),
         F.max(F.when(F.col("error").isNotNull(), F.col("error"))).alias("error"),
     )
+
+
+def documents_from_text(
+    pages: DataFrame, cfg: ExtractConfig = ExtractConfig()
+) -> DataFrame:
+    """WET-path twin of :func:`extract_documents`: documents built from the
+    pre-extracted ``text`` column (Common-Crawl *.wet conversion payloads,
+    or any corpus whose extraction happened upstream) — same gate/split
+    kernel, same output schema, no HTML/PDF decode.  Map-only like the
+    HTML path; null texts quarantine."""
+    import pandas as pd
+
+    from document_automation_spark.kernels.page import rows_from_text
+
+    max_len, overlap, min_chars, split_doc = (
+        cfg.max_len,
+        cfg.overlap,
+        cfg.min_chars,
+        cfg.split_doc,
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for batch in it:
+            cols: dict = {name: [] for name in (
+                "url", "warc_ts", "bucket", "doc_id", "passage_idx", "content",
+                "char_start", "char_end", "link", "n_passages", "error")}
+            for url, warc_ts, bucket, text in zip(
+                batch["url"], batch["warc_ts"], batch["bucket"], batch["text"]
+            ):
+                for row in rows_from_text(
+                    url, text, max_len=max_len, overlap=overlap,
+                    min_chars=min_chars, split_doc=split_doc,
+                ):
+                    cols["url"].append(row.url)
+                    cols["warc_ts"].append(warc_ts)
+                    cols["bucket"].append(bucket)
+                    cols["doc_id"].append(row.doc_id)
+                    cols["passage_idx"].append(row.passage_idx)
+                    cols["content"].append(row.content)
+                    cols["char_start"].append(row.char_start)
+                    cols["char_end"].append(row.char_end)
+                    cols["link"].append(row.link)
+                    cols["n_passages"].append(row.n_passages)
+                    cols["error"].append(row.error)
+            yield pd.DataFrame(cols)
+
+    keyed = with_bucket(pages, cfg.n_buckets).select("url", "warc_ts", "text", "bucket")
+    return keyed.mapInPandas(batches, DOCUMENTS_SCHEMA)

@@ -63,3 +63,45 @@ def pages_from_warc(spark: SparkSession, warc_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(parse_batches, _WARC_PAGES_SCHEMA)
+
+
+def pages_from_wet(spark: SparkSession, wet_dir: str) -> DataFrame:
+    """Directory of .wet files (Common-Crawl EXTRACTED-TEXT containers) →
+    pages DataFrame with ``text`` filled and ``html`` null.
+
+    WET records are WARC ``conversion`` records whose payload is the plain
+    text — the input shape for pipelines that skip HTML extraction and go
+    straight to the gate/split kernel (``operators.extract.
+    documents_from_text``).  Undecodable payloads surface as quarantine
+    rows (``lang='__error__'`` marker is NOT used — the text stays null and
+    the url carries the record so downstream accounting sees it)."""
+    import pandas as pd
+
+    from document_automation_spark.kernels.warc import iter_warc_records
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wet")
+        .load(wet_dir)
+        .select("path", "content")
+    )
+
+    def parse_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = [f.name for f in PAGES_SCHEMA.fields]
+        for batch in batches:
+            rows = []
+            for path, content in zip(batch["path"], batch["content"]):
+                records, error = iter_warc_records(bytes(content))
+                for rec in records:
+                    if rec.record_type != "conversion" or rec.uri is None:
+                        continue
+                    try:
+                        text = rec.payload.decode("utf-8")
+                    except UnicodeDecodeError:
+                        text = None  # quarantine: row kept, text null
+                    rows.append((rec.uri, rec.warc_date, None, text, None))
+                if error is not None:
+                    rows.append((f"wet:{path}#error", None, None, error, None))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(parse_batches, _WARC_PAGES_SCHEMA)

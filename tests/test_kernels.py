@@ -616,3 +616,30 @@ class TestFastHashIndependence:
         vals = {fast_hash64(f"shingle-{i}") for i in range(256)}
         assert len(vals) == 256
         assert any(v >> 32 for v in vals) and any(v & 0xFFFFFFFF for v in vals)
+
+
+class TestFastHtmlHypothesisParity:
+    """Generative differential fuzz (hypothesis): random tag-soup built
+    from markup metachars and text must ALWAYS extract byte-identically to
+    the html.parser spec — the continuously-exploring complement to the
+    seeded fragment fuzz above."""
+
+    def test_random_soup_matches_spec(self):
+        from hypothesis import given, settings, strategies as st
+
+        from document_automation_spark.kernels.html_extract import extract_main_text_html
+        from document_automation_spark.kernels.html_fast import extract_main_text_html_fast
+
+        soup = st.text(
+            alphabet=st.sampled_from(
+                list("<>/='\"! -&;abpdiv") + ["\x00", "\t", "\n", "广"]
+            ),
+            max_size=60,
+        )
+
+        @settings(max_examples=300, deadline=None)
+        @given(soup)
+        def check(s):
+            assert extract_main_text_html_fast(s) == extract_main_text_html(s)
+
+        check()

@@ -26,9 +26,11 @@ class TestWarcKernel:
             assert rec.http_status == 200
             assert rec.warc_date == page["warc_ts"].replace(microsecond=0)
 
-    def test_warcinfo_skipped(self):
+    def test_all_record_types_surfaced(self):
+        # since WET support, every record type is surfaced (readers filter
+        # by type); the warcinfo header record leads each file
         records, _ = iter_warc_records(build_warc(gen_rows(range(2))))
-        assert [r.record_type for r in records] == ["response", "response"]
+        assert [r.record_type for r in records] == ["warcinfo", "response", "response"]
 
     def test_truncated_body_graceful(self):
         data = build_warc(gen_rows(range(3)))
@@ -92,3 +94,64 @@ class TestWarcGzipBodies:
         assert [(r.passage_idx, r.content, r.char_start, r.char_end) for r in plain] == [
             (r.passage_idx, r.content, r.char_start, r.char_end) for r in gz
         ]
+
+
+class TestWetIngestion:
+    """WET (Common-Crawl extracted-text container) source path."""
+
+    def test_wet_roundtrip_records(self):
+        from document_automation_spark.kernels.warc import build_wet
+
+        pages = gen_rows(range(10))
+        records, error = iter_warc_records(build_wet(pages))
+        assert error is None
+        conv = [r for r in records if r.record_type == "conversion"]
+        assert len(conv) == 10
+        for rec, page in zip(conv, pages):
+            assert rec.uri == page["url"]
+            assert rec.payload.decode("utf-8") == page["text"]
+
+    def test_wet_end_to_end_matches_direct_text_path(self, spark, tmp_path):
+        """pages → WET files → pages_from_wet → documents_from_text must be
+        byte-identical to running documents_from_text on the original rows
+        (the WET framing is a pure roundtrip)."""
+        from document_automation_spark.kernels.warc import build_wet
+        from document_automation_spark.operators.extract import (
+            ExtractConfig,
+            documents_from_text,
+        )
+        from document_automation_spark.sources.warc import pages_from_wet
+
+        pages = gen_rows(range(60))
+        wet_dir = tmp_path / "wet_in"
+        wet_dir.mkdir()
+        for i in range(3):
+            (wet_dir / f"seg-{i}.wet").write_bytes(build_wet(pages[i * 20 : (i + 1) * 20]))
+
+        cfg = ExtractConfig(n_buckets=8)
+        via_wet = sorted(
+            (r.url, r.passage_idx, r.content, r.char_start, r.char_end, r.doc_id)
+            for r in documents_from_text(pages_from_wet(spark, str(wet_dir)), cfg).collect()
+        )
+        direct_rows = spark.createDataFrame(
+            [(p["url"], p["warc_ts"], p["text"]) for p in pages],
+            "url string, warc_ts timestamp, text string",
+        )
+        direct = sorted(
+            (r.url, r.passage_idx, r.content, r.char_start, r.char_end, r.doc_id)
+            for r in documents_from_text(direct_rows, cfg).collect()
+        )
+        assert via_wet == direct
+        assert len(direct) > 50  # real passage volume, not a vacuous equality
+
+    def test_wet_null_text_quarantines(self, spark, tmp_path):
+        from document_automation_spark.operators.extract import documents_from_text
+
+        rows = spark.createDataFrame(
+            [("https://h/x.html", None, None)],
+            "url string, warc_ts timestamp, text string",
+        )
+        out = documents_from_text(rows).collect()
+        assert len(out) == 1
+        assert out[0].error == "ValueError: null text"
+        assert out[0].content is None
