@@ -1,0 +1,84 @@
+"""URL canonicalization + url-level dedup (operators/urls.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_automation_spark.operators.urls import canonical_url, dedup_by_url
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+
+
+class TestCanonicalUrl:
+    def test_case_port_fragment(self, spark):
+        got = _canon(spark, [
+            "HTTP://Host.Example.COM:80/Path/Page.html#frag",
+            "https://host.example.com:443/x",
+            "https://host.example.com:8443/x",
+            "http://h.com/a?",
+        ])
+        assert got == [
+            "http://host.example.com/Path/Page.html",  # path case KEPT
+            "https://host.example.com/x",
+            "https://host.example.com:8443/x",  # non-default port kept
+            "http://h.com/a",
+        ]
+
+    def test_query_sorting_and_tracking_params(self, spark):
+        got = _canon(spark, [
+            "https://h.com/p?b=2&a=1",
+            "https://h.com/p?a=1&b=2",
+            "https://h.com/p?a=1&utm_source=x&b=2&fbclid=abc&gclid=1&msclkid=2",
+            "https://h.com/p?utm_campaign=only",
+        ])
+        assert got[0] == got[1] == got[2] == "https://h.com/p?a=1&b=2"
+        assert got[3] == "https://h.com/p"
+
+    def test_semantic_parts_not_merged(self, spark):
+        got = _canon(spark, [
+            "https://h.com/CaseSensitive",
+            "https://h.com/casesensitive",
+            "https://h.com/a/",
+            "https://h.com/a",
+            "https://h.com/p?q=Value",
+            "https://h.com/p?q=value",
+        ])
+        assert len(set(got)) == 6  # none of these may be merged
+
+
+class TestDedupByUrl:
+    def test_newest_crawl_wins(self, spark):
+        t = dt.datetime(2024, 8, 1)
+        rows = [
+            ("http://H.com:80/a?b=2&a=1#x", t, "old"),
+            ("http://h.com/a?a=1&b=2", t + dt.timedelta(days=3), "new"),
+            ("http://h.com/other", t, "keep"),
+        ]
+        df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+        out = {r.canonical_url: r.text for r in dedup_by_url(df).collect()}
+        assert out == {"http://h.com/a?a=1&b=2": "new", "http://h.com/other": "keep"}
+
+    def test_deterministic_tiebreak(self, spark):
+        t = dt.datetime(2024, 8, 1)
+        rows = [("http://h.com/a?x=1&utm_source=b", t, "B"),
+                ("http://h.com/a?utm_source=a&x=1", t, "A")]
+        df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+        out = dedup_by_url(df).collect()
+        assert len(out) == 1
+        assert out[0].text == "A"  # same ts → lowest raw url wins
+
+    def test_fixture_urls_stable(self, spark):
+        from document_automation_spark.sources.pages import pages_df
+
+        pages = pages_df(spark, 200, partitions=4)
+        out = dedup_by_url(pages)
+        # fixture urls are unique per row and already canonical
+        assert out.count() == 200
+        same = out.filter(F.col("canonical_url") == F.col("url")).count()
+        assert same == 200
