@@ -50,8 +50,10 @@ def run_ingest_pipeline(
     """Run the whole recipe; returns a summary dict (stage counters).
 
     ``from_text=True`` takes the WET path (documents_from_text over the
-    pre-extracted ``text`` column) instead of HTML/PDF extraction; the
-    durable write + resume manifests then wrap that plan the same way.
+    pre-extracted ``text`` column) instead of HTML/PDF extraction; both
+    paths run through ``run_extraction_job`` (via its ``docs_fn``
+    parameter), so the WET path gets the identical durable write, resume
+    manifests, and real per-bucket counters.
     """
     from document_automation_spark.operators.curate import curate_extracted
     from document_automation_spark.operators.extract import ExtractConfig
@@ -63,25 +65,17 @@ def run_ingest_pipeline(
         pages = dedup_by_url(pages).drop("canonical_url")
 
     if from_text:
-        # the durable job extracts from html; for WET input, materialize
-        # the text-path documents through the same bucketed/manifested
-        # writer by presenting text as the payload-free plan
         from document_automation_spark.operators.extract import documents_from_text
-        from pyspark.sql import functions as F
 
-        docs = documents_from_text(pages, cfg)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (
-            docs.repartition(cfg.n_buckets, "bucket")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(os.path.join(output_path, "data"))
-        )
-        extract_summary = {"buckets_processed": cfg.n_buckets, "buckets_skipped": 0}
+        docs_fn = documents_from_text
     else:
-        extract_summary = run_extraction_job(
-            spark, pages, output_path, input_fingerprint, cfg
-        )
+        docs_fn = None  # default: HTML/PDF extraction
+    # both payload paths run through the SAME durable writer: bucketed
+    # dynamic-overwrite data commit + per-bucket resume manifests + real
+    # counter totals (a crashed --wet run resumes exactly like --warc)
+    extract_summary = run_extraction_job(
+        spark, pages, output_path, input_fingerprint, cfg, docs_fn=docs_fn
+    )
 
     raw_docs = read_output(spark, output_path)
     curated, stats = curate_extracted(

@@ -32,14 +32,11 @@ from pyspark.sql import functions as F
 
 
 def _script_of(content_col) -> "F.Column":
-    text = content_col
-    return (
-        F.when(text.rlike("[぀-ヿ]"), F.lit("ja"))
-        .when(text.rlike("[一-鿿]"), F.lit("zh"))
-        .when(text.rlike("[가-힯]"), F.lit("ko"))
-        .when(text.rlike("[Ѐ-ӿ]"), F.lit("ru"))
-        .otherwise(F.lit("latin"))
-    )
+    # the SAME expression object as operators.text_analysis (one definition,
+    # cannot drift from the detect_script oracle)
+    from document_automation_spark.operators.text_analysis import script_case_expr
+
+    return script_case_expr(content_col)
 
 
 def curate_extracted(

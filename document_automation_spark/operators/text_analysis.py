@@ -71,18 +71,25 @@ def token_stats(
     return documents.select(*cols)
 
 
-def detect_language_script(documents: DataFrame) -> DataFrame:
-    """Script-range language ID as a CASE expression (JVM-side fast path;
-    the finer stopword heuristic lives in kernels.textstats for UDF use)."""
-    text = F.col("text")
-    return documents.select(
-        "doc_id",
+def script_case_expr(text: "F.Column") -> "F.Column":
+    """The script-range CASE expression, shared by :func:`detect_language_script`
+    and ``operators.curate.curate_extracted`` — ONE definition so the curation
+    gate can never drift from the ``detect_script`` oracle."""
+    return (
         F.when(text.rlike("[぀-ヿ]"), F.lit("ja"))
         .when(text.rlike("[一-鿿]"), F.lit("zh"))
         .when(text.rlike("[가-힯]"), F.lit("ko"))
         .when(text.rlike("[Ѐ-ӿ]"), F.lit("ru"))
         .otherwise(F.lit("latin"))
-        .alias("detected_script"),
+    )
+
+
+def detect_language_script(documents: DataFrame) -> DataFrame:
+    """Script-range language ID as a CASE expression (JVM-side fast path;
+    the finer stopword heuristic lives in kernels.textstats for UDF use)."""
+    return documents.select(
+        "doc_id",
+        script_case_expr(F.col("text")).alias("detected_script"),
     )
 
 

@@ -18,6 +18,13 @@ deliberately conservative — never merges urls that could differ):
 
 Path case/percent-encoding/trailing-slash are NOT normalized: those can
 be semantic, and a false merge silently drops real documents.
+
+Malformed / hostless URLs (real crawl data has them; this repo's own
+quarantine markers ``warc:<path>#error`` are hostless by construction)
+canonicalize to THEMSELVES: ``try_parse_url`` (never throws, unlike
+``parse_url`` which aborts the job on the first bad record) yields a null
+canonical form, and the expression falls back to the verbatim url — so
+distinct unparseable urls never merge, and never crash the ingest.
 """
 
 from __future__ import annotations
@@ -29,23 +36,28 @@ _TRACKING = r"^(utm_[a-z]+|fbclid|gclid|msclkid)="
 
 
 def canonical_url(url: Column) -> Column:
-    """The canonical form of ``url`` as one codegen'd expression."""
+    """The canonical form of ``url`` as one codegen'd expression.
+
+    Total: never null, never throws.  A url ``try_parse_url`` cannot
+    extract a host from (malformed, or hostless schemes like ``mailto:``
+    and this repo's ``warc:...#error`` quarantine markers) is its own
+    canonical form — conservative identity beats a crash or a false merge."""
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
-    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
     port = F.regexp_extract(url, r"^[^:]+://[^/:?#]+:(\d+)", 1)
     default_port = (
         ((scheme == "http") & (port == "80"))
         | ((scheme == "https") & (port == "443"))
         | (port == "")
     )
-    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
-    query = F.parse_url(url, F.lit("QUERY"))
+    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
+    query = F.try_parse_url(url, F.lit("QUERY"))
     kept_params = F.filter(
         F.split(F.coalesce(query, F.lit("")), "&"),
         lambda p: (p != "") & ~p.rlike(_TRACKING),
     )
     norm_query = F.array_join(F.sort_array(kept_params), "&")
-    return F.concat(
+    canonical = F.concat(
         scheme,
         F.lit("://"),
         host,
@@ -53,6 +65,8 @@ def canonical_url(url: Column) -> Column:
         path,
         F.when(norm_query == "", F.lit("")).otherwise(F.concat(F.lit("?"), norm_query)),
     )
+    # null host (or null scheme) nulls the whole concat → fall back verbatim
+    return F.coalesce(canonical, url)
 
 
 def dedup_by_url(
@@ -63,6 +77,8 @@ def dedup_by_url(
 
     Scale shape: one shuffle on the canonical-url hash; the per-group
     window is bounded by the re-crawl count of one url, never the corpus.
+    (``canonical_url`` is total — unparseable urls canonicalize to
+    themselves — so there is no NULL partition for them to collapse into.)
     """
     from pyspark.sql import Window
 

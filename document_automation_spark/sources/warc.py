@@ -73,8 +73,17 @@ def pages_from_wet(spark: SparkSession, wet_dir: str) -> DataFrame:
     text — the input shape for pipelines that skip HTML extraction and go
     straight to the gate/split kernel (``operators.extract.
     documents_from_text``).  Undecodable payloads surface as quarantine
-    rows (``lang='__error__'`` marker is NOT used — the text stays null and
-    the url carries the record so downstream accounting sees it)."""
+    rows: the text stays null and the url carries the record so downstream
+    accounting sees it.
+
+    Error-message placement rule (symmetric across containers): each
+    source stores the parse-error message in the payload column its OWN
+    pipeline does NOT consume — WARC puts it in ``text`` (the HTML path
+    reads ``html``), WET puts it in ``html`` as utf-8 bytes (the text path
+    reads ``text``).  Consequence: quarantine rows always have a NULL
+    consumed-payload column, so ``documents_from_text`` quarantines them
+    with ``error`` set instead of splitting the message into fake passages
+    that would silently enter a curated corpus."""
     import pandas as pd
 
     from document_automation_spark.kernels.warc import iter_warc_records
@@ -101,7 +110,11 @@ def pages_from_wet(spark: SparkSession, wet_dir: str) -> DataFrame:
                         text = None  # quarantine: row kept, text null
                     rows.append((rec.uri, rec.warc_date, None, text, None))
                 if error is not None:
-                    rows.append((f"wet:{path}#error", None, None, error, None))
+                    # message in `html` (unconsumed by the text path) — see
+                    # module-level placement rule
+                    rows.append(
+                        (f"wet:{path}#error", None, error.encode("utf-8"), None, None)
+                    )
             yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(parse_batches, _WARC_PAGES_SCHEMA)

@@ -75,3 +75,101 @@ class TestIngestPipeline:
         sample = curated.filter(F.col("passage_idx") == 0).limit(5).collect()
         for r in sample:
             assert texts[r.url].startswith(r.content[:50])
+
+    def test_wet_parse_error_never_enters_corpus(self, spark, tmp_path):
+        """ADVICE round-3: a WET file-level parse error used to land its
+        message in `text`, which the text path split into normal passages.
+        Now the message rides in `html` (unconsumed), text stays null, and
+        the row quarantines."""
+        from document_automation_spark.kernels.warc import build_wet
+        from document_automation_spark.sources.pages import gen_rows
+        from document_automation_spark.sources.warc import pages_from_wet
+
+        wet_dir = tmp_path / "wet"
+        wet_dir.mkdir()
+        (wet_dir / "good.wet").write_bytes(build_wet(gen_rows(range(20))))
+        (wet_dir / "corrupt.wet").write_bytes(b"GARBAGE no warc header here")
+
+        pages = pages_from_wet(spark, str(wet_dir))
+        err = pages.filter(F.col("url").endswith("#error")).collect()
+        assert len(err) == 1
+        assert err[0].text is None  # message NOT in the consumed column
+        assert b"WARC" in bytes(err[0].html)  # message preserved for ops
+
+        out = str(tmp_path / "corpus_wet_err")
+        summary = run_ingest_pipeline(
+            spark, pages, out, "test-wet-err",
+            cfg=ExtractConfig(n_buckets=4), from_text=True,
+        )
+        assert summary["quarantined"] >= 1
+        curated = spark.read.parquet(summary["curated_path"])
+        # the parser error message never becomes document content
+        assert curated.filter(F.col("content").contains("WARC")).count() == 0
+        assert curated.filter(F.col("url").endswith("#error")).count() == 0
+
+    def test_wet_path_is_resumable(self, spark, tmp_path):
+        """ADVICE round-3: the WET branch used to bypass the manifested
+        writer (fabricated counters, no resume).  Now it runs through
+        run_extraction_job(docs_fn=documents_from_text): crash → resume
+        skips completed buckets and counters are real."""
+        from document_automation_spark.kernels.warc import build_wet
+        from document_automation_spark.operators.extract import documents_from_text
+        from document_automation_spark.plans.checkpoint import (
+            read_manifest,
+            run_extraction_job,
+        )
+        from document_automation_spark.sources.pages import gen_rows
+        from document_automation_spark.sources.warc import pages_from_wet
+
+        wet_dir = tmp_path / "wet_resume"
+        wet_dir.mkdir()
+        (wet_dir / "seg.wet").write_bytes(build_wet(gen_rows(range(60))))
+        pages = pages_from_wet(spark, str(wet_dir))
+        out = str(tmp_path / "corpus_wet_resume")
+        cfg = ExtractConfig(n_buckets=8)
+
+        crashed = run_extraction_job(
+            spark, pages, out, "wet-fp", cfg,
+            fail_buckets_above=4, docs_fn=documents_from_text,
+        )
+        assert 0 < crashed["buckets_processed"] < 8
+        resumed = run_extraction_job(
+            spark, pages, out, "wet-fp", cfg, docs_fn=documents_from_text,
+        )
+        assert resumed["buckets_skipped"] == crashed["buckets_processed"]
+        assert (
+            resumed["buckets_skipped"] + resumed["buckets_processed"] == 8
+        )
+        manifest = read_manifest(spark, out)
+        # counters are real, not fabricated: rows_in sums to the number of
+        # urls that emit rows (docs below the min-chars gate emit nothing)
+        docs = documents_from_text(pages, cfg)
+        expect_urls = docs.filter(
+            (F.col("passage_idx") == 0) | F.col("error").isNotNull()
+        ).count()
+        total_in = manifest.agg(F.sum("rows_in")).first()[0]
+        assert total_in == expect_urls > 0
+        # and a third run is a full no-op
+        third = run_extraction_job(
+            spark, pages, out, "wet-fp", cfg, docs_fn=documents_from_text,
+        )
+        assert third["buckets_processed"] == 0
+
+    def test_curate_script_gate_matches_detect_script(self, spark):
+        """ADVICE round-3: the curation gate now uses the SAME CASE
+        expression as text_analysis.detect_language_script (one definition,
+        no drift)."""
+        from document_automation_spark.operators.curate import _script_of
+        from document_automation_spark.operators.text_analysis import script_case_expr
+
+        samples = [
+            ("plain latin text",),
+            ("这是中文内容",),
+            ("これはひらがな",),
+            ("한국어 텍스트",),
+            ("русский текст",),
+        ]
+        df = spark.createDataFrame(samples, "t string")
+        a = [r.s for r in df.select(_script_of(F.col("t")).alias("s")).collect()]
+        b = [r.s for r in df.select(script_case_expr(F.col("t")).alias("s")).collect()]
+        assert a == b == ["latin", "zh", "ja", "ko", "ru"]

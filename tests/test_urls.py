@@ -82,3 +82,48 @@ class TestDedupByUrl:
         assert out.count() == 200
         same = out.filter(F.col("canonical_url") == F.col("url")).count()
         assert same == 200
+
+
+class TestMalformedUrls:
+    """ADVICE round-3: parse_url throws INVALID_URL on malformed urls and
+    NULL-canonical rows used to collapse into one window partition."""
+
+    def test_malformed_url_does_not_crash(self, spark):
+        got = _canon(spark, [
+            "not a url at all",
+            "mailto:someone@example.com",
+            "warc:/tmp/seg-0.warc#error",
+            "://missing-scheme",
+        ])
+        # total function: unparseable urls canonicalize to themselves
+        assert got == [
+            "not a url at all",
+            "mailto:someone@example.com",
+            "warc:/tmp/seg-0.warc#error",
+            "://missing-scheme",
+        ]
+
+    def test_distinct_hostless_urls_never_merge(self, spark):
+        t = dt.datetime(2024, 8, 1)
+        rows = [
+            ("warc:/data/seg-0.warc#error", None, "q0"),
+            ("wet:/data/seg-1.wet#error", None, "q1"),
+            ("not a url at all", t, "m0"),
+            ("http://h.com/a", t, "real"),
+        ]
+        df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+        out = dedup_by_url(df)
+        # every distinct unparseable url survives — no NULL-partition collapse
+        assert out.count() == 4
+        assert sorted(r.text for r in out.collect()) == ["m0", "q0", "q1", "real"]
+
+    def test_mixed_batch_with_malformed_rows_still_dedups_real_urls(self, spark):
+        t = dt.datetime(2024, 8, 1)
+        rows = [
+            ("http://H.com/a?b=2&a=1", t, "old"),
+            ("http://h.com/a?a=1&b=2", t + dt.timedelta(days=1), "new"),
+            ("total junk \x01 url", t, "junk"),
+        ]
+        df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+        out = {r.text for r in dedup_by_url(df).collect()}
+        assert out == {"new", "junk"}
