@@ -95,18 +95,45 @@ def main() -> None:
 
     from document_automation_spark.plans.checkpoint import run_extraction_job
 
-    durable_out = os.path.join(
-        tempfile.gettempdir(), f"bench_durable_{os.getpid()}"
-    )
-    shutil.rmtree(durable_out, ignore_errors=True)
-    t0 = time.time()
-    run_extraction_job(
-        spark, pages, durable_out, input_fingerprint=f"bench-{n_pages}", cfg=cfg
-    )
-    durable_s = time.time() - t0
+    durable_s = float("inf")
+    for rep in range(2):  # best-of-2: single draws swing ±40% on this host
+        durable_out = os.path.join(
+            tempfile.gettempdir(), f"bench_durable_{os.getpid()}_{rep}"
+        )
+        shutil.rmtree(durable_out, ignore_errors=True)
+        t0 = time.time()
+        run_extraction_job(
+            spark, pages, durable_out, input_fingerprint=f"bench-{n_pages}", cfg=cfg
+        )
+        durable_s = min(durable_s, time.time() - t0)
+        shutil.rmtree(durable_out, ignore_errors=True)
     timings["extraction_durable"] = round(durable_s, 3)
     docs_per_sec_durable = n_pages / durable_s
-    shutil.rmtree(durable_out, ignore_errors=True)
+
+    # -- composed ingest: url-dedup → durable extract → curate → corpus --
+    # (jobs/ingest_pipeline.run_ingest_pipeline) — the COMPLETE production
+    # recipe end to end, everything durable.  Single rep, warm (the
+    # durable run above already spun up the python pool + codegen).
+    from document_automation_spark.jobs.ingest_pipeline import run_ingest_pipeline
+
+    ingest_s = float("inf")
+    for rep in range(2):  # best-of-2, same reasoning as the durable entry
+        ingest_out = os.path.join(
+            tempfile.gettempdir(), f"bench_ingest_{os.getpid()}_{rep}"
+        )
+        shutil.rmtree(ingest_out, ignore_errors=True)
+        t0 = time.time()
+        run_ingest_pipeline(
+            spark,
+            pages,
+            ingest_out,
+            input_fingerprint=f"bench-ingest-{n_pages}",
+            cfg=cfg,
+        )
+        ingest_s = min(ingest_s, time.time() - t0)
+        shutil.rmtree(ingest_out, ignore_errors=True)
+    timings["ingest_durable"] = round(ingest_s, 3)
+    pages_per_sec_ingest = n_pages / ingest_s
 
     # -- operator headliners -------------------------------------------
     # The 5 heaviest queries run best-of-3 so round-to-round regressions
@@ -239,6 +266,7 @@ def main() -> None:
                 "sf": sf,
                 "docs_per_sec": round(docs_per_sec, 1),
                 "docs_per_sec_durable": round(docs_per_sec_durable, 1),
+                "pages_per_sec_ingest": round(pages_per_sec_ingest, 1),
                 "n_pages": n_pages,
                 "cpus": cpus,
             }

@@ -46,6 +46,8 @@ def run_ingest_pipeline(
     scripts=None,
     drop_exact_dups: bool = True,
     from_text: bool = False,
+    cut_dup_spans: bool = False,
+    span_k: int = 32,
 ) -> dict:
     """Run the whole recipe; returns a summary dict (stage counters).
 
@@ -54,6 +56,17 @@ def run_ingest_pipeline(
     paths run through ``run_extraction_job`` (via its ``docs_fn``
     parameter), so the WET path gets the identical durable write, resume
     manifests, and real per-bucket counters.
+
+    ``cut_dup_spans=True`` appends exact-substring span surgery (Lee et
+    al. 2022, ``operators.dedup.duplicate_spans``/``cut_spans``): every
+    ≥``span_k``-char window occurring in ≥2 curated passages is cut from
+    ALL of them (the policy of Lee et al.'s released ExactSubstr tool —
+    cross-document repeated substrings at this length are boilerplate).
+    Runs over the WRITTEN curated table (one extra corpus read/write; the
+    gram explode is the operator's inherent cost) and re-derives
+    ``content_sha`` for surgered rows; the summary gains ``cut_chars`` /
+    ``spanned_passages`` and ``curated_path`` points at the surgered
+    table.
     """
     from document_automation_spark.operators.curate import curate_extracted
     from document_automation_spark.operators.extract import ExtractConfig
@@ -62,7 +75,10 @@ def run_ingest_pipeline(
 
     cfg = cfg or ExtractConfig()
     if url_dedup:
-        pages = dedup_by_url(pages).drop("canonical_url")
+        # payload-light path: ranking runs on a narrow projection and only
+        # the (few) superseded re-crawls anti-join back — the raw html
+        # column never enters a shuffle (see operators/urls.py)
+        pages = dedup_by_url(pages, shuffle_payloads=False).drop("canonical_url")
 
     if from_text:
         from document_automation_spark.operators.extract import documents_from_text
@@ -77,20 +93,69 @@ def run_ingest_pipeline(
         spark, pages, output_path, input_fingerprint, cfg, docs_fn=docs_fn
     )
 
-    raw_docs = read_output(spark, output_path)
-    curated, stats = curate_extracted(
+    raw_docs = read_output(spark, output_path, with_sha=True)
+    curated, collect_stats = curate_extracted(
         raw_docs,
         min_chars=min_chars,
         scripts=scripts,
         drop_exact_dups=drop_exact_dups,
     )
     curated_path = os.path.join(output_path, "curated")
-    curated.write.mode("overwrite").parquet(curated_path)
+    # ONE action runs the whole curation: stage counters ride the write as
+    # CollectMetrics observations (collect_stats() reads them afterwards).
+    # zstd-1 writer options match the durable writer (see plans/checkpoint)
+    (
+        curated.write.mode("overwrite")
+        .option("compression", "zstd")
+        .option("parquet.compression.codec.zstd.level", "1")
+        .parquet(curated_path)
+    )
+    stats = collect_stats()
     stats_row = stats.first().asDict()
     stats.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(output_path, "_curation_stats")
     )
-    return {**extract_summary, **stats_row, "curated_path": curated_path}
+    summary = {**extract_summary, **stats_row, "curated_path": curated_path}
+
+    if cut_dup_spans:
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        from document_automation_spark.operators.dedup import (
+            cut_spans,
+            duplicate_spans,
+        )
+
+        corpus = spark.read.parquet(curated_path)
+        as_docs = corpus.withColumnRenamed("content", "text")
+        spans = duplicate_spans(as_docs, k=span_k, min_docs=2)
+        obs_cut = Observation("span_cut")
+        surgered = (
+            cut_spans(as_docs, spans)
+            .observe(
+                obs_cut,
+                F.sum("n_cut_chars").alias("cut_chars"),
+                F.sum((F.col("n_cut_chars") > 0).cast("long")).alias(
+                    "spanned_passages"
+                ),
+            )
+            .withColumnRenamed("text", "content")
+            .withColumn("content_sha", F.unhex(F.sha2(F.col("content"), 256)))
+            .drop("n_cut_chars")
+        )
+        cut_path = os.path.join(output_path, "curated_cut")
+        (
+            surgered.write.mode("overwrite")
+            .option("compression", "zstd")
+            .option("parquet.compression.codec.zstd.level", "1")
+            .parquet(cut_path)
+        )
+        spark.catalog.clearCache()  # duplicate_spans persists its gram table
+        summary["cut_chars"] = int(obs_cut.get["cut_chars"] or 0)
+        summary["spanned_passages"] = int(obs_cut.get["spanned_passages"] or 0)
+        summary["curated_path"] = cut_path
+
+    return summary
 
 
 def main(argv=None) -> None:
@@ -107,6 +172,12 @@ def main(argv=None) -> None:
     parser.add_argument("--scripts", help="comma list, e.g. latin,zh")
     parser.add_argument("--no-url-dedup", action="store_true")
     parser.add_argument("--no-exact-dedup", action="store_true")
+    parser.add_argument(
+        "--cut-dup-spans",
+        action="store_true",
+        help="append exact-substring span surgery (Lee et al. 2022) over the curated corpus",
+    )
+    parser.add_argument("--span-k", type=int, default=32)
     args = parser.parse_args(argv)
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
@@ -146,6 +217,8 @@ def main(argv=None) -> None:
             scripts=args.scripts.split(",") if args.scripts else None,
             drop_exact_dups=not args.no_exact_dedup,
             from_text=from_text,
+            cut_dup_spans=args.cut_dup_spans,
+            span_k=args.span_k,
         )
         print(json.dumps(summary))
     finally:

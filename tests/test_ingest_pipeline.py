@@ -173,3 +173,63 @@ class TestIngestPipeline:
         a = [r.s for r in df.select(_script_of(F.col("t")).alias("s")).collect()]
         b = [r.s for r in df.select(script_case_expr(F.col("t")).alias("s")).collect()]
         assert a == b == ["latin", "zh", "ja", "ko", "ru"]
+
+    def test_content_sha_written_and_curate_fast_path_equivalent(self, spark, tmp_path):
+        """The durable writer stores content_sha (binary 32B, = sha2 of
+        content); curation keyed on it gives byte-identical results to
+        hashing content directly (column-pruned fast path vs fallback)."""
+        from document_automation_spark.operators.curate import curate_extracted
+        from document_automation_spark.plans.checkpoint import (
+            read_output,
+            run_extraction_job,
+        )
+
+        pages = pages_df(spark, 60, partitions=4)
+        out = str(tmp_path / "sha_out")
+        run_extraction_job(spark, pages, out, "sha-fp", ExtractConfig(n_buckets=4))
+
+        with_sha = read_output(spark, out, with_sha=True)
+        ok = with_sha.filter(F.col("error").isNull()).limit(20)
+        bad = ok.filter(
+            F.col("content_sha") != F.unhex(F.sha2(F.col("content"), 256))
+        ).count()
+        assert bad == 0
+        assert ok.filter(F.length("content_sha") != 32).count() == 0
+
+        fast, fast_stats = curate_extracted(read_output(spark, out, with_sha=True))
+        slow, slow_stats = curate_extracted(read_output(spark, out))
+        f = {(r.url, r.passage_idx) for r in fast.select("url", "passage_idx").collect()}
+        s = {(r.url, r.passage_idx) for r in slow.select("url", "passage_idx").collect()}
+        assert f == s
+        assert fast_stats().first().asDict() == slow_stats().first().asDict()
+
+    def test_cut_dup_spans_stage(self, spark, tmp_path):
+        """--cut-dup-spans: cross-passage exact-substring spans are cut
+        from the final corpus (round-4 verdict #3).  Two fixture pages
+        share templated boilerplate text; after surgery no
+        32-gram occurs in two distinct passages, counters report the cut,
+        and content_sha is re-derived."""
+        # fixture pages share templated boilerplate lines, so the curated
+        # passages naturally contain cross-document >=32-char substrings
+        base = pages_df(spark, 40, partitions=2)
+        out = str(tmp_path / "corpus_spans")
+        summary = run_ingest_pipeline(
+            spark, base, out, "test-spans",
+            cfg=ExtractConfig(n_buckets=4), cut_dup_spans=True, span_k=32,
+        )
+        assert summary["curated_path"].endswith("curated_cut")
+        assert "cut_chars" in summary and "spanned_passages" in summary
+        cut = spark.read.parquet(summary["curated_path"])
+        # content_sha re-derived after surgery
+        assert cut.filter(
+            F.col("content_sha") != F.unhex(F.sha2(F.col("content"), 256))
+        ).count() == 0
+        # post-condition of Lee-et-al surgery: no 32-char window remains
+        # in >=2 distinct passages
+        from document_automation_spark.operators.dedup import duplicate_spans
+
+        remaining = duplicate_spans(
+            cut.withColumnRenamed("content", "text"), k=32, min_docs=2
+        ).count()
+        spark.catalog.clearCache()
+        assert remaining == 0
