@@ -6,19 +6,23 @@ metadata, exactly like the reference's image bytes
 the payload; decode/resize/frame-sample run inside Arrow-batched
 ``mapInPandas`` kernels.
 
-The heavy codecs (PIL/cv2/ffmpeg) are NOT in this container, so the decode
-step is a clearly-marked seam: ``decode_image_stub`` raises
-``NotImplementedError`` unless ``deterministic_fake=True``, in which case
-it derives metadata (format sniff via magic bytes, fake dimensions) purely
-from the bytes — making the Spark-side plumbing (schema, batching,
-partitioning, UDF signature) fully real and testable.  Swapping in PIL is
-a one-function change.
+PNG / JPEG / GIF headers (and PNG pixels) decode for REAL via the
+stdlib-only kernel ``kernels/image.py`` — zlib IDAT inflate + scanline
+unfilter for PNG, SOFn frame headers for JPEG, the logical screen
+descriptor for GIF; no PIL/cv2 required.  The heavy codecs (JPEG pixel
+entropy decode, video frames) are NOT in this container, so for formats
+beyond those three ``decode_image`` remains a clearly-marked seam: it
+raises ``NotImplementedError`` unless ``deterministic_fake=True`` (stable
+fake dimensions derived from the bytes, keeping the distributed plumbing
+testable for audio/video-shaped payloads).  Swapping in PIL there is a
+one-function change.
 
 The reference's grayscale/crop/binarize preprocessing
 (/root/reference/src/utils.py:26-50) maps to ``preprocess_spec`` metadata
 on each row — the numeric crop box ``(0, 0.05·H, 0.70·W, 0.9·H)`` is
-computed here (int-truncated, parity with crop_image) even though the
-pixel op itself is stubbed.
+computed here (int-truncated, parity with crop_image); for PNG payloads
+the pixels behind it are real too (``kernels.image.decode_png`` +
+``grayscale``), pinned by TestImageKernel.
 """
 
 from __future__ import annotations
@@ -61,13 +65,29 @@ def sniff_format(payload: bytes) -> Optional[str]:
     return None
 
 
-def decode_image_stub(payload: bytes, deterministic_fake: bool = False) -> Tuple[int, int]:
-    """Decode → (width, height).  STUB: real decode needs PIL/cv2, not in
-    this container.  ``deterministic_fake`` derives stable fake dimensions
-    from the payload bytes so the distributed plumbing is testable."""
+def decode_image(payload: bytes, deterministic_fake: bool = False) -> Tuple[int, int]:
+    """Decode → (width, height).
+
+    PNG/JPEG/GIF decode for REAL (stdlib header parse, kernels/image.py —
+    ``deterministic_fake`` is ignored for them; a malformed payload raises
+    ``ValueError`` and quarantines).  Any other format needs a codec this
+    container doesn't have: ``NotImplementedError`` unless
+    ``deterministic_fake=True``, which derives stable fake dimensions from
+    the payload bytes so audio/video-shaped plumbing stays testable."""
+    from document_automation_spark.kernels.image import image_dimensions
+
+    head = payload[:8]
+    if (
+        head[:8] == b"\x89PNG\r\n\x1a\n"
+        or head[:3] == b"\xff\xd8\xff"
+        or head[:4] == b"GIF8"
+        or payload[:4] == b"\x89PNG"  # PNG-intent but truncated: real path
+    ):
+        return image_dimensions(payload)
     if not deterministic_fake:
         raise NotImplementedError(
-            "image decode requires PIL/cv2 — plug the real decoder in here"
+            "decode beyond PNG/JPEG/GIF headers requires PIL/cv2 — plug the "
+            "real decoder in here"
         )
     w = 320 + (payload[0] if payload else 0) * 4
     h = 240 + (payload[-1] if payload else 0) * 3
@@ -149,7 +169,7 @@ def media_features(
                     if payload is None:
                         raise ValueError("null payload")
                     raw = bytes(payload)
-                    w, h = decode_image_stub(raw, deterministic_fake)
+                    w, h = decode_image(raw, deterministic_fake)
                     rw, rh = resize_spec(w, h)
                     rows.append(
                         (
@@ -192,7 +212,7 @@ def media_metadata(
                     if payload is None:
                         raise ValueError("null payload")
                     fmt = sniff_format(bytes(payload))
-                    w, h = decode_image_stub(bytes(payload), deterministic_fake)
+                    w, h = decode_image(bytes(payload), deterministic_fake)
                     left, top, right, bottom = crop_box(w, h)
                     rows.append(
                         (str(media_id), fmt, w, h, len(payload), left, top, right, bottom, None)

@@ -16,7 +16,7 @@ from document_automation_spark.functions.embed import (
 from document_automation_spark.operators.extract import ExtractConfig, extract_documents
 from document_automation_spark.operators.multimodal import (
     crop_box,
-    decode_image_stub,
+    decode_image,
     media_metadata,
     sniff_format,
 )
@@ -192,20 +192,34 @@ class TestMultimodal:
         assert crop_box(1000, 800) == (0, 40, 700, 720)
         assert crop_box(333, 555) == (0, 27, 233, 499)
 
-    def test_decode_stub_raises_without_fake(self):
-        with pytest.raises(NotImplementedError):
-            decode_image_stub(b"\x89PNG")
+    def test_decode_real_for_png_jpeg_gif(self):
+        """Round-4 verdict #5: PNG/JPEG/GIF dims decode for REAL (stdlib
+        header parse) — deterministic_fake no longer applies to them."""
+        from document_automation_spark.kernels.image import encode_png
+
+        png = encode_png(7, 5, 3, bytes((i % 256) for i in range(7 * 5 * 3)))
+        assert decode_image(png) == (7, 5)
+        # minimal JPEG: SOI + SOF0(h=33, w=77) — dims from the frame header
+        import struct
+        jpeg = (b"\xff\xd8\xff\xc0" + struct.pack(">H", 11)
+                + b"\x08" + struct.pack(">HH", 33, 77) + b"\x01\x11\x00")
+        assert decode_image(jpeg) == (77, 33)
+        gif = b"GIF89a" + struct.pack("<HH", 12, 34) + b"\x00" * 3
+        assert decode_image(gif) == (12, 34)
+        # malformed PNG-intent payload quarantines via ValueError, never fake
+        with pytest.raises(ValueError):
+            decode_image(b"\x89PNG", deterministic_fake=True)
 
     def test_decode_seam_contract(self):
-        """The seam's error message must name the dependency and the
-        plug-in point — it's the documented integration contract, not an
-        incidental string (PIL/cv2 are not installable in this container)."""
+        """Beyond PNG/JPEG/GIF the seam remains: the error message must
+        name the dependency and the plug-in point — it's the documented
+        integration contract (PIL/cv2 are not installable here)."""
         with pytest.raises(NotImplementedError, match=r"PIL/cv2"):
-            decode_image_stub(b"\x89PNG")
+            decode_image(b"RIFF....WAVE")
         with pytest.raises(NotImplementedError, match=r"plug the real decoder"):
-            decode_image_stub(b"")
-        # fake path: a pure function of the payload bytes
-        assert decode_image_stub(b"\x10abc\x20", deterministic_fake=True) == (
+            decode_image(b"")
+        # fake path (non-image payloads only): pure function of the bytes
+        assert decode_image(b"\x10abc\x20", deterministic_fake=True) == (
             320 + 0x10 * 4,
             240 + 0x20 * 3,
         )
@@ -233,18 +247,28 @@ class TestMultimodal:
         assert canon(one) == canon(many)
 
     def test_media_metadata_pipeline(self, spark):
+        import struct
+
+        from document_automation_spark.kernels.image import encode_png
+
+        png = encode_png(640, 480, 3, bytes((i % 256) for i in range(640 * 480 * 3)))
+        jpeg = (b"\xff\xd8\xff\xc0" + struct.pack(">H", 11)
+                + b"\x08" + struct.pack(">HH", 480, 640) + b"\x01\x11\x00")
         rows = [
-            ("m1", bytearray(b"\x89PNG\r\n\x1a\nrest")),
-            ("m2", bytearray(b"\xff\xd8\xff\xe0data")),
+            ("m1", bytearray(png)),
+            ("m2", bytearray(jpeg)),
             ("m3", None),
+            ("m4", bytearray(b"\x89PNG\r\n\x1a\nrest")),  # malformed PNG
         ]
         df = spark.createDataFrame(rows, "media_id string, payload binary")
         got = {r.media_id: r for r in media_metadata(df).collect()}
         assert got["m1"].media_format == "png"
+        assert (got["m1"].width, got["m1"].height) == (640, 480)  # REAL dims
         assert got["m2"].media_format == "jpeg"
-        assert got["m1"].width == 320 + 0x89 * 4
-        assert got["m1"].crop_right == int(got["m1"].width * 0.70)
+        assert (got["m2"].width, got["m2"].height) == (640, 480)
+        assert got["m1"].crop_right == int(640 * 0.70)
         assert got["m3"].error is not None
+        assert got["m4"].error is not None and "ValueError" in got["m4"].error
 
 
 class TestMediaFeatures:
@@ -275,11 +299,16 @@ class TestMediaFeatures:
     def test_media_features_pipeline(self, spark):
         from document_automation_spark.operators.multimodal import media_features
 
-        rows = [("m1", bytearray(b"\x89PNG" + bytes(range(200)))), ("m2", None)]
+        from document_automation_spark.kernels.image import encode_png
+
+        png = encode_png(512, 256, 1, bytes((i % 256) for i in range(512 * 256)))
+        rows = [("m1", bytearray(png)), ("m2", None)]
         df = spark.createDataFrame(rows, "media_id string, payload binary")
         got = {r.media_id: r for r in media_features(df).collect()}
         assert got["m1"].error is None
-        assert got["m1"].resize_w is not None and got["m1"].frame_offsets[0] == 0
+        # resize spec derives from the REAL decoded dims (512x256 -> 256x128)
+        assert (got["m1"].resize_w, got["m1"].resize_h) == (256, 128)
+        assert got["m1"].frame_offsets[0] == 0
         assert abs(sum(got["m1"].features) - 1.0) < 1e-3
         assert got["m2"].error is not None
 
