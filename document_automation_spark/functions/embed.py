@@ -93,6 +93,117 @@ def embed_documents(documents: DataFrame, dim: int = 16) -> DataFrame:
     return documents.select("doc_id", "text").mapInPandas(embed_batches, schema)
 
 
+# per-PYTHON-WORKER model cache for embed_with_model: Spark reuses python
+# workers across tasks (spark.python.worker.reuse, default true), so a
+# module global gives load-weights-once-per-worker — the semantics a real
+# HF encoder needs (the reference pays the model load once per Ray actor,
+# /root/reference/src/gen-sods-doc-image-ray.py:23-29)
+_MODEL_CACHE: dict = {}
+
+
+def embed_with_model(
+    documents: DataFrame,
+    model_factory,
+    batch_size: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cache_key: str | None = None,
+) -> DataFrame:
+    """The batched-MODEL inference slot (K8): any ``model_factory() ->
+    fn(list[str]) -> array-like (n, dim)`` runs inside ``mapInPandas``
+    with real production mechanics the hash embedder doesn't exercise:
+
+    * **one model init per python worker** — the factory result is cached
+      in a worker-global keyed by ``cache_key`` (default: the factory's
+      qualified name), so repeated tasks on a reused worker share weights
+      exactly like the reference's per-actor EmbeddingRetriever
+      (/root/reference/src/gen-sods-doc-image-ray.py:23-29, batch_size=50);
+    * **exact batch sizing** — incoming Arrow batches are re-chunked so
+      every model call sees exactly ``batch_size`` texts (the final
+      partial chunk per task excepted): a GPU encoder's throughput
+      contract, independent of ``spark.sql.execution.arrow.
+      maxRecordsPerBatch``;
+    * weights travel by **broadcast** when the factory closes over one —
+      see :func:`make_projection_model_factory` for the pattern.
+
+    Returns ``(id_col, embedding: array<double>)``.  Swap the factory for
+    a sentence-transformers load and nothing else changes."""
+    import numpy as np
+
+    key = cache_key or (
+        f"{getattr(model_factory, '__module__', '?')}."
+        f"{getattr(model_factory, '__qualname__', repr(model_factory))}"
+    )
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = _MODEL_CACHE.get(key)
+        if model is None:
+            model = model_factory()
+            _MODEL_CACHE[key] = model
+        buf_ids: list = []
+        buf_txt: list = []
+
+        def flush(n: int) -> pd.DataFrame:
+            ids, texts = buf_ids[:n], buf_txt[:n]
+            del buf_ids[:n], buf_txt[:n]
+            vecs = np.asarray(model(texts), dtype="float64")
+            return pd.DataFrame({id_col: ids, "embedding": list(map(list, vecs))})
+
+        for batch in batches:
+            buf_ids.extend(batch[id_col])
+            buf_txt.extend(batch[text_col])
+            while len(buf_txt) >= batch_size:
+                yield flush(batch_size)
+        if buf_txt:
+            yield flush(len(buf_txt))
+
+    return documents.select(id_col, text_col).mapInPandas(gen, schema)
+
+
+def make_projection_model_factory(
+    spark, dim_in: int = 256, dim_out: int = 64, seed: int = 7
+):
+    """Deterministic tiny-matrix default for :func:`embed_with_model`:
+    hashed bag-of-tokens (crc32 buckets) × a seeded random projection.
+
+    The weight matrix is built DRIVER-side and shipped via
+    ``sc.broadcast`` — the same weights-to-every-worker mechanics a real
+    checkpoint uses (torch state_dicts broadcast identically); the worker
+    materializes it once per process through the model cache.  Returns
+    ``(factory, cache_key)``."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    weights = rng.standard_normal((dim_in, dim_out)).astype("float64")
+    b_weights = spark.sparkContext.broadcast(weights)
+    key = f"projection-model-{dim_in}x{dim_out}-seed{seed}"
+
+    def factory():
+        import zlib
+
+        W = np.asarray(b_weights.value)
+
+        def model(texts):
+            X = np.zeros((len(texts), dim_in), dtype="float64")
+            for row, text in enumerate(texts):
+                for token in _TOKEN.findall((text or "").lower()):
+                    X[row, zlib.crc32(token.encode("utf-8")) % dim_in] += 1.0
+            Y = X @ W
+            norms = np.linalg.norm(Y, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            return Y / norms
+
+        return model
+
+    return factory, key
+
+
 def assign_dense_vector_ids(
     embedded: DataFrame,
     order_col: str = "doc_id",
