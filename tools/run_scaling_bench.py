@@ -111,6 +111,12 @@ def main() -> None:
     parser.add_argument("--reps", type=int, default=3)
     parser.add_argument("--low", type=int, default=8)
     parser.add_argument("--high", type=int, default=32)
+    parser.add_argument(
+        "--json-only",
+        action="store_true",
+        help="print the summary JSON without rewriting BENCH/BASELINE.md "
+        "(for extra level pairs beyond the protocol's 4v16)",
+    )
     args = parser.parse_args()
 
     sys.path.insert(0, "/root/repo")
@@ -158,6 +164,9 @@ def main() -> None:
         "meets_target_normalized": norm_eff >= 0.8,
     }
     print(json.dumps(summary))
+
+    if args.json_only:
+        return
 
     os.makedirs("/root/repo/BENCH", exist_ok=True)
     with open("/root/repo/BENCH/BASELINE.md", "w") as fh:
