@@ -1295,13 +1295,18 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
-def _lsh_oracle_sql(n_planes: int = 4, dim: int = 64, seed: int = 42) -> str:
+def _lsh_oracle_sql(
+    n_planes: int = 4, dim: int = 64, seed: int = 42, probe_bits: int = 0
+) -> str:
     """DuckDB twin of the LSH bucketing: the deterministic hyperplane
     constants are embedded as literals; both engines compute each dot as
-    the same left-fold in index order, so bucket ids are bit-identical."""
-    from document_automation_spark.operators.similarity import hyperplanes
+    the same left-fold in index order, so bucket ids are bit-identical.
+    ``probe_bits`` replays the multiprobe fan-out as a lateral unnest of
+    the same XOR masks the Spark side explodes."""
+    from document_automation_spark.operators.similarity import hyperplanes, probe_masks
 
     planes = hyperplanes(dim, n_planes, seed)
+    masks = ", ".join(str(m) for m in probe_masks(n_planes, probe_bits))
 
     def dot_sql(vec: str, plane: list) -> str:
         lits = ", ".join(repr(c) for c in plane)
@@ -1335,8 +1340,11 @@ def _lsh_oracle_sql(n_planes: int = 4, dim: int = 64, seed: int = 42) -> str:
                               i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))),
                           (a, b) -> a + b))),
                    6) AS cosine
-        FROM bucketed e JOIN (SELECT * FROM bucketed WHERE vec_id < 5) q
-          ON e.bucket = q.bucket
+        FROM bucketed e JOIN (
+            SELECT vec_id, embedding, xor(bucket, m.mask) AS bucket
+            FROM bucketed, LATERAL unnest([{masks}]) AS m(mask)
+            WHERE vec_id < 5
+        ) q ON e.bucket = q.bucket
     )
     SELECT query_vec_id, vec_id, cosine, rank FROM (
         SELECT query_vec_id, vec_id, cosine,
@@ -1435,9 +1443,12 @@ def _ann_recall_sql() -> Optional[str]:
         ) WHERE rank <= 10
     ),
     lsh AS (SELECT query_vec_id, vec_id FROM ({_lsh_oracle_sql()})),
+    lsh_mp AS (SELECT query_vec_id, vec_id FROM ({_lsh_oracle_sql(probe_bits=1)})),
     ivf AS (SELECT query_vec_id, vec_id FROM ({ivf})),
     methods AS (
         SELECT 'lsh' AS method, query_vec_id, vec_id FROM lsh
+        UNION ALL
+        SELECT 'lsh_mp1' AS method, query_vec_id, vec_id FROM lsh_mp
         UNION ALL
         SELECT 'ivf' AS method, query_vec_id, vec_id FROM ivf
     ),
@@ -1466,13 +1477,14 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
       pytest still pins full-probe == brute-force),
 
     merged into ONE seat under the driver's 50-entry cap: the eval runs
-    both methods end to end AND scores them, so S10 coverage is preserved
+    the methods end to end AND scores them, so S10 coverage is preserved
     while adding the recall-vs-brute-force quantification the reference
     reports for its FAISS index (/root/reference/README.md:46).  Measured
-    at sf0.01: IVF(3/8 probes) 0.64, LSH(4 planes, single table) 0.20
-    mean recall@10 — honest numbers for these budget configs; raising
-    n_probe / adding multiprobe-LSH tables trades scan cost for recall
-    (IVF full-probe == brute force is pytest-pinned in tests/test_ivf.py).
+    at sf0.01, mean recall@10: IVF(3/8 probes) 0.64; LSH(4 planes, base
+    bucket only) 0.20; LSH multiprobe radius 1 (``probe_bits=1``, 5/16
+    buckets scanned) 0.48 — the recall-vs-scan-cost trade quantified at
+    three budget points (IVF full-probe == brute force is pytest-pinned
+    in tests/test_ivf.py).
     """
     from document_automation_spark.operators.ivf import ivf_topk
     from document_automation_spark.operators.similarity import (
@@ -1489,11 +1501,16 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = lsh_bucketed_topk(emb, queries_df, k=10, n_planes=4).select(
         "query_vec_id", "vec_id"
     )
+    lsh_mp = lsh_bucketed_topk(
+        emb, queries_df, k=10, n_planes=4, probe_bits=1
+    ).select("query_vec_id", "vec_id")
     ivf = ivf_topk(
         emb, queries_df, n_centroids=8, n_probe=3, k=10, seed=42, quantize_dp=6
     ).select("query_vec_id", "vec_id")
-    methods = lsh.withColumn("method", F.lit("lsh")).unionByName(
-        ivf.withColumn("method", F.lit("ivf"))
+    methods = (
+        lsh.withColumn("method", F.lit("lsh"))
+        .unionByName(lsh_mp.withColumn("method", F.lit("lsh_mp1")))
+        .unionByName(ivf.withColumn("method", F.lit("ivf")))
     )
     hits = (
         methods.join(

@@ -526,3 +526,50 @@ class TestDuplicateSpans:
         spans = duplicate_spans(docs, k=32, min_docs=2)
         out = {r.doc_id: r.text for r in cut_spans(docs, spans).collect()}
         assert out[1] == mid  # both islands excised, middle intact
+
+
+class TestMultiprobeLsh:
+    def test_probe_masks(self):
+        from document_automation_spark.operators.similarity import probe_masks
+
+        assert probe_masks(4, 0) == [0]
+        assert probe_masks(4, 1) == [0, 1, 2, 4, 8]
+        assert set(probe_masks(3, 2)) == {0, 1, 2, 4, 3, 5, 6}
+
+    def test_multiprobe_recall_never_lower_and_superset(self, spark, sf_dir):
+        """probe_bits=1 scans a strict superset of buckets → its candidate
+        set contains the base run's candidates, and recall@k can only
+        improve."""
+        from document_automation_spark.operators.similarity import (
+            brute_force_topk,
+            lsh_bucketed_topk,
+        )
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_vec_id"),
+            F.col("embedding").alias("query_embedding"),
+        )
+        base = lsh_bucketed_topk(emb, queries, k=10, n_planes=4)
+        mp = lsh_bucketed_topk(emb, queries, k=10, n_planes=4, probe_bits=1)
+        brute = brute_force_topk(emb, queries, k=10)
+
+        def topk(df):
+            return {
+                q: {r.vec_id for r in rows}
+                for q, rows in __import__("itertools").groupby(
+                    sorted(df.collect(), key=lambda r: r.query_vec_id),
+                    key=lambda r: r.query_vec_id,
+                )
+            }
+
+        b, m, ex = topk(base), topk(mp), topk(brute)
+        for q in ex:
+            base_hits = len(b.get(q, set()) & ex[q])
+            mp_hits = len(m.get(q, set()) & ex[q])
+            assert mp_hits >= base_hits
+        # no duplicate (query, vec) pairs from the probe fan-out
+        assert mp.groupBy("query_vec_id", "vec_id").count().filter(
+            F.col("count") > 1
+        ).count() == 0
