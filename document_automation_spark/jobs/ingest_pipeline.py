@@ -48,8 +48,19 @@ def run_ingest_pipeline(
     from_text: bool = False,
     cut_dup_spans: bool = False,
     span_k: int = 32,
+    curated_mode: str = "copy",
 ) -> dict:
     """Run the whole recipe; returns a summary dict (stage counters).
+
+    ``curated_mode``: ``"copy"`` (default) materializes the curated
+    passages as a second physical table — right for a one-shot training
+    dump read many times.  ``"view"`` materializes only the dup-loser
+    TOMBSTONE table + gate config (``operators.curate.curation_tombstones``)
+    — at 100 TB this halves ingest write bytes, and consumers reconstruct
+    the curated view with :func:`read_curated` (gates re-evaluate at scan
+    speed, losers broadcast-anti-join).  ``cut_dup_spans`` requires
+    ``"copy"`` (span surgery rewrites text, so a physical table exists
+    anyway).
 
     ``from_text=True`` takes the WET path (documents_from_text over the
     pre-extracted ``text`` column) instead of HTML/PDF extraction; both
@@ -93,7 +104,55 @@ def run_ingest_pipeline(
         spark, pages, output_path, input_fingerprint, cfg, docs_fn=docs_fn
     )
 
+    if curated_mode not in ("copy", "view"):
+        raise ValueError(f"curated_mode must be 'copy' or 'view', got {curated_mode!r}")
+    if cut_dup_spans and curated_mode == "view":
+        raise ValueError("cut_dup_spans rewrites text and needs curated_mode='copy'")
+
     raw_docs = read_output(spark, output_path, with_sha=True)
+
+    if curated_mode == "view":
+        from document_automation_spark.operators.curate import curation_tombstones
+
+        losers, stats_plan = curation_tombstones(
+            raw_docs, min_chars=min_chars, scripts=scripts
+        )
+        losers_path = os.path.join(output_path, "curation_losers")
+        losers.write.mode("overwrite").parquet(losers_path)
+        n_losers = spark.read.parquet(losers_path).count()
+        in_counts = stats_plan.first().asDict()
+        rows_out = (
+            in_counts["rows_in"]
+            - (in_counts["quarantined"] or 0)
+            - (in_counts["gated"] or 0)
+            - n_losers
+        )
+        stats_row = {
+            **{k: (v or 0) for k, v in in_counts.items()},
+            "deduped": n_losers,
+            "rows_out": rows_out,
+        }
+        # persist the gate config so read_curated applies the SAME policy
+        spark.createDataFrame(
+            [(min_chars, ",".join(scripts) if scripts else None)],
+            "min_chars int, scripts string",
+        ).coalesce(1).write.mode("overwrite").json(
+            os.path.join(output_path, "_curation_config")
+        )
+        spark.createDataFrame(
+            [tuple(stats_row[k] for k in
+                   ("rows_in", "quarantined", "gated", "deduped", "rows_out"))],
+            "rows_in long, quarantined long, gated long, deduped long, rows_out long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(output_path, "_curation_stats")
+        )
+        return {
+            **extract_summary,
+            **stats_row,
+            "curated_mode": "view",
+            "losers_path": losers_path,
+        }
+
     curated, collect_stats = curate_extracted(
         raw_docs,
         min_chars=min_chars,
@@ -158,6 +217,32 @@ def run_ingest_pipeline(
     return summary
 
 
+def read_curated(spark: SparkSession, output_path: str) -> DataFrame:
+    """Reconstruct the curated view from a ``curated_mode='view'`` run:
+    raw documents table + persisted gate config + tombstone anti-join.
+    Plan shape: pruned scan → row-local filters → broadcast anti-join —
+    no shuffle, no second copy."""
+    import json as _json
+
+    from document_automation_spark.operators.curate import apply_tombstones
+    from document_automation_spark.plans.checkpoint import read_output
+
+    cfg_rows = (
+        spark.read.schema("min_chars int, scripts string")
+        .json(os.path.join(output_path, "_curation_config"))
+        .collect()
+    )
+    min_chars = cfg_rows[0].min_chars if cfg_rows else None
+    scripts = cfg_rows[0].scripts.split(",") if cfg_rows and cfg_rows[0].scripts else None
+    losers = spark.read.parquet(os.path.join(output_path, "curation_losers"))
+    return apply_tombstones(
+        read_output(spark, output_path, with_sha=True),
+        losers,
+        min_chars=min_chars,
+        scripts=scripts,
+    )
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description="crawl ingest: pages → curated corpus")
     src = parser.add_mutually_exclusive_group(required=True)
@@ -178,6 +263,13 @@ def main(argv=None) -> None:
         help="append exact-substring span surgery (Lee et al. 2022) over the curated corpus",
     )
     parser.add_argument("--span-k", type=int, default=32)
+    parser.add_argument(
+        "--curated-mode",
+        choices=("copy", "view"),
+        default="copy",
+        help="'view' materializes only the dup-loser tombstone table "
+        "(halves write bytes; read back with read_curated)",
+    )
     args = parser.parse_args(argv)
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
@@ -219,6 +311,7 @@ def main(argv=None) -> None:
             from_text=from_text,
             cut_dup_spans=args.cut_dup_spans,
             span_k=args.span_k,
+            curated_mode=args.curated_mode,
         )
         print(json.dumps(summary))
     finally:

@@ -148,3 +148,85 @@ def curate_extracted(
         )
 
     return curated, collect_stats
+
+
+def curation_tombstones(
+    documents: DataFrame,
+    min_chars: Optional[int] = None,
+    scripts: Optional[Sequence[str]] = None,
+) -> Tuple[DataFrame, DataFrame]:
+    """Curation as METADATA — the 100 TB-right alternative to
+    :func:`curate_extracted`'s physical copy: instead of re-writing ~95%
+    of the corpus into a second table, materialize only the dup-LOSER key
+    table ``(url, passage_idx)`` (typically a few percent of rows) and the
+    stage counters; consumers reconstruct the curated view with
+    :func:`apply_tombstones` (row-local gate filters re-evaluate at scan
+    speed; the loser anti-join broadcasts).  At 100 TB this halves ingest
+    write bytes and makes curation-policy changes (new gate thresholds)
+    a metadata-only operation — the copy mode stays right for a one-shot
+    training dump that is read many times.
+
+    Returns ``(losers, stats)`` — both small; materializing either runs
+    only narrow-column scans (``content_sha``/``url``/``passage_idx`` for
+    losers; counter flags for stats), never a content shuffle.  Dedup
+    semantics (keeper choice, keeper-key guard) are identical to
+    :func:`curate_extracted` — pinned by tests."""
+    quarantined_f = F.col("error").isNotNull()
+    gate_f = F.lit(False)
+    if min_chars is not None:
+        gate_f = gate_f | (F.length("content") < min_chars)
+    if scripts is not None:
+        gate_f = gate_f | ~_script_of(F.col("content")).isin(list(scripts))
+
+    key_expr = (
+        F.col("content_sha")
+        if "content_sha" in documents.columns
+        else F.sha2(F.col("content"), 256)
+    )
+    keyed = documents.filter(~quarantined_f & ~gate_f).select(
+        key_expr.alias("_ck"), "url", "passage_idx"
+    )
+    keep = keyed.groupBy("_ck").agg(
+        F.min(F.struct("url", "passage_idx")).alias("_keep")
+    )
+    losers = (
+        keyed.join(keep, "_ck")
+        .filter(
+            (F.col("url") != F.col("_keep.url"))
+            | (F.col("passage_idx") != F.col("_keep.passage_idx"))
+        )
+        .select("url", "passage_idx")
+    )
+    keeper_keys = keep.select(
+        F.col("_keep.url").alias("url"), F.col("_keep.passage_idx").alias("passage_idx")
+    )
+    losers = losers.join(keeper_keys, ["url", "passage_idx"], "left_anti")
+
+    stats = documents.agg(
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum(quarantined_f.cast("long")).alias("quarantined"),
+        F.sum((~quarantined_f & gate_f).cast("long")).alias("gated"),
+    )
+    return losers, stats
+
+
+def apply_tombstones(
+    documents: DataFrame,
+    losers: DataFrame,
+    min_chars: Optional[int] = None,
+    scripts: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Reconstruct the curated view from the raw documents table + the
+    tombstone table: row-local gates re-evaluate in the scan, losers
+    anti-join away (broadcast when small — they are, by construction).
+    Same gate parameters MUST be passed as at tombstone time (the ingest
+    pipeline persists them next to the loser table)."""
+    quarantined_f = F.col("error").isNotNull()
+    gate_f = F.lit(False)
+    if min_chars is not None:
+        gate_f = gate_f | (F.length("content") < min_chars)
+    if scripts is not None:
+        gate_f = gate_f | ~_script_of(F.col("content")).isin(list(scripts))
+    return documents.filter(~quarantined_f & ~gate_f).join(
+        losers, ["url", "passage_idx"], "left_anti"
+    )

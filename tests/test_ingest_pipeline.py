@@ -233,3 +233,56 @@ class TestIngestPipeline:
         ).count()
         spark.catalog.clearCache()
         assert remaining == 0
+
+    def test_view_mode_tombstones_equal_copy_mode(self, spark, tmp_path):
+        """curated_mode='view' materializes only the loser tombstone table;
+        read_curated must reconstruct EXACTLY the copy-mode curated rows,
+        and the stats must agree - at a fraction of the write bytes."""
+        import os
+
+        from document_automation_spark.jobs.ingest_pipeline import read_curated
+
+        base = pages_df(spark, 100, partitions=4)
+        recrawl = base.limit(8).withColumn(
+            "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 10 DAYS")
+        )
+        pages = base.unionAll(recrawl)
+
+        out_copy = str(tmp_path / "copy")
+        out_view = str(tmp_path / "view")
+        s_copy = run_ingest_pipeline(
+            spark, pages, out_copy, "fp", cfg=ExtractConfig(n_buckets=4),
+            min_chars=5, curated_mode="copy",
+        )
+        s_view = run_ingest_pipeline(
+            spark, pages, out_view, "fp", cfg=ExtractConfig(n_buckets=4),
+            min_chars=5, curated_mode="view",
+        )
+        for k in ("rows_in", "quarantined", "gated", "deduped", "rows_out"):
+            assert s_copy[k] == s_view[k], k
+        copy_rows = {
+            (r.url, r.passage_idx, r.content)
+            for r in spark.read.parquet(s_copy["curated_path"]).collect()
+        }
+        view_rows = {
+            (r.url, r.passage_idx, r.content)
+            for r in read_curated(spark, out_view).collect()
+        }
+        assert copy_rows == view_rows
+
+        def du(path, sub):
+            total = 0
+            for root, _, files in os.walk(os.path.join(path, sub)):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+            return total
+
+        # the tombstone table is tiny vs the copy-mode second corpus
+        assert du(out_view, "curation_losers") < du(out_copy, "curated") / 5
+
+    def test_view_mode_rejects_span_surgery(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="copy"):
+            run_ingest_pipeline(
+                spark, pages_df(spark, 10, partitions=1), str(tmp_path / "x"),
+                "fp", cfg=ExtractConfig(n_buckets=2),
+                curated_mode="view", cut_dup_spans=True,
+            )
