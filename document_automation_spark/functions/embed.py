@@ -73,10 +73,12 @@ def embed_documents(documents: DataFrame, dim: int = 16) -> DataFrame:
 
     Double precision (not float32) so downstream double arithmetic —
     cosine scores, fusion — is bit-identical to an engine that recomputes
-    the quantized components exactly (the DuckDB oracle)."""
+    the quantized components exactly (the DuckDB oracle).  The id column's
+    type follows the input (long for the analytics fixture, string for
+    the extraction corpus's content-hash ids)."""
     schema = T.StructType(
         [
-            T.StructField("doc_id", T.LongType()),
+            T.StructField("doc_id", documents.schema["doc_id"].dataType),
             T.StructField("embedding", T.ArrayType(T.DoubleType())),
         ]
     )

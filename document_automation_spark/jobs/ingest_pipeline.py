@@ -5,7 +5,11 @@
       → durable extraction          (plans/checkpoint.run_extraction_job:
                                      bucketed write + resume manifests)
       → curation                    (operators/curate.curate_extracted:
-                                     quarantine drop, gates, exact dedup)
+                                     quarantine drop, gates, exact dedup —
+                                     physical copy or tombstone view)
+      → [--cut-dup-spans]           exact-substring span surgery
+      → [--embed]                   hash-embed + dense vector ids →
+                                     embeddings table (the ANN/serving input)
       → curated passages table + per-stage stats
 
 This is the composition a reference user runs end to end (the reference's
@@ -49,6 +53,8 @@ def run_ingest_pipeline(
     cut_dup_spans: bool = False,
     span_k: int = 32,
     curated_mode: str = "copy",
+    embed: bool = False,
+    embed_dim: int = 16,
 ) -> dict:
     """Run the whole recipe; returns a summary dict (stage counters).
 
@@ -146,12 +152,17 @@ def run_ingest_pipeline(
         ).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(output_path, "_curation_stats")
         )
-        return {
+        summary = {
             **extract_summary,
             **stats_row,
             "curated_mode": "view",
             "losers_path": losers_path,
         }
+        if embed:
+            summary.update(
+                _embed_stage(spark, read_curated(spark, output_path), output_path, embed_dim)
+            )
+        return summary
 
     curated, collect_stats = curate_extracted(
         raw_docs,
@@ -214,7 +225,51 @@ def run_ingest_pipeline(
         summary["spanned_passages"] = int(obs_cut.get["spanned_passages"] or 0)
         summary["curated_path"] = cut_path
 
+    if embed:
+        summary.update(
+            _embed_stage(
+                spark, spark.read.parquet(summary["curated_path"]), output_path, embed_dim
+            )
+        )
+
     return summary
+
+
+def _embed_stage(
+    spark: SparkSession, curated: DataFrame, output_path: str, dim: int
+) -> dict:
+    """The reference's post-extraction EMBEDDING phase
+    (/root/reference/src/gen-sods-doc-image-ray.py:203-231: embed every
+    passage, assign the global dense vector_id, push to the index) as one
+    more distributed stage of the same spark-submit: hash-embed the
+    curated passages (the model slot — swap ``embed_documents`` for
+    ``embed_with_model`` + a real encoder factory and nothing else
+    changes), assign dense 0-based vector ids WITHOUT a global
+    single-partition window, write the embeddings table.  The ANN
+    operators (similarity/ivf) and the serving layer read this table
+    as-is."""
+    from pyspark.sql import functions as F
+
+    from document_automation_spark.functions.embed import (
+        assign_dense_vector_ids,
+        embed_documents,
+    )
+
+    docs = curated.select("doc_id", F.col("content").alias("text"))
+    embedded = embed_documents(docs, dim=dim)
+    cache = []
+    with_ids = assign_dense_vector_ids(embedded, order_col="doc_id", cache_registry=cache)
+    embeddings_path = os.path.join(output_path, "embeddings")
+    (
+        with_ids.write.mode("overwrite")
+        .option("compression", "zstd")
+        .option("parquet.compression.codec.zstd.level", "1")
+        .parquet(embeddings_path)
+    )
+    for handle in cache:
+        handle.unpersist()
+    n_vectors = spark.read.parquet(embeddings_path).count()
+    return {"embeddings_path": embeddings_path, "n_vectors": n_vectors}
 
 
 def read_curated(spark: SparkSession, output_path: str) -> DataFrame:
@@ -222,8 +277,6 @@ def read_curated(spark: SparkSession, output_path: str) -> DataFrame:
     raw documents table + persisted gate config + tombstone anti-join.
     Plan shape: pruned scan → row-local filters → broadcast anti-join —
     no shuffle, no second copy."""
-    import json as _json
-
     from document_automation_spark.operators.curate import apply_tombstones
     from document_automation_spark.plans.checkpoint import read_output
 
@@ -263,6 +316,13 @@ def main(argv=None) -> None:
         help="append exact-substring span surgery (Lee et al. 2022) over the curated corpus",
     )
     parser.add_argument("--span-k", type=int, default=32)
+    parser.add_argument(
+        "--embed",
+        action="store_true",
+        help="append the embedding phase: hash-embed curated passages, "
+        "assign dense vector ids, write the embeddings table",
+    )
+    parser.add_argument("--embed-dim", type=int, default=16)
     parser.add_argument(
         "--curated-mode",
         choices=("copy", "view"),
@@ -312,6 +372,8 @@ def main(argv=None) -> None:
             cut_dup_spans=args.cut_dup_spans,
             span_k=args.span_k,
             curated_mode=args.curated_mode,
+            embed=args.embed,
+            embed_dim=args.embed_dim,
         )
         print(json.dumps(summary))
     finally:

@@ -286,3 +286,41 @@ class TestIngestPipeline:
                 "fp", cfg=ExtractConfig(n_buckets=2),
                 curated_mode="view", cut_dup_spans=True,
             )
+
+    def test_embed_stage(self, spark, tmp_path):
+        """--embed: the reference's embedding phase as one more stage —
+        embeddings table with dense 0-based vector ids over the curated
+        corpus, in both curated modes."""
+        pages = pages_df(spark, 50, partitions=4)
+        out = str(tmp_path / "corpus_embed")
+        summary = run_ingest_pipeline(
+            spark, pages, out, "fp-embed",
+            cfg=ExtractConfig(n_buckets=4), embed=True, embed_dim=8,
+        )
+        emb = spark.read.parquet(summary["embeddings_path"])
+        n = summary["n_vectors"]
+        assert n == summary["rows_out"] == emb.count()
+        # dense ids: exactly 0..n-1
+        ids = sorted(r.vector_id for r in emb.select("vector_id").collect())
+        assert ids == list(range(n))
+        assert emb.filter(F.size("embedding") != 8).count() == 0
+        # embedding is the deterministic hash of the content (spot check)
+        from document_automation_spark.functions.embed import embed_text
+
+        row = emb.limit(1).collect()[0]
+        content = (
+            spark.read.parquet(summary["curated_path"])
+            .filter(F.col("doc_id") == row.doc_id)
+            .first()
+            .content
+        )
+        assert row.embedding == embed_text(content, 8)
+
+        # view mode produces the same vector count
+        out_v = str(tmp_path / "corpus_embed_view")
+        s_view = run_ingest_pipeline(
+            spark, pages, out_v, "fp-embed",
+            cfg=ExtractConfig(n_buckets=4), embed=True, embed_dim=8,
+            curated_mode="view",
+        )
+        assert s_view["n_vectors"] == n
