@@ -136,9 +136,10 @@ def embed_with_model(
         f"{getattr(model_factory, '__module__', '?')}."
         f"{getattr(model_factory, '__qualname__', repr(model_factory))}"
     )
+    # id type follows the input (long fixture ids, string content-hash ids)
     schema = T.StructType(
         [
-            T.StructField(id_col, T.LongType()),
+            T.StructField(id_col, documents.schema[id_col].dataType),
             T.StructField("embedding", T.ArrayType(T.DoubleType())),
         ]
     )

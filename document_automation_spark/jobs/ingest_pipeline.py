@@ -120,21 +120,26 @@ def run_ingest_pipeline(
     if curated_mode == "view":
         from document_automation_spark.operators.curate import curation_tombstones
 
-        losers, stats_plan = curation_tombstones(
-            raw_docs, min_chars=min_chars, scripts=scripts
+        losers, collect_in_counts = curation_tombstones(
+            raw_docs,
+            min_chars=min_chars,
+            scripts=scripts,
+            drop_exact_dups=drop_exact_dups,
         )
         losers_path = os.path.join(output_path, "curation_losers")
+        # ONE corpus scan: the input counters ride the loser write as an
+        # Observation (collect_in_counts reads them after the action)
         losers.write.mode("overwrite").parquet(losers_path)
         n_losers = spark.read.parquet(losers_path).count()
-        in_counts = stats_plan.first().asDict()
+        in_counts = collect_in_counts()
         rows_out = (
             in_counts["rows_in"]
-            - (in_counts["quarantined"] or 0)
-            - (in_counts["gated"] or 0)
+            - in_counts["quarantined"]
+            - in_counts["gated"]
             - n_losers
         )
         stats_row = {
-            **{k: (v or 0) for k, v in in_counts.items()},
+            **in_counts,
             "deduped": n_losers,
             "rows_out": rows_out,
         }
@@ -198,7 +203,10 @@ def run_ingest_pipeline(
 
         corpus = spark.read.parquet(curated_path)
         as_docs = corpus.withColumnRenamed("content", "text")
-        spans = duplicate_spans(as_docs, k=span_k, min_docs=2)
+        span_cache: list = []
+        spans = duplicate_spans(
+            as_docs, k=span_k, min_docs=2, cache_registry=span_cache
+        )
         obs_cut = Observation("span_cut")
         surgered = (
             cut_spans(as_docs, spans)
@@ -210,6 +218,11 @@ def run_ingest_pipeline(
                 ),
             )
             .withColumnRenamed("text", "content")
+            # re-derive BOTH content-derived identities after surgery:
+            # doc_id's invariant is sha256(url || content) (kernels/page.
+            # doc_id_for — sha2 over UTF-8 concat matches hexdigest), and
+            # content_sha is the dedup key
+            .withColumn("doc_id", F.sha2(F.concat(F.col("url"), F.col("content")), 256))
             .withColumn("content_sha", F.unhex(F.sha2(F.col("content"), 256)))
             .drop("n_cut_chars")
         )
@@ -220,7 +233,8 @@ def run_ingest_pipeline(
             .option("parquet.compression.codec.zstd.level", "1")
             .parquet(cut_path)
         )
-        spark.catalog.clearCache()  # duplicate_spans persists its gram table
+        for handle in span_cache:  # targeted: never clearCache() the session
+            handle.unpersist()
         summary["cut_chars"] = int(obs_cut.get["cut_chars"] or 0)
         summary["spanned_passages"] = int(obs_cut.get["spanned_passages"] or 0)
         summary["curated_path"] = cut_path

@@ -57,6 +57,20 @@ def _script_of(content_col) -> "F.Column":
     return script_case_expr(content_col)
 
 
+def _dedup_key(documents: DataFrame) -> "F.Column":
+    """The exact-dedup key: the stored ``content_sha`` when the durable
+    writer provided it (column-pruned fast path), hashing ``content``
+    otherwise.  NULL-SAFE: a corpus written before content_sha existed
+    reads the column as all-null through the explicit schema — keying on
+    it raw would collapse every passage into one null group and silently
+    drop the corpus, so null falls back to hashing per row."""
+    if "content_sha" in documents.columns:
+        return F.coalesce(
+            F.col("content_sha"), F.unhex(F.sha2(F.col("content"), 256))
+        )
+    return F.sha2(F.col("content"), 256)
+
+
 def curate_extracted(
     documents: DataFrame,
     min_chars: Optional[int] = None,
@@ -94,15 +108,7 @@ def curate_extracted(
 
     curated = gated
     if drop_exact_dups:
-        # fast path: the durable writer (plans/checkpoint) stores a
-        # content_sha column — keying on it makes the loser subquery a
-        # column-PRUNED scan (3 narrow columns, content never read);
-        # without it, hash here (one content scan, still no content shuffle)
-        key_expr = (
-            F.col("content_sha")
-            if "content_sha" in documents.columns
-            else F.sha2(F.col("content"), 256)
-        )
+        key_expr = _dedup_key(documents)
         keyed = documents.filter(~quarantined_f & ~gate_f).select(
             key_expr.alias("_ck"), "url", "passage_idx"
         )
@@ -154,7 +160,8 @@ def curation_tombstones(
     documents: DataFrame,
     min_chars: Optional[int] = None,
     scripts: Optional[Sequence[str]] = None,
-) -> Tuple[DataFrame, DataFrame]:
+    drop_exact_dups: bool = True,
+) -> Tuple[DataFrame, Callable[[], dict]]:
     """Curation as METADATA — the 100 TB-right alternative to
     :func:`curate_extracted`'s physical copy: instead of re-writing ~95%
     of the corpus into a second table, materialize only the dup-LOSER key
@@ -166,11 +173,16 @@ def curation_tombstones(
     a metadata-only operation — the copy mode stays right for a one-shot
     training dump that is read many times.
 
-    Returns ``(losers, stats)`` — both small; materializing either runs
-    only narrow-column scans (``content_sha``/``url``/``passage_idx`` for
-    losers; counter flags for stats), never a content shuffle.  Dedup
-    semantics (keeper choice, keeper-key guard) are identical to
-    :func:`curate_extracted` — pinned by tests."""
+    Returns ``(losers, collect_stats)``: ``collect_stats()`` yields the
+    input-side counters as a dict ``{rows_in, quarantined, gated}`` and is
+    valid after the first action on ``losers`` — the counters ride the
+    loser plan as an ``Observation``, so materializing the tombstones is
+    ONE scan of the documents table (narrow columns only), not two.
+    Dedup semantics (keeper choice, keeper-key guard, null-safe
+    ``content_sha``) are identical to :func:`curate_extracted` — pinned by
+    tests.  ``drop_exact_dups=False`` returns an EMPTY loser table (the
+    view is then gates-only), keeping the flag's meaning consistent with
+    the copy path."""
     quarantined_f = F.col("error").isNotNull()
     gate_f = F.lit(False)
     if min_chars is not None:
@@ -178,19 +190,47 @@ def curation_tombstones(
     if scripts is not None:
         gate_f = gate_f | ~_script_of(F.col("content")).isin(list(scripts))
 
-    key_expr = (
-        F.col("content_sha")
-        if "content_sha" in documents.columns
-        else F.sha2(F.col("content"), 256)
+    counter_exprs = (
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum(quarantined_f.cast("long")).alias("quarantined"),
+        F.sum((~quarantined_f & gate_f).cast("long")).alias("gated"),
     )
-    keyed = documents.filter(~quarantined_f & ~gate_f).select(
-        key_expr.alias("_ck"), "url", "passage_idx"
+
+    if not drop_exact_dups:
+        # gates-only view: no loser computation exists to ride, so the
+        # counters are their own (single, narrow) aggregation job
+        empty = documents.sparkSession.createDataFrame(
+            [], "url string, passage_idx int"
+        )
+
+        def collect_stats_agg() -> dict:
+            row = documents.agg(*counter_exprs).first()
+            return {
+                "rows_in": int(row["rows_in"]),
+                "quarantined": int(row["quarantined"] or 0),
+                "gated": int(row["gated"] or 0),
+            }
+
+        return empty, collect_stats_agg
+
+    obs_in = Observation("tombstones_in")
+    # the observation rides ONLY the join's left branch — the groupBy/keep
+    # branch re-derives from the un-observed lineage, otherwise the
+    # CollectMetrics node would sit in both subtrees of the self-join and
+    # double-fire (same reason curate_extracted splits its branches)
+    keyed_obs = (
+        documents.observe(obs_in, *counter_exprs)
+        .filter(~quarantined_f & ~gate_f)
+        .select(_dedup_key(documents).alias("_ck"), "url", "passage_idx")
     )
-    keep = keyed.groupBy("_ck").agg(
+    keyed_plain = documents.filter(~quarantined_f & ~gate_f).select(
+        _dedup_key(documents).alias("_ck"), "url", "passage_idx"
+    )
+    keep = keyed_plain.groupBy("_ck").agg(
         F.min(F.struct("url", "passage_idx")).alias("_keep")
     )
     losers = (
-        keyed.join(keep, "_ck")
+        keyed_obs.join(keep, "_ck")
         .filter(
             (F.col("url") != F.col("_keep.url"))
             | (F.col("passage_idx") != F.col("_keep.passage_idx"))
@@ -198,16 +238,20 @@ def curation_tombstones(
         .select("url", "passage_idx")
     )
     keeper_keys = keep.select(
-        F.col("_keep.url").alias("url"), F.col("_keep.passage_idx").alias("passage_idx")
+        F.col("_keep.url").alias("url"),
+        F.col("_keep.passage_idx").alias("passage_idx"),
     )
     losers = losers.join(keeper_keys, ["url", "passage_idx"], "left_anti")
 
-    stats = documents.agg(
-        F.count(F.lit(1)).alias("rows_in"),
-        F.sum(quarantined_f.cast("long")).alias("quarantined"),
-        F.sum((~quarantined_f & gate_f).cast("long")).alias("gated"),
-    )
-    return losers, stats
+    def collect_stats() -> dict:
+        got = obs_in.get  # blocks until the first action on `losers`
+        return {
+            "rows_in": int(got["rows_in"]),
+            "quarantined": int(got["quarantined"] or 0),
+            "gated": int(got["gated"] or 0),
+        }
+
+    return losers, collect_stats
 
 
 def apply_tombstones(

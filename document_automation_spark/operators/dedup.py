@@ -452,7 +452,7 @@ def ngram_jaccard_pairs(
 
 
 def duplicate_spans(
-    documents: DataFrame, k: int = 32, min_docs: int = 2
+    documents: DataFrame, k: int = 32, min_docs: int = 2, cache_registry: list | None = None
 ) -> DataFrame:
     """Cross-document EXACT-SUBSTRING duplicate spans — the sixth dedup
     strategy: the span-level operator of "Deduplicating Training Data
@@ -486,7 +486,9 @@ def duplicate_spans(
     # operator's heaviest stage) feeds BOTH the dup-gram aggregation and
     # the marked-position join; without this Spark recomputes it twice
     # (same reason minhash_lsh_candidates persists its banded table).
-    # One-shot operator: loop callers should clearCache() between rounds.
+    # Pass cache_registry=[] to receive the persisted handle for targeted
+    # unpersist() after consuming the spans (loop/pipeline callers —
+    # a global clearCache() would nuke the caller's own persisted data).
     grams = (
         documents.filter(F.length("text") >= k)
         .select(
@@ -500,6 +502,8 @@ def duplicate_spans(
         )
         .persist()
     )
+    if cache_registry is not None:
+        cache_registry.append(grams)
     dup_grams = (
         grams.groupBy("gram")
         .agg(F.countDistinct("doc_id").alias("n_docs"))

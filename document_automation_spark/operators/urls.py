@@ -93,11 +93,12 @@ def dedup_by_url(
     re-crawl-heavy the anti-join degrades gracefully to one payload
     shuffle — exactly the default path's cost, never worse.  Measured
     (tools/profile_ingest.py, 200k pages, local[32]): 10.7 s → ~1 s.
-    One semantic difference, deliberate: byte-identical ``(url, ts)``
-    duplicate rows (the same crawl record ingested twice, e.g. overlapping
-    WARC segment listings) ALL survive — dropping one needs a payload
-    shuffle by definition; downstream exact content dedup
-    (``operators.curate``) removes them with the same narrow-key trick.
+    Duplicated-KEY rows (the same ``(url, ts)`` record ingested twice,
+    e.g. overlapping WARC segment listings — or, pathologically, two
+    different payloads claiming one key) are detected on the narrow
+    projection and ONLY those few rows take a payload window: the result
+    is strictly one row per canonical url on both paths, and only
+    genuinely-duplicated records ever pay a payload shuffle.
     """
     from pyspark.sql import Window
 
@@ -122,16 +123,38 @@ def dedup_by_url(
     # a key is a loser only if NONE of its copies ranked first: identical
     # (url, ts) copies sort adjacently, so min(_rn) == 1 marks the winner
     # key even when duplicated — the winner must never anti-join itself out
-    losers = (
-        ranked.groupBy(url_col, ts_col)
-        .agg(F.min("_rn").alias("_mrn"))
-        .filter(F.col("_mrn") > 1)
-        .select(url_col, ts_col)
+    grouped = ranked.groupBy(url_col, ts_col).agg(
+        F.min("_rn").alias("_mrn"), F.count(F.lit(1)).alias("_n")
     )
-    # null-safe key equality: a null-ts row CAN be a loser (same canonical
-    # as a ts-carrying crawl); plain equality would never match its key
-    left, right = pages.alias("_l"), losers.alias("_r")
-    cond = F.col(f"_l.{url_col}").eqNullSafe(F.col(f"_r.{url_col}")) & F.col(
-        f"_l.{ts_col}"
-    ).eqNullSafe(F.col(f"_r.{ts_col}"))
-    return left.join(right, cond, "left_anti").withColumn("canonical_url", canon)
+    losers = grouped.filter(F.col("_mrn") > 1).select(url_col, ts_col)
+    # winner keys held by >1 physical row: the double-ingested records;
+    # typically EMPTY, always tiny relative to the corpus
+    dup_keys = grouped.filter((F.col("_mrn") == 1) & (F.col("_n") > 1)).select(
+        url_col, ts_col
+    )
+
+    def _key_join(left: DataFrame, keys: DataFrame, how: str) -> DataFrame:
+        # null-safe key equality: a null-ts row CAN be a loser (same
+        # canonical as a ts-carrying crawl); plain equality never matches
+        l, r = left.alias("_l"), keys.alias("_r")
+        cond = F.col(f"_l.{url_col}").eqNullSafe(F.col(f"_r.{url_col}")) & F.col(
+            f"_l.{ts_col}"
+        ).eqNullSafe(F.col(f"_r.{ts_col}"))
+        return l.join(r, cond, how)
+
+    kept = _key_join(pages, losers, "left_anti")
+    # collapse physical copies of the surviving keys: only THESE rows'
+    # payloads enter a shuffle; survivor is deterministic (row-hash order
+    # — byte-identical copies are interchangeable, divergent payloads
+    # resolve stably at any parallelism)
+    clean = _key_join(kept, dup_keys, "left_anti")
+    dup_w = Window.partitionBy(url_col, ts_col).orderBy(
+        F.xxhash64(*[F.col(c) for c in pages.columns])
+    )
+    dup_survivors = (
+        _key_join(kept, dup_keys, "left_semi")
+        .withColumn("_rn", F.row_number().over(dup_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return clean.unionByName(dup_survivors).withColumn("canonical_url", canon)

@@ -220,10 +220,17 @@ class TestIngestPipeline:
         assert summary["curated_path"].endswith("curated_cut")
         assert "cut_chars" in summary and "spanned_passages" in summary
         cut = spark.read.parquet(summary["curated_path"])
-        # content_sha re-derived after surgery
+        # BOTH content-derived identities re-derived after surgery:
+        # content_sha (dedup key) and doc_id (sha256(url || content) —
+        # must match the kernel's doc_id_for on the rewritten text)
         assert cut.filter(
             F.col("content_sha") != F.unhex(F.sha2(F.col("content"), 256))
         ).count() == 0
+        from document_automation_spark.kernels.page import doc_id_for
+
+        sample = cut.limit(5).collect()
+        for r in sample:
+            assert r.doc_id == doc_id_for(r.url, r.content)
         # post-condition of Lee-et-al surgery: no 32-char window remains
         # in >=2 distinct passages
         from document_automation_spark.operators.dedup import duplicate_spans
@@ -324,3 +331,48 @@ class TestIngestPipeline:
             curated_mode="view",
         )
         assert s_view["n_vectors"] == n
+
+    def test_curate_null_content_sha_falls_back_to_hashing(self, spark):
+        """Round-4 review: a pre-content_sha corpus read through the
+        with_sha schema yields an all-null column — keying on it raw would
+        collapse the corpus into one null group. The null-safe key must
+        dedup correctly instead."""
+        from document_automation_spark.operators.curate import curate_extracted
+
+        rows = [
+            ("u1", 0, "alpha text", None, None),
+            ("u2", 0, "beta text", None, None),
+            ("u3", 0, "alpha text", None, None),  # true dup of u1
+        ]
+        docs = spark.createDataFrame(
+            rows,
+            "url string, passage_idx int, content string, error string, "
+            "content_sha binary",
+        )
+        curated, stats_fn = curate_extracted(docs)
+        got = {(r.url, r.content) for r in curated.collect()}
+        # one loser (u3), NOT a collapse to a single survivor
+        assert got == {("u1", "alpha text"), ("u2", "beta text")}
+        assert stats_fn().first().deduped == 1
+
+    def test_view_mode_respects_no_exact_dedup(self, spark, tmp_path):
+        """Round-4 review: --no-exact-dedup --curated-mode view must not
+        tombstone anything (gates-only view)."""
+        from document_automation_spark.jobs.ingest_pipeline import read_curated
+
+        pages = pages_df(spark, 40, partitions=2)
+        out = str(tmp_path / "view_nodedup")
+        s = run_ingest_pipeline(
+            spark, pages, out, "fp", cfg=ExtractConfig(n_buckets=4),
+            curated_mode="view", drop_exact_dups=False,
+        )
+        assert s["deduped"] == 0
+        assert spark.read.parquet(s["losers_path"]).count() == 0
+        # the view equals the gates-only copy-mode corpus
+        out_c = str(tmp_path / "copy_nodedup")
+        s_c = run_ingest_pipeline(
+            spark, pages, out_c, "fp", cfg=ExtractConfig(n_buckets=4),
+            curated_mode="copy", drop_exact_dups=False,
+        )
+        assert s["rows_out"] == s_c["rows_out"]
+        assert read_curated(spark, out).count() == s_c["rows_out"]

@@ -129,3 +129,19 @@ class TestModelSeam:
         assert len(rows) == 3
         assert rows[2] == [0.0, 0.0, 0.0, 0.0]  # empty text → zero vector kept
         assert rows[3] == [0.0, 0.0, 0.0, 0.0]  # null tolerated, not a crash
+
+
+class TestStringIds:
+    def test_embed_with_model_follows_string_id_type(self, spark):
+        """Round-4 review: the extraction corpus has string content-hash
+        doc_ids; the seam must follow the input id type like
+        embed_documents does (LongType coercion would crash Arrow)."""
+        factory, key = make_projection_model_factory(spark, dim_in=32, dim_out=4, seed=2)
+        df = spark.createDataFrame(
+            [("sha-abc", "hello world"), ("sha-def", "more text")],
+            "doc_id string, text string",
+        )
+        rows = {r.doc_id: r.embedding for r in
+                embed_with_model(df, factory, batch_size=2, cache_key=key).collect()}
+        assert set(rows) == {"sha-abc", "sha-def"}
+        assert all(len(v) == 4 for v in rows.values())

@@ -127,3 +127,38 @@ class TestMalformedUrls:
         df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
         out = {r.text for r in dedup_by_url(df).collect()}
         assert out == {"new", "junk"}
+
+
+class TestDuplicateRecordCopies:
+    """Round-4 review: byte-identical (url, ts) records — the same crawl
+    record ingested twice — must collapse to ONE row on the payload-light
+    path too (only those few rows pay a payload window)."""
+
+    def test_identical_copies_collapse(self, spark):
+        t = dt.datetime(2024, 8, 1)
+        rows = [
+            ("http://h.com/a", t, "same-payload"),
+            ("http://h.com/a", t, "same-payload"),   # exact double-ingest
+            ("http://h.com/b", t, "unique"),
+            ("http://h.com/a", t + dt.timedelta(days=1), "newer"),  # re-crawl
+        ]
+        df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+        out = dedup_by_url(df, shuffle_payloads=False).collect()
+        assert sorted(r.text for r in out) == ["newer", "unique"]
+        # parity with the window path
+        ref = dedup_by_url(df, shuffle_payloads=True).collect()
+        assert sorted(r.text for r in out) == sorted(r.text for r in ref)
+
+    def test_divergent_payloads_same_key_resolve_deterministically(self, spark):
+        t = dt.datetime(2024, 8, 1)
+        rows = [("http://h.com/x", t, "payload-A"), ("http://h.com/x", t, "payload-B")]
+        df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+        a = dedup_by_url(df.repartition(1), shuffle_payloads=False).collect()
+        b = dedup_by_url(df.repartition(8), shuffle_payloads=False).collect()
+        assert len(a) == len(b) == 1
+        assert a[0].text == b[0].text  # row-hash order: parallelism-invariant
+
+    def test_null_ts_copies_collapse(self, spark):
+        rows = [("warc:/seg#error", None, "q"), ("warc:/seg#error", None, "q")]
+        df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+        assert dedup_by_url(df, shuffle_payloads=False).count() == 1

@@ -68,21 +68,27 @@ def main() -> None:
 
         t_all = time.time()
 
+        # codec flows through to the WRITERS (writer options override the
+        # session conf, so setting only the conf would silently bench the
+        # zstd-1 defaults no matter what was asked)
+        codec_level = "1" if codec == "zstd" else None
         t0 = time.time()
         deduped = dedup_by_url(pages, shuffle_payloads=False).drop("canonical_url")
-        summary = run_extraction_job(spark, deduped, out, "profile", cfg)
+        summary = run_extraction_job(
+            spark, deduped, out, "profile", cfg, codec=codec, codec_level=codec_level
+        )
         t_extract = time.time() - t0
 
         raw_docs = read_output(spark, out, with_sha=True)
         curated, collect_stats = curate_extracted(raw_docs)
 
         t0 = time.time()
-        (
-            curated.write.mode("overwrite")
-            .option("compression", "zstd")
-            .option("parquet.compression.codec.zstd.level", "1")
-            .parquet(os.path.join(out, "curated"))
-        )
+        writer = curated.write.mode("overwrite").option("compression", codec)
+        if codec_level:
+            writer = writer.option(
+                f"parquet.compression.codec.{codec}.level", codec_level
+            )
+        writer.parquet(os.path.join(out, "curated"))
         t_curated_write = time.time() - t0
 
         t0 = time.time()
