@@ -91,11 +91,15 @@ def run_ingest_pipeline(
     from document_automation_spark.plans.checkpoint import read_output, run_extraction_job
 
     cfg = cfg or ExtractConfig()
+    url_cache: list = []
     if url_dedup:
         # payload-light path: ranking runs on a narrow projection and only
-        # the (few) superseded re-crawls anti-join back — the raw html
-        # column never enters a shuffle (see operators/urls.py)
-        pages = dedup_by_url(pages, shuffle_payloads=False).drop("canonical_url")
+        # the (few) superseded re-crawl / double-ingest keys touch payloads
+        # — the html column of clean rows never enters a shuffle
+        # (see operators/urls.py)
+        pages = dedup_by_url(
+            pages, shuffle_payloads=False, cache_registry=url_cache
+        ).drop("canonical_url")
 
     if from_text:
         from document_automation_spark.operators.extract import documents_from_text
@@ -109,6 +113,8 @@ def run_ingest_pipeline(
     extract_summary = run_extraction_job(
         spark, pages, output_path, input_fingerprint, cfg, docs_fn=docs_fn
     )
+    for handle in url_cache:  # the dedup key table served the extract job
+        handle.unpersist()
 
     if curated_mode not in ("copy", "view"):
         raise ValueError(f"curated_mode must be 'copy' or 'view', got {curated_mode!r}")

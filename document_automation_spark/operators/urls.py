@@ -74,6 +74,7 @@ def dedup_by_url(
     url_col: str = "url",
     ts_col: str = "warc_ts",
     shuffle_payloads: bool = True,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """One row per canonical url — the NEWEST crawl wins (re-crawls
     supersede; ties broken by the raw url string for determinism).
@@ -122,16 +123,24 @@ def dedup_by_url(
     )
     # a key is a loser only if NONE of its copies ranked first: identical
     # (url, ts) copies sort adjacently, so min(_rn) == 1 marks the winner
-    # key even when duplicated — the winner must never anti-join itself out
-    grouped = ranked.groupBy(url_col, ts_col).agg(
-        F.min("_rn").alias("_mrn"), F.count(F.lit(1)).alias("_n")
+    # key even when duplicated — the winner must never anti-join itself out.
+    # ONE table holds every key needing action — superseded re-crawls
+    # (losers) and double-ingested winner keys (copies) — and is PERSISTED:
+    # it is tiny by construction (only the duplicated slice of the crawl),
+    # and three join branches below consume it — unpersisted, each branch
+    # would recompute the ranking window (measured ~2× the composed-ingest
+    # dedup cost).  Pass cache_registry=[] to unpersist after the action.
+    special = (
+        ranked.groupBy(url_col, ts_col)
+        .agg(F.min("_rn").alias("_mrn"), F.count(F.lit(1)).alias("_n"))
+        .filter((F.col("_mrn") > 1) | (F.col("_n") > 1))
+        .select(url_col, ts_col, (F.col("_mrn") > 1).alias("_is_loser"))
+        .persist()
     )
-    losers = grouped.filter(F.col("_mrn") > 1).select(url_col, ts_col)
-    # winner keys held by >1 physical row: the double-ingested records;
-    # typically EMPTY, always tiny relative to the corpus
-    dup_keys = grouped.filter((F.col("_mrn") == 1) & (F.col("_n") > 1)).select(
-        url_col, ts_col
-    )
+    if cache_registry is not None:
+        cache_registry.append(special)
+    losers = special.filter(F.col("_is_loser")).drop("_is_loser")
+    copy_keys = special.filter(~F.col("_is_loser")).drop("_is_loser")
 
     def _key_join(left: DataFrame, keys: DataFrame, how: str) -> DataFrame:
         # null-safe key equality: a null-ts row CAN be a loser (same
@@ -142,17 +151,19 @@ def dedup_by_url(
         ).eqNullSafe(F.col(f"_r.{ts_col}"))
         return l.join(r, cond, how)
 
-    kept = _key_join(pages, losers, "left_anti")
+    # clean path (the overwhelming majority): two broadcast anti-joins,
+    # map-only over the payloads
+    clean = _key_join(_key_join(pages, losers, "left_anti"), copy_keys, "left_anti")
     # collapse physical copies of the surviving keys: only THESE rows'
     # payloads enter a shuffle; survivor is deterministic (row-hash order
     # — byte-identical copies are interchangeable, divergent payloads
-    # resolve stably at any parallelism)
-    clean = _key_join(kept, dup_keys, "left_anti")
+    # resolve stably at any parallelism).  copy_keys is typically EMPTY:
+    # AQE sees the empty broadcast side and prunes this branch's scan.
     dup_w = Window.partitionBy(url_col, ts_col).orderBy(
         F.xxhash64(*[F.col(c) for c in pages.columns])
     )
     dup_survivors = (
-        _key_join(kept, dup_keys, "left_semi")
+        _key_join(pages, copy_keys, "left_semi")
         .withColumn("_rn", F.row_number().over(dup_w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")

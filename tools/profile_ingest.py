@@ -73,10 +73,15 @@ def main() -> None:
         # zstd-1 defaults no matter what was asked)
         codec_level = "1" if codec == "zstd" else None
         t0 = time.time()
-        deduped = dedup_by_url(pages, shuffle_payloads=False).drop("canonical_url")
+        url_cache = []
+        deduped = dedup_by_url(
+            pages, shuffle_payloads=False, cache_registry=url_cache
+        ).drop("canonical_url")
         summary = run_extraction_job(
             spark, deduped, out, "profile", cfg, codec=codec, codec_level=codec_level
         )
+        for h in url_cache:
+            h.unpersist()
         t_extract = time.time() - t0
 
         raw_docs = read_output(spark, out, with_sha=True)
