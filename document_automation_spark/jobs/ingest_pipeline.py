@@ -80,8 +80,9 @@ def run_ingest_pipeline(
     ALL of them (the policy of Lee et al.'s released ExactSubstr tool —
     cross-document repeated substrings at this length are boilerplate).
     Runs over the WRITTEN curated table (one extra corpus read/write; the
-    gram explode is the operator's inherent cost) and re-derives
-    ``content_sha`` for surgered rows; the summary gains ``cut_chars`` /
+    gram explode is the operator's inherent cost) and re-derives BOTH
+    content-derived identities (``doc_id``, ``content_sha``) for surgered
+    rows; the summary gains ``cut_chars`` /
     ``spanned_passages`` and ``curated_path`` points at the surgered
     table.
     """
@@ -110,11 +111,13 @@ def run_ingest_pipeline(
     # both payload paths run through the SAME durable writer: bucketed
     # dynamic-overwrite data commit + per-bucket resume manifests + real
     # counter totals (a crashed --wet run resumes exactly like --warc)
-    extract_summary = run_extraction_job(
-        spark, pages, output_path, input_fingerprint, cfg, docs_fn=docs_fn
-    )
-    for handle in url_cache:  # the dedup key table served the extract job
-        handle.unpersist()
+    try:
+        extract_summary = run_extraction_job(
+            spark, pages, output_path, input_fingerprint, cfg, docs_fn=docs_fn
+        )
+    finally:
+        for handle in url_cache:  # the dedup key table served the extract job
+            handle.unpersist()
 
     if curated_mode not in ("copy", "view"):
         raise ValueError(f"curated_mode must be 'copy' or 'view', got {curated_mode!r}")
@@ -126,15 +129,18 @@ def run_ingest_pipeline(
     if curated_mode == "view":
         from document_automation_spark.operators.curate import curation_tombstones
 
+        # sha_is_complete: this run's durable writer populated content_sha
+        # for every row (invariant by construction) -> narrow pruned scans
         losers, collect_in_counts = curation_tombstones(
             raw_docs,
             min_chars=min_chars,
             scripts=scripts,
             drop_exact_dups=drop_exact_dups,
+            sha_is_complete=True,
         )
         losers_path = os.path.join(output_path, "curation_losers")
-        # ONE corpus scan: the input counters ride the loser write as an
-        # Observation (collect_in_counts reads them after the action)
+        # no separate stats action: the input counters ride the loser
+        # write as an Observation (collect_in_counts reads them after)
         losers.write.mode("overwrite").parquet(losers_path)
         n_losers = spark.read.parquet(losers_path).count()
         in_counts = collect_in_counts()
@@ -180,6 +186,7 @@ def run_ingest_pipeline(
         min_chars=min_chars,
         scripts=scripts,
         drop_exact_dups=drop_exact_dups,
+        sha_is_complete=True,  # this run's writer populated every row
     )
     curated_path = os.path.join(output_path, "curated")
     # ONE action runs the whole curation: stage counters ride the write as
@@ -233,14 +240,16 @@ def run_ingest_pipeline(
             .drop("n_cut_chars")
         )
         cut_path = os.path.join(output_path, "curated_cut")
-        (
-            surgered.write.mode("overwrite")
-            .option("compression", "zstd")
-            .option("parquet.compression.codec.zstd.level", "1")
-            .parquet(cut_path)
-        )
-        for handle in span_cache:  # targeted: never clearCache() the session
-            handle.unpersist()
+        try:
+            (
+                surgered.write.mode("overwrite")
+                .option("compression", "zstd")
+                .option("parquet.compression.codec.zstd.level", "1")
+                .parquet(cut_path)
+            )
+        finally:
+            for handle in span_cache:  # targeted: never clearCache() the session
+                handle.unpersist()
         summary["cut_chars"] = int(obs_cut.get["cut_chars"] or 0)
         summary["spanned_passages"] = int(obs_cut.get["spanned_passages"] or 0)
         summary["curated_path"] = cut_path

@@ -57,14 +57,22 @@ def _script_of(content_col) -> "F.Column":
     return script_case_expr(content_col)
 
 
-def _dedup_key(documents: DataFrame) -> "F.Column":
+def _dedup_key(documents: DataFrame, sha_is_complete: bool = False) -> "F.Column":
     """The exact-dedup key: the stored ``content_sha`` when the durable
     writer provided it (column-pruned fast path), hashing ``content``
-    otherwise.  NULL-SAFE: a corpus written before content_sha existed
-    reads the column as all-null through the explicit schema — keying on
-    it raw would collapse every passage into one null group and silently
-    drop the corpus, so null falls back to hashing per row."""
+    otherwise.  NULL-SAFE by default: a corpus written before content_sha
+    existed reads the column as all-null through the explicit schema —
+    keying on it raw would collapse every passage into one null group and
+    silently drop the corpus, so null falls back to hashing per row.
+
+    The coalesce fallback references ``content``, which defeats static
+    column pruning — so callers that KNOW the column is fully populated
+    (the ingest pipeline, which wrote the corpus with the current writer
+    in the same run) pass ``sha_is_complete=True`` to keep the loser scan
+    narrow.  Trust only invariants you hold by construction."""
     if "content_sha" in documents.columns:
+        if sha_is_complete:
+            return F.col("content_sha")
         return F.coalesce(
             F.col("content_sha"), F.unhex(F.sha2(F.col("content"), 256))
         )
@@ -76,6 +84,7 @@ def curate_extracted(
     min_chars: Optional[int] = None,
     scripts: Optional[Sequence[str]] = None,
     drop_exact_dups: bool = True,
+    sha_is_complete: bool = False,
 ) -> Tuple[DataFrame, Callable[[], DataFrame]]:
     """Curate extraction output into a training-ready passages table.
 
@@ -108,7 +117,7 @@ def curate_extracted(
 
     curated = gated
     if drop_exact_dups:
-        key_expr = _dedup_key(documents)
+        key_expr = _dedup_key(documents, sha_is_complete)
         keyed = documents.filter(~quarantined_f & ~gate_f).select(
             key_expr.alias("_ck"), "url", "passage_idx"
         )
@@ -161,6 +170,7 @@ def curation_tombstones(
     min_chars: Optional[int] = None,
     scripts: Optional[Sequence[str]] = None,
     drop_exact_dups: bool = True,
+    sha_is_complete: bool = False,
 ) -> Tuple[DataFrame, Callable[[], dict]]:
     """Curation as METADATA — the 100 TB-right alternative to
     :func:`curate_extracted`'s physical copy: instead of re-writing ~95%
@@ -176,8 +186,11 @@ def curation_tombstones(
     Returns ``(losers, collect_stats)``: ``collect_stats()`` yields the
     input-side counters as a dict ``{rows_in, quarantined, gated}`` and is
     valid after the first action on ``losers`` — the counters ride the
-    loser plan as an ``Observation``, so materializing the tombstones is
-    ONE scan of the documents table (narrow columns only), not two.
+    loser plan as an ``Observation``, so no SEPARATE stats action exists.
+    (Physically the self-join still scans the documents table once per
+    branch — the branches are deliberately distinct lineages so the
+    metrics node fires once — and the scans are column-pruned only when
+    ``sha_is_complete=True``; see :func:`_dedup_key`.)
     Dedup semantics (keeper choice, keeper-key guard, null-safe
     ``content_sha``) are identical to :func:`curate_extracted` — pinned by
     tests.  ``drop_exact_dups=False`` returns an EMPTY loser table (the
@@ -221,10 +234,10 @@ def curation_tombstones(
     keyed_obs = (
         documents.observe(obs_in, *counter_exprs)
         .filter(~quarantined_f & ~gate_f)
-        .select(_dedup_key(documents).alias("_ck"), "url", "passage_idx")
+        .select(_dedup_key(documents, sha_is_complete).alias("_ck"), "url", "passage_idx")
     )
     keyed_plain = documents.filter(~quarantined_f & ~gate_f).select(
-        _dedup_key(documents).alias("_ck"), "url", "passage_idx"
+        _dedup_key(documents, sha_is_complete).alias("_ck"), "url", "passage_idx"
     )
     keep = keyed_plain.groupBy("_ck").agg(
         F.min(F.struct("url", "passage_idx")).alias("_keep")

@@ -125,21 +125,23 @@ def dedup_by_url(
     # (url, ts) copies sort adjacently, so min(_rn) == 1 marks the winner
     # key even when duplicated — the winner must never anti-join itself out.
     # ONE table holds every key needing action — superseded re-crawls
-    # (losers) and double-ingested winner keys (copies) — and is PERSISTED:
-    # it is tiny by construction (only the duplicated slice of the crawl),
-    # and three join branches below consume it — unpersisted, each branch
-    # would recompute the ranking window (measured ~2× the composed-ingest
-    # dedup cost).  Pass cache_registry=[] to unpersist after the action.
+    # (losers) and double-ingested winner keys (copies); it is tiny by
+    # construction (only the duplicated slice of the crawl) and is consumed
+    # by two join branches below.  Persisting it avoids recomputing the
+    # ranking window per branch (measured ~2× the composed-ingest dedup
+    # cost) — but ONLY when the caller passes ``cache_registry=[]`` to own
+    # the unpersist; the bare default stays cache-free (slower, leak-free)
+    # so loop/notebook callers never accumulate pinned state they cannot
+    # release.
     special = (
         ranked.groupBy(url_col, ts_col)
         .agg(F.min("_rn").alias("_mrn"), F.count(F.lit(1)).alias("_n"))
         .filter((F.col("_mrn") > 1) | (F.col("_n") > 1))
         .select(url_col, ts_col, (F.col("_mrn") > 1).alias("_is_loser"))
-        .persist()
     )
     if cache_registry is not None:
+        special = special.persist()
         cache_registry.append(special)
-    losers = special.filter(F.col("_is_loser")).drop("_is_loser")
     copy_keys = special.filter(~F.col("_is_loser")).drop("_is_loser")
 
     def _key_join(left: DataFrame, keys: DataFrame, how: str) -> DataFrame:
@@ -151,9 +153,12 @@ def dedup_by_url(
         ).eqNullSafe(F.col(f"_r.{ts_col}"))
         return l.join(r, cond, how)
 
-    # clean path (the overwhelming majority): two broadcast anti-joins,
-    # map-only over the payloads
-    clean = _key_join(_key_join(pages, losers, "left_anti"), copy_keys, "left_anti")
+    # clean path (the overwhelming majority): ONE broadcast anti-join
+    # against the whole key table (losers ∪ copy-keys partition it, so
+    # dropping every special key at once is equivalent), map-only payloads
+    clean = _key_join(
+        pages, special.select(url_col, ts_col), "left_anti"
+    )
     # collapse physical copies of the surviving keys: only THESE rows'
     # payloads enter a shuffle; survivor is deterministic (row-hash order
     # — byte-identical copies are interchangeable, divergent payloads

@@ -376,3 +376,24 @@ class TestIngestPipeline:
         )
         assert s["rows_out"] == s_c["rows_out"]
         assert read_curated(spark, out).count() == s_c["rows_out"]
+
+    def test_tombstones_null_content_sha_falls_back_to_hashing(self, spark):
+        """Same null-sha regression guard for the TOMBSTONE path: an
+        all-null content_sha corpus must produce exactly one loser, not
+        tombstone the whole corpus into one null group."""
+        from document_automation_spark.operators.curate import curation_tombstones
+
+        rows = [
+            ("u1", 0, "alpha text", None, None),
+            ("u2", 0, "beta text", None, None),
+            ("u3", 0, "alpha text", None, None),  # true dup of u1
+        ]
+        docs = spark.createDataFrame(
+            rows,
+            "url string, passage_idx int, content string, error string, "
+            "content_sha binary",
+        )
+        losers, collect_stats = curation_tombstones(docs)
+        got = [(r.url, r.passage_idx) for r in losers.collect()]
+        assert got == [("u3", 0)]
+        assert collect_stats() == {"rows_in": 3, "quarantined": 0, "gated": 0}
