@@ -6,12 +6,13 @@ metadata, exactly like the reference's image bytes
 the payload; decode/resize/frame-sample run inside Arrow-batched
 ``mapInPandas`` kernels.
 
-PNG / JPEG / GIF headers (and PNG pixels) decode for REAL via the
-stdlib-only kernel ``kernels/image.py`` — zlib IDAT inflate + scanline
-unfilter for PNG, SOFn frame headers for JPEG, the logical screen
-descriptor for GIF; no PIL/cv2 required.  The heavy codecs (JPEG pixel
-entropy decode, video frames) are NOT in this container, so for formats
-beyond those three ``decode_image`` remains a clearly-marked seam: it
+PNG / JPEG / GIF decode for REAL via the stdlib-only kernel
+``kernels/image.py`` — zlib IDAT inflate + scanline unfilter for PNG,
+full T.81 baseline entropy decode + IDCT for JPEG pixels
+(``kernels.image.decode_jpeg``), SOFn frame headers for dimensions, the
+logical screen descriptor for GIF; no PIL/cv2 required.  The remaining
+codec-bound formats (progressive JPEG pixels, video frames) keep
+``decode_image`` as a clearly-marked seam: it
 raises ``NotImplementedError`` unless ``deterministic_fake=True`` (stable
 fake dimensions derived from the bytes, keeping the distributed plumbing
 testable for audio/video-shaped payloads).  Swapping in PIL there is a
