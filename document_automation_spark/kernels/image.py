@@ -435,9 +435,11 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
         if marker == 0xFF:
             pos += 1
             continue
-        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
+        if marker == 0xD9:  # EOI before any SOS
+            break
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         body = data[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT
@@ -461,6 +463,8 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
                 b += 17 + count
         elif marker == 0xC0:  # SOF0 baseline
             h, w = struct.unpack(">HH", body[1:5])
+            if w == 0 or h == 0:
+                raise ValueError("JPEG zero dimension (DNL-deferred height unsupported)")
             ncomp = body[5]
             comps = []
             for c in range(ncomp):
@@ -490,6 +494,19 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
                 )
             if any(s["dc"] is None or s["ac"] is None for s in scan):
                 raise ValueError("JPEG scan references missing Huffman table")
+            if len(scan) != len(frame["comps"]):
+                # T.81 allows per-component scans in baseline; decoding
+                # only the first would silently emit garbage planes
+                raise ValueError("multi-scan baseline JPEG not supported")
+            if len(scan) == 1 and (
+                scan[0]["comp"]["h"] != 1 or scan[0]["comp"]["v"] != 1
+            ):
+                # single-component scans use non-interleaved (one data
+                # unit per MCU) ordering, which this interleaved loop
+                # would misread for subsampled components
+                raise ValueError(
+                    "subsampled single-component JPEG scan not supported"
+                )
             return _decode_scan(
                 data, pos + 2 + seglen, frame, scan, qt, restart_interval
             )

@@ -318,3 +318,33 @@ class TestDecodePixelsDispatch:
         assert (gw, gh, ch) == (8, 8, 1)
         with pytest.raises(ValueError, match="PNG and baseline JPEG"):
             decode_pixels(b"GIF89a........")
+
+
+class TestJpegGuards:
+    def test_zero_height_raises(self):
+        w = BitWriter()
+        encode_block(w, dc_diff=0, ac={})
+        data = bytearray(build_jpeg(8, 8, [(1, 1, 1)], w.to_bytes(), FLAT_Q))
+        i = bytes(data).find(b"\xff\xc0")
+        data[i + 5 : i + 7] = struct.pack(">H", 0)  # frame height = 0
+        with pytest.raises(ValueError, match="zero dimension"):
+            decode_jpeg(bytes(data))
+
+    def test_multi_scan_raises_instead_of_garbage(self):
+        """A 3-component frame whose first SOS covers only one component
+        must raise — decoding it as the whole image would silently emit
+        zero chroma planes."""
+        w = BitWriter()
+        encode_block(w, dc_diff=0, ac={})
+        out = bytearray(b"\xff\xd8")
+        out += _seg(0xDB, bytes([0x00]) + bytes(FLAT_Q))
+        out += _seg(0xC4, bytes([0x00]) + DC_BITS + DC_VALS)
+        out += _seg(0xC4, bytes([0x10]) + AC_BITS + AC_VALS)
+        sof = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([3])
+        for cid in (1, 2, 3):
+            sof += bytes([cid, 0x11, 0])
+        out += _seg(0xC0, sof)
+        out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # scan: comp 1 only
+        out += w.to_bytes() + b"\xff\xd9"
+        with pytest.raises(ValueError, match="multi-scan"):
+            decode_jpeg(bytes(out))
