@@ -1,13 +1,14 @@
 """Stdlib-only image decode: PNG (dims + full pixel decode), JPEG (dims
-+ full BASELINE pixel decode), GIF (dims).  No PIL/cv2 in this container —
++ full BASELINE pixel decode), GIF (dims + full first-frame pixel decode).  No PIL/cv2 in this container —
 but PNG is just zlib (stdlib) plus five per-scanline filters, baseline
 JPEG is T.81 Huffman + dequant + IDCT (all implemented below, verified
 against an independent numpy IDCT and hand-assembled entropy streams in
 tests/test_jpeg_decode.py), and JPEG/GIF dimensions are plain header
-fields — so the multimodal pipeline's decode leg (operators/multimodal.py)
-is REAL for these formats; the ``NotImplementedError`` seam remains only
-for payloads that genuinely need a codec (progressive JPEG, video
-frames).
+fields, and GIF is LZW (implemented below, bit-level + roundtrip +
+KwKwK + interlace tested) — so the multimodal pipeline's decode leg
+(operators/multimodal.py) is REAL for all three dominant web image
+formats; the ``NotImplementedError`` seam remains only for payloads that
+genuinely need a codec (progressive JPEG, video frames).
 
 Reference parity: the reference decodes with PIL and feeds (grayscale,
 crop, binarize) OCR preprocessing (/root/reference/src/utils.py:41-50);
@@ -611,11 +612,140 @@ def _decode_scan(
 
 def decode_pixels(data: bytes) -> Tuple[int, int, int, bytes]:
     """Full pixel decode dispatch → (width, height, channels, pixels):
-    PNG via :func:`decode_png`, baseline JPEG via :func:`decode_jpeg`.
-    Raises ValueError for anything else (GIF pixel streams are LZW — a
-    codec this kernel deliberately does not re-implement)."""
+    PNG via :func:`decode_png`, baseline JPEG via :func:`decode_jpeg`,
+    GIF (first frame) via :func:`decode_gif`."""
     if data[:4] == b"\x89PNG":
         return decode_png(data)
     if data[:3] == b"\xff\xd8\xff":
         return decode_jpeg(data)
-    raise ValueError("pixel decode supports PNG and baseline JPEG")
+    if data[:4] == b"GIF8":
+        return decode_gif(data)
+    raise ValueError("pixel decode supports PNG, baseline JPEG, and GIF")
+
+
+def _lzw_decode(mcs: int, data: bytes, max_pixels: int) -> bytearray:
+    """GIF-variant LZW (LSB-first bit packing, variable 3-12 bit codes,
+    clear/end codes, dictionary rebuild on clear)."""
+    clear_code = 1 << mcs
+    end_code = clear_code + 1
+
+    def fresh_table():
+        return {i: bytes([i]) for i in range(clear_code)}
+
+    table = fresh_table()
+    next_code = end_code + 1
+    width = mcs + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear_code:
+                table = fresh_table()
+                next_code = end_code + 1
+                width = mcs + 1
+                prev = None
+                continue
+            if code == end_code:
+                return out
+            if prev is None:
+                entry = table.get(code)
+                if entry is None:
+                    raise ValueError("GIF LZW: first code not a literal")
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise ValueError("GIF LZW: code out of range")
+            out.extend(entry)
+            if len(out) > max_pixels:
+                raise ValueError("GIF LZW: more pixels than the image holds")
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(data: bytes) -> Tuple[int, int, int, bytes]:
+    """GIF pixel decode (FIRST image frame) → (width, height, 3, rgb).
+
+    GIF87a/89a: global/local color tables, LZW decompression, interlace
+    reorder; extensions are skipped (animation renders frame 1 — the
+    honest static-image semantics for a corpus thumbnail)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh = struct.unpack("<HH", data[6:10])
+    flags = data[10]
+    pos = 13
+    gct = b""
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = data[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            left, top, iw, ih = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
+            iflags = data[pos + 9]
+            pos += 10
+            palette = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                palette = data[pos : pos + 3 * n]
+                pos += 3 * n
+            if not palette:
+                raise ValueError("GIF image has no color table")
+            if iw == 0 or ih == 0:
+                raise ValueError("GIF zero dimension")
+            mcs = data[pos]
+            pos += 1
+            if not 2 <= mcs <= 11:
+                raise ValueError("GIF invalid LZW minimum code size")
+            lzw = bytearray()
+            while pos < len(data) and data[pos] != 0:
+                size = data[pos]
+                lzw += data[pos + 1 : pos + 1 + size]
+                pos += 1 + size
+            indices = _lzw_decode(mcs, bytes(lzw), iw * ih)
+            if len(indices) < iw * ih:
+                raise ValueError("GIF truncated pixel data")
+            if iflags & 0x40:  # interlaced: 4-pass row order
+                rows = []
+                for start, step in _GIF_INTERLACE_PASSES:
+                    rows.extend(range(start, ih, step))
+                reordered = bytearray(iw * ih)
+                for src, dst in enumerate(rows):
+                    reordered[dst * iw : (dst + 1) * iw] = indices[
+                        src * iw : (src + 1) * iw
+                    ]
+                indices = reordered
+            rgb = bytearray(iw * ih * 3)
+            npal = len(palette) // 3
+            for i, idx in enumerate(indices[: iw * ih]):
+                if idx >= npal:
+                    raise ValueError("GIF palette index out of range")
+                rgb[i * 3 : i * 3 + 3] = palette[idx * 3 : idx * 3 + 3]
+            return iw, ih, 3, bytes(rgb)
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"GIF unknown block 0x{block:02x}")
+    raise ValueError("GIF has no image frame")
