@@ -316,8 +316,12 @@ class TestDecodePixelsDispatch:
         jpg = build_jpeg(8, 8, [(1, 1, 1)], w.to_bytes(), FLAT_Q)
         gw, gh, ch, px = decode_pixels(jpg)
         assert (gw, gh, ch) == (8, 8, 1)
-        with pytest.raises(ValueError, match="PNG and baseline JPEG"):
+        # GIF dispatches to decode_gif since round 4 (malformed body still
+        # errors, but inside the GIF decoder); unknown formats reject here
+        with pytest.raises(ValueError, match="GIF"):
             decode_pixels(b"GIF89a........")
+        with pytest.raises(ValueError, match="PNG, baseline JPEG, and GIF"):
+            decode_pixels(b"RIFF....WEBP....")
 
 
 class TestJpegGuards:
