@@ -138,6 +138,30 @@ def feature_vector(payload: bytes, dim: int = 8) -> list:
     return [round(c / total, 6) for c in counts]
 
 
+def pixel_feature_vector(payload: bytes, dim: int = 8) -> list:
+    """REAL pixel features for decodable formats (PNG / baseline JPEG /
+    GIF): integer-luma histogram over ``dim`` equal brightness bands,
+    L1-normalized — a true image statistic (invariant to the compressed
+    byte layout), where :func:`feature_vector` only sketches the bytes.
+    Raises ValueError for non-decodable payloads (caller falls back)."""
+    from document_automation_spark.kernels.image import decode_pixels, grayscale
+
+    w, h, ch, px = decode_pixels(payload)
+    if ch == 4:  # drop alpha for luma
+        px = bytes(v for i, v in enumerate(px) if i % 4 != 3)
+        ch = 3
+    if ch == 2:  # gray+alpha
+        px = bytes(v for i, v in enumerate(px) if i % 2 == 0)
+        ch = 1
+    luma = grayscale(w, h, ch, px)
+    counts = [0] * dim
+    band = 256 // dim
+    for v in luma:
+        counts[min(dim - 1, v // band)] += 1
+    total = sum(counts) or 1
+    return [round(c / total, 6) for c in counts]
+
+
 MEDIA_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.StringType(), False),
@@ -158,8 +182,11 @@ def media_features(
 ) -> DataFrame:
     """Decode → resize-spec → frame-sample → feature-extract, one pass.
 
-    The full multimodal stage lineup (task brief) with every decision that
-    does NOT need a codec computed for real; quarantine semantics as ever."""
+    The full multimodal stage lineup (task brief).  Since round 4 the
+    feature leg is REAL pixels for PNG/baseline-JPEG/GIF payloads (luma
+    histogram via the stdlib decoders); payloads the kernels cannot decode
+    fall back to the byte sketch under ``deterministic_fake`` and
+    quarantine otherwise."""
 
     def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in MEDIA_FEATURES_SCHEMA.fields]
@@ -171,6 +198,12 @@ def media_features(
                         raise ValueError("null payload")
                     raw = bytes(payload)
                     w, h = decode_image(raw, deterministic_fake)
+                    try:
+                        features = pixel_feature_vector(raw)
+                    except ValueError:
+                        # dims decoded but pixels can't (e.g. progressive
+                        # JPEG) — byte sketch keeps the plumbing flowing
+                        features = feature_vector(raw)
                     rw, rh = resize_spec(w, h)
                     rows.append(
                         (
@@ -178,7 +211,7 @@ def media_features(
                             rw,
                             rh,
                             frame_sample_offsets(len(raw)),
-                            feature_vector(raw),
+                            features,
                             None,
                         )
                     )

@@ -596,3 +596,28 @@ class TestStreamingLshStress:
         }
         assert (1, 2) not in pairs and (1, 3) not in pairs
         assert (2, 3) in pairs
+
+
+class TestPixelFeatures:
+    def test_luma_histogram_from_real_pixels(self):
+        """pixel_feature_vector is a true image statistic: a PNG of pure
+        black and pure white pixels lands exactly in the first and last
+        brightness bands, regardless of compressed byte layout."""
+        from document_automation_spark.kernels.image import encode_png
+        from document_automation_spark.operators.multimodal import pixel_feature_vector
+
+        px = bytes([0] * 32 + [255] * 32)  # 8x8 gray: half black, half white
+        v = pixel_feature_vector(encode_png(8, 8, 1, px))
+        assert v[0] == 0.5 and v[-1] == 0.5
+        assert sum(v) == 1.0
+
+    def test_media_features_uses_pixels_for_png(self, spark):
+        from document_automation_spark.kernels.image import encode_png
+        from document_automation_spark.operators.multimodal import media_features
+
+        png = encode_png(8, 8, 1, bytes([0] * 32 + [255] * 32))
+        df = spark.createDataFrame([("m1", bytearray(png))], "media_id string, payload binary")
+        row = media_features(df).collect()[0]
+        assert row.error is None
+        assert abs(row.features[0] - 0.5) < 1e-6
+        assert abs(row.features[-1] - 0.5) < 1e-6
