@@ -410,7 +410,7 @@ def _ycbcr_to_rgb(y: int, cb: int, cr: int) -> Tuple[int, int, int]:
     return clamp(r), clamp(g), clamp(b)
 
 
-def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
+def decode_jpeg(data: bytes, luma_only: bool = False) -> Tuple[int, int, int, bytes]:
     """Baseline JPEG decode → (width, height, channels, pixel_bytes).
 
     Pure stdlib, ITU T.81 baseline sequential DCT: DQT/DHT/SOF0/DRI/SOS
@@ -418,8 +418,11 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
     restart markers, dequantization, exact float IDCT + level shift, and
     nearest-neighbour chroma upsampling for subsampled components (1 or 3
     components, sampling factors 1-2).  3-component output is RGB via the
-    JFIF BT.601 matrix; progressive/extended/arithmetic frames raise
-    ValueError (an honest scope cut, not a silent misdecode)."""
+    JFIF BT.601 matrix; ``luma_only=True`` returns the decoded Y plane
+    (1 channel, possibly subsampled dims) without chroma upsample or
+    colorspace conversion — the cheap path for luma statistics.
+    Progressive/extended/arithmetic frames raise ValueError (an honest
+    scope cut, not a silent misdecode)."""
     if data[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG (bad SOI)")
     qt: dict = {}
@@ -485,7 +488,11 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
             scan = []
             for c in range(ns):
                 cs, tables = body[1 + c * 2 : 3 + c * 2]
-                comp = next(x for x in frame["comps"] if x["id"] == cs)
+                comp = next(
+                    (x for x in frame["comps"] if x["id"] == cs), None
+                )
+                if comp is None:
+                    raise ValueError("JPEG scan references unknown component")
                 scan.append(
                     {
                         "comp": comp,
@@ -509,17 +516,27 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
                     "subsampled single-component JPEG scan not supported"
                 )
             return _decode_scan(
-                data, pos + 2 + seglen, frame, scan, qt, restart_interval
+                data, pos + 2 + seglen, frame, scan, qt, restart_interval,
+                luma_only=luma_only,
             )
         pos += 2 + seglen
     raise ValueError("JPEG has no SOS scan")
 
 
 def _decode_scan(
-    data: bytes, pos: int, frame: dict, scan: list, qt: dict, restart_interval: int
+    data: bytes,
+    pos: int,
+    frame: dict,
+    scan: list,
+    qt: dict,
+    restart_interval: int,
+    luma_only: bool = False,
 ) -> Tuple[int, int, int, bytes]:
     w, h = frame["w"], frame["h"]
     comps = frame["comps"]
+    if len(comps) not in (1, 3):
+        # reject BEFORE the (expensive, pure-python) entropy decode
+        raise ValueError(f"unsupported JPEG component count {len(comps)}")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
@@ -585,6 +602,18 @@ def _decode_scan(
             mcu_count += 1
 
     # assemble output, upsampling subsampled planes nearest-neighbour
+    if luma_only:
+        # component 1 of a JFIF frame IS luma — skip chroma upsample and
+        # the double YCbCr→RGB→luma rounding entirely
+        c = comps[0]
+        pw = mcus_x * c["h"] * 8
+        cw = (w * c["h"] + hmax - 1) // hmax
+        chh = (h * c["v"] + vmax - 1) // vmax
+        plane = planes[c["id"]]
+        out = bytearray(cw * chh)
+        for y in range(chh):
+            out[y * cw : (y + 1) * cw] = plane[y * pw : y * pw + cw]
+        return cw, chh, 1, bytes(out)
     if len(comps) == 1:
         c = comps[0]
         pw = mcus_x * c["h"] * 8
@@ -680,15 +709,21 @@ _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
 def decode_gif(data: bytes) -> Tuple[int, int, int, bytes]:
-    """GIF pixel decode (FIRST image frame) → (width, height, 3, rgb).
+    """GIF pixel decode → (screen_width, screen_height, 3, rgb).
 
     GIF87a/89a: global/local color tables, LZW decompression, interlace
-    reorder; extensions are skipped (animation renders frame 1 — the
-    honest static-image semantics for a corpus thumbnail)."""
+    reorder; extensions are skipped.  The FIRST image frame is composited
+    at its (left, top) placement onto the logical-screen canvas (filled
+    with the background color), so the returned dimensions and pixels
+    describe the SAME image — optimized GIFs whose first frame is a
+    sub-rectangle render as a viewer would show them."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     sw, sh = struct.unpack("<HH", data[6:10])
+    if sw == 0 or sh == 0:
+        raise ValueError("GIF zero dimension")
     flags = data[10]
+    bg_index = data[11]
     pos = 13
     gct = b""
     if flags & 0x80:
@@ -737,13 +772,28 @@ def decode_gif(data: bytes) -> Tuple[int, int, int, bytes]:
                         src * iw : (src + 1) * iw
                     ]
                 indices = reordered
-            rgb = bytearray(iw * ih * 3)
+            # composite onto the logical-screen canvas at (left, top)
+            bg = (
+                gct[bg_index * 3 : bg_index * 3 + 3]
+                if gct and bg_index * 3 + 3 <= len(gct)
+                else b"\x00\x00\x00"
+            )
+            canvas = bytearray(bg * (sw * sh))
             npal = len(palette) // 3
-            for i, idx in enumerate(indices[: iw * ih]):
-                if idx >= npal:
-                    raise ValueError("GIF palette index out of range")
-                rgb[i * 3 : i * 3 + 3] = palette[idx * 3 : idx * 3 + 3]
-            return iw, ih, 3, bytes(rgb)
+            for y in range(ih):
+                cy = top + y
+                if cy >= sh:
+                    break
+                for x in range(iw):
+                    cx = left + x
+                    if cx >= sw:
+                        break
+                    idx = indices[y * iw + x]
+                    if idx >= npal:
+                        raise ValueError("GIF palette index out of range")
+                    o = (cy * sw + cx) * 3
+                    canvas[o : o + 3] = palette[idx * 3 : idx * 3 + 3]
+            return sw, sh, 3, bytes(canvas)
         elif block == 0x3B:  # trailer
             break
         else:

@@ -143,16 +143,35 @@ def pixel_feature_vector(payload: bytes, dim: int = 8) -> list:
     GIF): integer-luma histogram over ``dim`` equal brightness bands,
     L1-normalized — a true image statistic (invariant to the compressed
     byte layout), where :func:`feature_vector` only sketches the bytes.
-    Raises ValueError for non-decodable payloads (caller falls back)."""
-    from document_automation_spark.kernels.image import decode_pixels, grayscale
+    Raises ValueError for any payload the decoders reject — including
+    malformed-but-header-valid streams (corrupt IDAT, truncated LZW…),
+    whatever the underlying exception — so the caller's fallback contract
+    is a single exception type."""
+    import struct as _struct
+    import zlib as _zlib
 
-    w, h, ch, px = decode_pixels(payload)
-    if ch == 4:  # drop alpha for luma
-        px = bytes(v for i, v in enumerate(px) if i % 4 != 3)
-        ch = 3
-    if ch == 2:  # gray+alpha
-        px = bytes(v for i, v in enumerate(px) if i % 2 == 0)
-        ch = 1
+    from document_automation_spark.kernels.image import (
+        decode_jpeg,
+        decode_pixels,
+        grayscale,
+    )
+
+    try:
+        if payload[:3] == b"\xff\xd8\xff":
+            # the Y plane IS luma: skip chroma upsample + double rounding
+            w, h, ch, px = decode_jpeg(payload, luma_only=True)
+        else:
+            w, h, ch, px = decode_pixels(payload)
+    except ValueError:
+        raise
+    except (_zlib.error, _struct.error, IndexError, OverflowError) as err:
+        raise ValueError(f"undecodable pixels: {type(err).__name__}: {err}") from err
+    if ch == 4:  # drop alpha for luma (C-speed slice delete)
+        ba = bytearray(px)
+        del ba[3::4]
+        px, ch = bytes(ba), 3
+    elif ch == 2:  # gray+alpha
+        px, ch = bytes(px[0::2]), 1
     luma = grayscale(w, h, ch, px)
     counts = [0] * dim
     band = 256 // dim
@@ -179,14 +198,23 @@ def media_features(
     id_col: str = "media_id",
     payload_col: str = "payload",
     deterministic_fake: bool = True,
+    max_pixel_decode_bytes: int = 262_144,
 ) -> DataFrame:
     """Decode → resize-spec → frame-sample → feature-extract, one pass.
 
     The full multimodal stage lineup (task brief).  Since round 4 the
     feature leg is REAL pixels for PNG/baseline-JPEG/GIF payloads (luma
-    histogram via the stdlib decoders); payloads the kernels cannot decode
-    fall back to the byte sketch under ``deterministic_fake`` and
-    quarantine otherwise."""
+    histogram via the stdlib decoders).  The pure-python decoders cost
+    ~0.5-1 s per megapixel per core — honest but 1000× a byte sketch —
+    so payloads above ``max_pixel_decode_bytes`` take the byte-sketch
+    path (``0`` disables pixel decode entirely, ``-1`` removes the cap);
+    a production deployment swaps a vectorized decoder into
+    ``pixel_feature_vector``'s seam and lifts the cap.  Payloads whose
+    DIMENSIONS decode but whose pixels cannot (progressive JPEG, or a
+    malformed body behind a valid header) also fall back to the byte
+    sketch with ``error=None`` — quarantine is reserved for payloads that
+    fail the dimension decode itself (and, when ``deterministic_fake``
+    is off, for formats beyond the stdlib decoders)."""
 
     def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in MEDIA_FEATURES_SCHEMA.fields]
@@ -198,11 +226,15 @@ def media_features(
                         raise ValueError("null payload")
                     raw = bytes(payload)
                     w, h = decode_image(raw, deterministic_fake)
-                    try:
-                        features = pixel_feature_vector(raw)
-                    except ValueError:
-                        # dims decoded but pixels can't (e.g. progressive
-                        # JPEG) — byte sketch keeps the plumbing flowing
+                    features = None
+                    if max_pixel_decode_bytes == -1 or (
+                        max_pixel_decode_bytes and len(raw) <= max_pixel_decode_bytes
+                    ):
+                        try:
+                            features = pixel_feature_vector(raw)
+                        except ValueError:
+                            features = None  # fall back below
+                    if features is None:
                         features = feature_vector(raw)
                     rw, rh = resize_spec(w, h)
                     rows.append(

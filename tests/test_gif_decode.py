@@ -171,3 +171,25 @@ class TestGifDecode:
         # full equality, not just spot checks
         expect = b"".join(pal16[i * 3 : i * 3 + 3] for i in indices)
         assert bytes(px) == expect
+
+    def test_frame_placement_on_logical_screen(self):
+        """A 1x1 first frame at offset (2,1) inside a 4x3 screen renders
+        on a background-colored canvas — dims and pixels describe the
+        same image."""
+        frame = lzw_encode(2, [2])  # single blue pixel
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HH", 4, 3)
+        out += bytes([0x81, 3, 0])  # GCT present, size 1 (4 colors); bg idx 3
+        out += PAL4
+        out += b"\x2c" + struct.pack("<HHHH", 2, 1, 1, 1) + b"\x00"
+        out += bytes([2])
+        for i in range(0, len(frame), 255):
+            chunk = frame[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00\x3b"
+        gw, gh, ch, px = decode_gif(bytes(out))
+        assert (gw, gh, ch) == (4, 3, 3)
+        grid = [bytes(px[i * 3 : i * 3 + 3]) for i in range(12)]
+        blue, gray = PAL4[6:9], PAL4[9:12]
+        assert grid[1 * 4 + 2] == blue  # the frame pixel at (2,1)
+        assert all(c == gray for i, c in enumerate(grid) if i != 6)

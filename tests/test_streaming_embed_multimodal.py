@@ -621,3 +621,49 @@ class TestPixelFeatures:
         assert row.error is None
         assert abs(row.features[0] - 0.5) < 1e-6
         assert abs(row.features[-1] - 0.5) < 1e-6
+
+    def test_corrupt_body_behind_valid_header_falls_back_not_quarantines(self, spark):
+        """Round-4 review: zlib.error/IndexError from a malformed body
+        must not escape pixel_feature_vector — the row keeps byte-sketch
+        features with error=None (dims were decodable)."""
+        import struct as _s
+        import zlib as _z
+
+        from document_automation_spark.operators.multimodal import (
+            media_features,
+            pixel_feature_vector,
+        )
+
+        def chunk(name, body):
+            return (_s.pack(">I", len(body)) + name + body
+                    + _s.pack(">I", _z.crc32(name + body) & 0xFFFFFFFF))
+
+        ihdr = _s.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+        corrupt = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                   + chunk(b"IDAT", b"\x42" * 20) + chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="undecodable pixels"):
+            pixel_feature_vector(corrupt)
+        df = spark.createDataFrame(
+            [("m1", bytearray(corrupt))], "media_id string, payload binary"
+        )
+        row = media_features(df).collect()[0]
+        assert row.error is None  # dims fine, features = byte sketch
+        assert abs(sum(row.features) - 1.0) < 1e-3
+
+    def test_size_cap_routes_large_payloads_to_sketch(self, spark):
+        from document_automation_spark.kernels.image import encode_png
+        from document_automation_spark.operators.multimodal import (
+            feature_vector,
+            media_features,
+        )
+
+        png = encode_png(8, 8, 1, bytes([0] * 32 + [255] * 32))
+        df = spark.createDataFrame(
+            [("m1", bytearray(png))], "media_id string, payload binary"
+        )
+        row = media_features(df, max_pixel_decode_bytes=10).collect()[0]
+        assert row.error is None
+        expect = feature_vector(png)  # byte sketch, NOT the luma histogram
+        assert all(
+            abs(a - b) < 1e-6 for a, b in zip(row.features, expect)
+        )
