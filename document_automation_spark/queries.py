@@ -1296,16 +1296,21 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_oracle_sql(
-    n_planes: int = 4, dim: int = 64, seed: int = 42, probe_bits: int = 0
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    probe_bits: int = 0,
+    n_tables: int = 1,
 ) -> str:
     """DuckDB twin of the LSH bucketing: the deterministic hyperplane
     constants are embedded as literals; both engines compute each dot as
     the same left-fold in index order, so bucket ids are bit-identical.
     ``probe_bits`` replays the multiprobe fan-out as a lateral unnest of
-    the same XOR masks the Spark side explodes."""
+    the same XOR masks the Spark side explodes; ``n_tables`` unions the
+    per-table candidate sets (seed+t planes) with DISTINCT before
+    ranking, mirroring the Spark dropDuplicates."""
     from document_automation_spark.operators.similarity import hyperplanes, probe_masks
 
-    planes = hyperplanes(dim, n_planes, seed)
     masks = ", ".join(str(m) for m in probe_masks(n_planes, probe_bits))
 
     def dot_sql(vec: str, plane: list) -> str:
@@ -1315,16 +1320,13 @@ def _lsh_oracle_sql(
             f" i -> CAST({vec}[i] AS DOUBLE) * ([{lits}])[i])), (a, b) -> a + b)"
         )
 
-    bucket_terms = " + ".join(
-        f"(CASE WHEN {dot_sql('embedding', plane)} > 0 THEN {1 << p} ELSE 0 END)"
-        for p, plane in enumerate(planes)
-    )
-    return f"""
-    WITH bucketed AS (
-        SELECT vec_id, embedding, CAST({bucket_terms} AS BIGINT) AS bucket
-        FROM embeddings
-    ),
-    scored AS (
+    def table_scored(t: int) -> str:
+        planes = hyperplanes(dim, n_planes, seed + t)
+        bucket_terms = " + ".join(
+            f"(CASE WHEN {dot_sql('embedding', plane)} > 0 THEN {1 << p} ELSE 0 END)"
+            for p, plane in enumerate(planes)
+        )
+        return f"""
         SELECT q.vec_id AS query_vec_id, e.vec_id,
                ROUND(
                    list_reduce(list_prepend(0.0,
@@ -1340,11 +1342,21 @@ def _lsh_oracle_sql(
                               i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))),
                           (a, b) -> a + b))),
                    6) AS cosine
-        FROM bucketed e JOIN (
-            SELECT vec_id, embedding, xor(bucket, m.mask) AS bucket
-            FROM bucketed, LATERAL unnest([{masks}]) AS m(mask)
-            WHERE vec_id < 5
-        ) q ON e.bucket = q.bucket
+        FROM (SELECT vec_id, embedding, CAST({bucket_terms} AS BIGINT) AS bucket
+              FROM embeddings) e
+        JOIN (
+            SELECT vec_id, embedding, xor(CAST({bucket_terms.replace("embedding", "q0.embedding")} AS BIGINT), m.mask) AS bucket
+            FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q0,
+                 LATERAL unnest([{masks}]) AS m(mask)
+        ) q ON e.bucket = q.bucket"""
+
+    union = "\n        UNION ALL\n".join(
+        f"({table_scored(t)})" for t in range(n_tables)
+    )
+    dedup = "SELECT DISTINCT query_vec_id, vec_id, cosine FROM" if n_tables > 1 else "SELECT query_vec_id, vec_id, cosine FROM"
+    return f"""
+    WITH scored AS (
+        {dedup} ({union})
     )
     SELECT query_vec_id, vec_id, cosine, rank FROM (
         SELECT query_vec_id, vec_id, cosine,
@@ -1444,11 +1456,14 @@ def _ann_recall_sql() -> Optional[str]:
     ),
     lsh AS (SELECT query_vec_id, vec_id FROM ({_lsh_oracle_sql()})),
     lsh_mp AS (SELECT query_vec_id, vec_id FROM ({_lsh_oracle_sql(probe_bits=1)})),
+    lsh_2t AS (SELECT query_vec_id, vec_id FROM ({_lsh_oracle_sql(n_tables=2)})),
     ivf AS (SELECT query_vec_id, vec_id FROM ({ivf})),
     methods AS (
         SELECT 'lsh' AS method, query_vec_id, vec_id FROM lsh
         UNION ALL
         SELECT 'lsh_mp1' AS method, query_vec_id, vec_id FROM lsh_mp
+        UNION ALL
+        SELECT 'lsh_2tables' AS method, query_vec_id, vec_id FROM lsh_2t
         UNION ALL
         SELECT 'ivf' AS method, query_vec_id, vec_id FROM ivf
     ),
@@ -1481,10 +1496,11 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     while adding the recall-vs-brute-force quantification the reference
     reports for its FAISS index (/root/reference/README.md:46).  Measured
     at sf0.01, mean recall@10: IVF(3/8 probes) 0.64; LSH(4 planes, base
-    bucket only) 0.20; LSH multiprobe radius 1 (``probe_bits=1``, 5/16
-    buckets scanned) 0.48 — the recall-vs-scan-cost trade quantified at
-    three budget points (IVF full-probe == brute force is pytest-pinned
-    in tests/test_ivf.py).
+    bucket only) 0.20; LSH 2 independent tables (~2/16 scanned) 0.30;
+    LSH multiprobe radius 1 (``probe_bits=1``, 5/16 scanned) 0.48 — the
+    recall-vs-scan-cost trade quantified at four budget points across
+    BOTH classic levers, tables and probes (IVF full-probe == brute
+    force is pytest-pinned in tests/test_ivf.py).
     """
     from document_automation_spark.operators.ivf import ivf_topk
     from document_automation_spark.operators.similarity import (
@@ -1504,12 +1520,16 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh_mp = lsh_bucketed_topk(
         emb, queries_df, k=10, n_planes=4, probe_bits=1
     ).select("query_vec_id", "vec_id")
+    lsh_2t = lsh_bucketed_topk(
+        emb, queries_df, k=10, n_planes=4, n_tables=2
+    ).select("query_vec_id", "vec_id")
     ivf = ivf_topk(
         emb, queries_df, n_centroids=8, n_probe=3, k=10, seed=42, quantize_dp=6
     ).select("query_vec_id", "vec_id")
     methods = (
         lsh.withColumn("method", F.lit("lsh"))
         .unionByName(lsh_mp.withColumn("method", F.lit("lsh_mp1")))
+        .unionByName(lsh_2t.withColumn("method", F.lit("lsh_2tables")))
         .unionByName(ivf.withColumn("method", F.lit("ivf")))
     )
     hits = (

@@ -573,3 +573,37 @@ class TestMultiprobeLsh:
         assert mp.groupBy("query_vec_id", "vec_id").count().filter(
             F.col("count") > 1
         ).count() == 0
+
+    def test_multi_table_union_superset_and_unique(self, spark, sf_dir):
+        """2 tables scan a superset of table-0's buckets → per-query hits
+        vs brute force never decrease; (query, vec) pairs stay unique."""
+        from document_automation_spark.operators.similarity import (
+            brute_force_topk,
+            lsh_bucketed_topk,
+        )
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_vec_id"),
+            F.col("embedding").alias("query_embedding"),
+        )
+        one = lsh_bucketed_topk(emb, queries, k=10, n_planes=4)
+        two = lsh_bucketed_topk(emb, queries, k=10, n_planes=4, n_tables=2)
+        brute = brute_force_topk(emb, queries, k=10)
+
+        def hits(df):
+            ex = {}
+            for r in brute.collect():
+                ex.setdefault(r.query_vec_id, set()).add(r.vec_id)
+            got = {}
+            for r in df.collect():
+                got.setdefault(r.query_vec_id, set()).add(r.vec_id)
+            return {q: len(got.get(q, set()) & ex[q]) for q in ex}
+
+        h1, h2 = hits(one), hits(two)
+        for q in h1:
+            assert h2[q] >= h1[q]
+        assert two.groupBy("query_vec_id", "vec_id").count().filter(
+            F.col("count") > 1
+        ).count() == 0
