@@ -89,8 +89,8 @@ def main() -> None:
 
     # -- durable flagship: extraction + partitioned parquet write + resume
     # manifests (plans/checkpoint.run_extraction_job) — the PRODUCTION
-    # number at 100 TB, vs the noop-sink compute ceiling above.  Single rep
-    # (it's the heavy entry); fresh output dir per run so nothing resumes.
+    # number at 100 TB, vs the noop-sink compute ceiling above.  Best-of-2
+    # since round 4; fresh output dir per rep so nothing resumes.
     import shutil
 
     from document_automation_spark.plans.checkpoint import run_extraction_job
@@ -112,7 +112,7 @@ def main() -> None:
 
     # -- composed ingest: url-dedup → durable extract → curate → corpus --
     # (jobs/ingest_pipeline.run_ingest_pipeline) — the COMPLETE production
-    # recipe end to end, everything durable.  Single rep, warm (the
+    # recipe end to end, everything durable.  Best-of-2, warm (the
     # durable run above already spun up the python pool + codegen).
     from document_automation_spark.jobs.ingest_pipeline import run_ingest_pipeline
 
