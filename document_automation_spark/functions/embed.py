@@ -117,8 +117,11 @@ def embed_with_model(
 
     * **one model init per python worker** — the factory result is cached
       in a worker-global keyed by ``cache_key`` (default: the factory's
-      qualified name), so repeated tasks on a reused worker share weights
-      exactly like the reference's per-actor EmbeddingRetriever
+      qualified name PLUS a content fingerprint of its pickled bytes, so
+      two closures that share a qualname but close over different weights
+      or config never alias each other's cache entry), so repeated tasks
+      on a reused worker share weights exactly like the reference's
+      per-actor EmbeddingRetriever
       (/root/reference/src/gen-sods-doc-image-ray.py:23-29, batch_size=50);
     * **exact batch sizing** — incoming Arrow batches are re-chunked so
       every model call sees exactly ``batch_size`` texts (the final
@@ -132,10 +135,30 @@ def embed_with_model(
     a sentence-transformers load and nothing else changes."""
     import numpy as np
 
-    key = cache_key or (
-        f"{getattr(model_factory, '__module__', '?')}."
-        f"{getattr(model_factory, '__qualname__', repr(model_factory))}"
-    )
+    if cache_key is not None:
+        key = cache_key
+    else:
+        # qualname alone is NOT a safe default key: closures/lambdas rebuilt
+        # with different broadcast weights share a qualname, and a reused
+        # python worker would silently serve the FIRST factory's model for
+        # all of them (wrong embeddings, no error).  The factory travels to
+        # workers as cloudpickle bytes anyway, so those bytes — which embed
+        # the closed-over broadcast ids / constants — are the identity that
+        # actually distinguishes two models; fingerprint them into the key.
+        name = (
+            f"{getattr(model_factory, '__module__', '?')}."
+            f"{getattr(model_factory, '__qualname__', repr(model_factory))}"
+        )
+        try:
+            from pyspark import cloudpickle
+
+            fp = hashlib.sha1(cloudpickle.dumps(model_factory)).hexdigest()[:16]
+        except Exception:
+            # unpicklable factories fail later in mapInPandas anyway; keep
+            # the key unique rather than colliding (per-call re-init is the
+            # safe direction — a perf cost, never a wrong result)
+            fp = f"id{id(model_factory)}"
+        key = f"{name}#{fp}"
     # id type follows the input (long fixture ids, string content-hash ids)
     schema = T.StructType(
         [

@@ -126,17 +126,24 @@ def run_ingest_pipeline(
 
     raw_docs = read_output(spark, output_path, with_sha=True)
 
+    # content_sha completeness: THIS run's writer populates content_sha for
+    # every row it writes — but a RESUMED run keeps already-done buckets
+    # verbatim, and those may predate the sha-writing writer (NULL shas).
+    # Keying curation on a NULL sha would collapse every legacy row into one
+    # dedup group and silently drop all but one.  Only trust the pruned-scan
+    # path when zero buckets were carried over from a previous run; a resumed
+    # run falls back to curate's coalesce(sha, re-hash) guard.
+    sha_complete = extract_summary.get("buckets_skipped", 0) == 0
+
     if curated_mode == "view":
         from document_automation_spark.operators.curate import curation_tombstones
 
-        # sha_is_complete: this run's durable writer populated content_sha
-        # for every row (invariant by construction) -> narrow pruned scans
         losers, collect_in_counts = curation_tombstones(
             raw_docs,
             min_chars=min_chars,
             scripts=scripts,
             drop_exact_dups=drop_exact_dups,
-            sha_is_complete=True,
+            sha_is_complete=sha_complete,
         )
         losers_path = os.path.join(output_path, "curation_losers")
         # no separate stats action: the input counters ride the loser
@@ -186,7 +193,7 @@ def run_ingest_pipeline(
         min_chars=min_chars,
         scripts=scripts,
         drop_exact_dups=drop_exact_dups,
-        sha_is_complete=True,  # this run's writer populated every row
+        sha_is_complete=sha_complete,
     )
     curated_path = os.path.join(output_path, "curated")
     # ONE action runs the whole curation: stage counters ride the write as

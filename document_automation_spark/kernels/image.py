@@ -712,11 +712,15 @@ def decode_gif(data: bytes) -> Tuple[int, int, int, bytes]:
     """GIF pixel decode → (screen_width, screen_height, 3, rgb).
 
     GIF87a/89a: global/local color tables, LZW decompression, interlace
-    reorder; extensions are skipped.  The FIRST image frame is composited
-    at its (left, top) placement onto the logical-screen canvas (filled
-    with the background color), so the returned dimensions and pixels
-    describe the SAME image — optimized GIFs whose first frame is a
-    sub-rectangle render as a viewer would show them."""
+    reorder.  The FIRST image frame is composited at its (left, top)
+    placement onto the logical-screen canvas (filled with the background
+    color), so the returned dimensions and pixels describe the SAME image
+    — optimized GIFs whose first frame is a sub-rectangle render as a
+    viewer would show them.  The 89a Graphic Control Extension preceding
+    the frame is honoured: pixels carrying the transparent index keep the
+    canvas background instead of their palette color (web GIFs routinely
+    use a transparent first frame — compositing those as palette colors
+    skews luma-histogram features).  Other extensions are skipped."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     sw, sh = struct.unpack("<HH", data[6:10])
@@ -730,10 +734,17 @@ def decode_gif(data: bytes) -> Tuple[int, int, int, bytes]:
         n = 2 << (flags & 0x07)
         gct = data[pos : pos + 3 * n]
         pos += 3 * n
+    transparent = None  # GCE transparent index, applies to the NEXT frame
     while pos < len(data):
         block = data[pos]
         if block == 0x21:  # extension: label + sub-blocks
+            label = data[pos + 1] if pos + 1 < len(data) else 0
             pos += 2
+            if label == 0xF9 and pos < len(data) and data[pos] == 4:
+                # Graphic Control Extension: packed, delay(2), transp index
+                packed = data[pos + 1]
+                if packed & 0x01:
+                    transparent = data[pos + 4]
             while pos < len(data) and data[pos] != 0:
                 pos += 1 + data[pos]
             pos += 1
@@ -789,6 +800,8 @@ def decode_gif(data: bytes) -> Tuple[int, int, int, bytes]:
                     if cx >= sw:
                         break
                     idx = indices[y * iw + x]
+                    if idx == transparent:
+                        continue  # keep the canvas background pixel
                     if idx >= npal:
                         raise ValueError("GIF palette index out of range")
                     o = (cy * sw + cx) * 3

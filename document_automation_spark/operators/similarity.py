@@ -152,9 +152,16 @@ def lsh_bucketed_topk(
     Equi-join on bucket id replaces the cross join — at 10^12 vectors this
     is the difference between an impossible scan and a 1/2^planes slice.
 
-    ``probe_bits`` = multiprobe radius: each query also probes every
-    bucket within that Hamming distance of its own (sign-flip of the
-    least-confident hyperplanes' bits).  The QUERY side fans out —
+    ``probe_bits`` = multiprobe radius: each query also probes EVERY
+    bucket within that Hamming distance of its own — an exhaustive radius
+    fan-out over all Σ C(n_planes, r) sign-flip masks, NOT the classic
+    query-directed multiprobe that orders probes by per-plane dot
+    magnitude and visits only the most promising few.  Exhaustive is the
+    right trade at small radius/planes (every distance-1 bucket is
+    probed, so recall ≥ confidence-ordered at the same radius); a
+    confidence-ordered variant would matter once n_planes is large enough
+    that the full radius fan-out itself becomes the cost.
+    The QUERY side fans out —
     Σ C(n_planes, r) extra rows per query — while the corpus is neither
     re-scanned nor re-bucketed: recall rises at the cost of scanning
     ~(1 + n_planes·…)/2^planes of the corpus instead of 1/2^planes.

@@ -193,3 +193,28 @@ class TestGifDecode:
         blue, gray = PAL4[6:9], PAL4[9:12]
         assert grid[1 * 4 + 2] == blue  # the frame pixel at (2,1)
         assert all(c == gray for i, c in enumerate(grid) if i != 6)
+
+    def test_gce_transparent_index_keeps_background(self):
+        """ADVICE round-4: a GCE with the transparency flag set makes
+        pixels carrying the transparent index composite as the BACKGROUND
+        color (what a viewer shows), not their palette color."""
+        # 2x2 frame: indices [0, 1, 1, 0]; GCE declares index 1 transparent
+        gce = b"\x21\xf9\x04\x01\x00\x00\x01\x00"  # packed bit0=1, tidx=1
+        indices = [0, 1, 1, 0]
+        data = bytearray(build_gif(2, 2, PAL4, 2, lzw_encode(2, indices), ext=gce))
+        data[11] = 3  # background index = gray
+        _, _, _, px = decode_gif(bytes(data))
+        red, gray = PAL4[0:3], PAL4[9:12]
+        grid = [bytes(px[i * 3 : i * 3 + 3]) for i in range(4)]
+        assert grid == [red, gray, gray, red]
+
+    def test_gce_without_transparency_flag_uses_palette(self):
+        """Transparency bit clear → the declared index renders normally
+        (the GCE's delay/disposal fields alone change nothing)."""
+        gce = b"\x21\xf9\x04\x00\x0a\x00\x01\x00"  # bit0=0, tidx byte set
+        indices = [0, 1, 1, 0]
+        data = build_gif(2, 2, PAL4, 2, lzw_encode(2, indices), ext=gce)
+        _, _, _, px = decode_gif(data)
+        red, green = PAL4[0:3], PAL4[3:6]
+        grid = [bytes(px[i * 3 : i * 3 + 3]) for i in range(4)]
+        assert grid == [red, green, green, red]

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -397,3 +398,65 @@ class TestIngestPipeline:
         got = [(r.url, r.passage_idx) for r in losers.collect()]
         assert got == [("u3", 0)]
         assert collect_stats() == {"rows_in": 3, "quarantined": 0, "gated": 0}
+
+    def test_resume_over_legacy_no_sha_buckets_loses_no_rows(self, spark, tmp_path):
+        """ADVICE round-4 (medium): a partial run written by a PRE-sha
+        writer, resumed with the current code, leaves the carried-over
+        buckets' content_sha NULL.  run_ingest_pipeline must therefore NOT
+        assert sha_is_complete on a resumed run (buckets_skipped > 0) —
+        otherwise every legacy row keys into one null dedup group and the
+        corpus silently collapses.  Pin: resumed curated output == fresh
+        full-run curated output, row for row."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from document_automation_spark.plans.checkpoint import run_extraction_job
+
+        pages = pages_df(spark, 100, partitions=4)
+        cfg = ExtractConfig(n_buckets=8)
+        out = str(tmp_path / "legacy_resume")
+
+        crashed = run_extraction_job(
+            spark, pages, out, "fp-legacy", cfg, fail_buckets_above=4
+        )
+        assert 0 < crashed["buckets_processed"] < 8
+
+        # simulate the pre-round-4 writer: strip content_sha from every
+        # data file the crashed run committed
+        files = glob.glob(os.path.join(out, "data", "bucket=*", "*.parquet"))
+        assert files, "crashed run wrote no data files"
+        for f in files:
+            tbl = pq.read_table(f)
+            assert "content_sha" in tbl.column_names
+            pq.write_table(
+                tbl.drop_columns(["content_sha"]), f,
+                coerce_timestamps="us", allow_truncated_timestamps=True,
+            )
+            # the rewrite invalidates Hadoop's local-FS checksum sidecar
+            crc = os.path.join(os.path.dirname(f), "." + os.path.basename(f) + ".crc")
+            if os.path.exists(crc):
+                os.remove(crc)
+
+        summary = run_ingest_pipeline(
+            spark, pages, out, "fp-legacy", cfg=cfg
+        )
+        assert summary["buckets_skipped"] == crashed["buckets_processed"]
+
+        fresh_out = str(tmp_path / "fresh_full")
+        fresh = run_ingest_pipeline(
+            spark, pages, fresh_out, "fp-legacy", cfg=cfg
+        )
+        assert summary["rows_out"] == fresh["rows_out"] > 0
+        assert summary["deduped"] == fresh["deduped"]
+        resumed_rows = {
+            (r.url, r.passage_idx)
+            for r in spark.read.parquet(summary["curated_path"])
+            .select("url", "passage_idx").collect()
+        }
+        fresh_rows = {
+            (r.url, r.passage_idx)
+            for r in spark.read.parquet(fresh["curated_path"])
+            .select("url", "passage_idx").collect()
+        }
+        assert resumed_rows == fresh_rows

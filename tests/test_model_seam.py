@@ -145,3 +145,23 @@ class TestStringIds:
                 embed_with_model(df, factory, batch_size=2, cache_key=key).collect()}
         assert set(rows) == {"sha-abc", "sha-def"}
         assert all(len(v) == 4 for v in rows.values())
+
+    def test_same_qualname_factories_do_not_alias_cache(self, spark):
+        """ADVICE round-4: two closures sharing a qualname (same builder
+        re-invoked with different weights) must not silently reuse the
+        first cached model on reused workers.  The default cache key now
+        fingerprints the factory's pickled bytes, so the rebuilt factory
+        gets its own worker-cache entry and its own (different) output."""
+
+        def make_factory(const):
+            def factory():
+                return lambda texts: [[const] for _ in texts]
+
+            return factory
+
+        docs = _docs(spark, 64, 2)
+        # no explicit cache_key: exercise the DEFAULT key path both times
+        out1 = embed_with_model(docs, make_factory(1.0), batch_size=16).collect()
+        out2 = embed_with_model(docs, make_factory(2.0), batch_size=16).collect()
+        assert {tuple(r.embedding) for r in out1} == {(1.0,)}
+        assert {tuple(r.embedding) for r in out2} == {(2.0,)}
