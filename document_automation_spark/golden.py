@@ -172,3 +172,60 @@ def ivf_centroids(
     X = np.array([e for _, e in pairs], dtype=np.float64)
     centers, _ = kmeans_fit(X, n_centroids, seed=seed)
     return centers
+
+
+@lru_cache(maxsize=None)
+def graph_ann_rows(
+    k: int = 10,
+    graph_k: int = 12,
+    n_rounds: int = 2,
+    n_seeds: int = 8,
+    beam: int = 6,
+    n_hops: int = 3,
+    n_queries: int = 5,
+    sf_dir: Optional[str] = None,
+):
+    """Pinned rows for the graph-ANN method in the ``ann_recall_eval``
+    seat: per query ``(query_vec_id, n_hits, n_scanned)`` computed by the
+    pure kernel mirror (kernels/graph — LSH-init NN-descent build +
+    fixed-hop beam search, fold-exact cosines, round6, id tie-breaks).
+    Graph traversal is iterative/stateful — not single-SQL-expressible —
+    so the oracle follows the same pinned-golden pattern as the
+    extraction and kmeans seats; the Spark twin is additionally pinned
+    edge-for-edge by tests/test_graph_ann.py.  Returns None when the
+    parquet is absent."""
+    path = os.path.join(sf_dir or oracle_sf_dir(), "embeddings.parquet")
+    try:
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(path, columns=["vec_id", "embedding"])
+    except Exception:
+        return None
+    import numpy as np
+
+    from document_automation_spark.kernels.graph import (
+        _Cos,
+        graph_search_py,
+        knn_graph_py,
+    )
+
+    pairs = sorted(
+        zip(table.column("vec_id").to_pylist(), table.column("embedding").to_pylist())
+    )
+    ids = [v for v, _ in pairs]
+    X = np.array([e for _, e in pairs], dtype=np.float64)
+    G = knn_graph_py(ids, X, k=graph_k, n_rounds=n_rounds)
+    query_ids = [v for v in ids if v < n_queries]
+    res = graph_search_py(
+        ids, X, G, query_ids=query_ids, k=k,
+        n_seeds=n_seeds, beam=beam, n_hops=n_hops,
+    )
+    cos = _Cos(ids, X)
+    rows = []
+    for q in query_ids:
+        row = cos.row(q)
+        brute = set(sorted(ids, key=lambda j: (-row[j], j))[:k])
+        topk, n_scanned = res[q]
+        n_hits = len({v for v, _, _ in topk} & brute)
+        rows.append((q, n_hits, n_scanned))
+    return rows

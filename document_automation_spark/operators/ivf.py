@@ -147,11 +147,15 @@ def ivf_topk(
     sample_size: int = 4096,
     seed: int = 42,
     quantize_dp: int | None = None,
+    include_scanned: bool = False,
 ) -> DataFrame:
     """ANN top-k per query via IVF probing.
 
     ``embeddings``: (vec_id, embedding); ``queries``: (query_vec_id,
-    query_embedding).  Returns (query_vec_id, vec_id, cosine, rank).
+    query_embedding).  Returns (query_vec_id, vec_id, cosine, rank);
+    ``include_scanned=True`` adds ``n_scanned`` — the number of candidate
+    cosines this query evaluated (probed-bucket population), the scan
+    budget its recall is bought with.
     """
     centers = train_centroids(embeddings, n_centroids, sample_size, seed)
     assigned = assign_buckets(embeddings, centers, quantize_dp=quantize_dp)
@@ -171,8 +175,15 @@ def ivf_topk(
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_vec_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    if include_scanned:
+        scored = scored.withColumn(
+            "n_scanned", F.count("*").over(Window.partitionBy("query_vec_id"))
+        )
+    out_cols = ["query_vec_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")]
+    if include_scanned:
+        out_cols.append("n_scanned")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_vec_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+        .select(*out_cols)
     )

@@ -146,8 +146,13 @@ def lsh_bucketed_topk(
     seed: int = 42,
     probe_bits: int = 0,
     n_tables: int = 1,
+    include_scanned: bool = False,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's bucket.
+
+    ``include_scanned=True`` appends ``n_scanned`` — distinct candidate
+    cosines the query evaluated across its probed buckets (and tables) —
+    the scan budget its recall is bought with.
 
     Equi-join on bucket id replaces the cross join — at 10^12 vectors this
     is the difference between an impossible scan and a 1/2^planes slice.
@@ -212,11 +217,18 @@ def lsh_bucketed_topk(
     if n_tables > 1:
         # a (query, vec) pair found by several tables ranks once
         scored = scored.dropDuplicates(["query_vec_id", "vec_id"])
+    if include_scanned:
+        scored = scored.withColumn(
+            "n_scanned", F.count("*").over(Window.partitionBy("query_vec_id"))
+        )
     w = Window.partitionBy("query_vec_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    out_cols = ["query_vec_id", "vec_id", "cosine", "rank"]
+    if include_scanned:
+        out_cols.append("n_scanned")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_vec_id", "vec_id", "cosine", "rank")
+        .select(*out_cols)
     )
 
 
