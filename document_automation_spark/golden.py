@@ -229,3 +229,59 @@ def graph_ann_rows(
         n_hits = len({v for v, _, _ in topk} & brute)
         rows.append((q, n_hits, n_scanned))
     return rows
+
+
+@lru_cache(maxsize=None)
+def learned_encoder_rows(sf_dir: Optional[str] = None):
+    """Pinned rows for the ``learned_encoder_eval`` seat: per held-out
+    query ``(method, doc_id, true_rank, rr)`` computed by the pure
+    mirror — the SAME cached trained encoder the Spark seat broadcasts
+    (functions.encoder.trained_eval_encoder: lru-cached per sf_dir, so
+    query and oracle share bit-identical weights in the harness process),
+    the same hash-embedding kernel, and fold-exact round6 cosine ranking
+    (kernels.graph fold helpers).  Returns None when the fixture is
+    absent."""
+    sf = sf_dir or oracle_sf_dir()
+    from document_automation_spark.functions.encoder import (
+        load_eval_split,
+        split_halves,
+        trained_eval_encoder,
+    )
+
+    enc = trained_eval_encoder(sf)
+    split = load_eval_split(sf)
+    if enc is None or split is None:
+        return None
+    import numpy as np
+
+    from document_automation_spark.functions.embed import embed_text
+    from document_automation_spark.kernels.graph import (
+        _fold_dots,
+        _fold_norms,
+        round6,
+    )
+
+    _, test_rows = split
+    ids = [i for i, _ in test_rows]
+    ha, hb = zip(*[split_halves(t) for _, t in test_rows])
+
+    def rank_rows(method: str, Q: "np.ndarray", C: "np.ndarray"):
+        qn = _fold_norms(Q)
+        cn = _fold_norms(C)
+        out = []
+        for qi, (q_id, q) in enumerate(zip(ids, Q)):
+            dots = _fold_dots(q, C)
+            cos = {
+                c_id: round6(d / (qn[qi] * cn[ci]))
+                for ci, (c_id, d) in enumerate(zip(ids, dots))
+            }
+            order = sorted(ids, key=lambda c: (-cos[c], c))
+            rank = order.index(q_id) + 1
+            out.append((method, q_id, rank, round6(1.0 / rank)))
+        return out
+
+    Za = enc.encode_texts(list(ha))
+    Zb = enc.encode_texts(list(hb))
+    Ha = np.array([embed_text(t) for t in ha], dtype=np.float64)
+    Hb = np.array([embed_text(t) for t in hb], dtype=np.float64)
+    return rank_rows("learned16", Za, Zb) + rank_rows("hash16", Ha, Hb)

@@ -160,3 +160,68 @@ def language_id_kernel(documents: DataFrame) -> DataFrame:
         return texts.map(detect_language)
 
     return documents.select("doc_id", lang_udf(F.col("text")).alias("detected_lang"))
+
+
+def line_assembly_table(documents: DataFrame, max_tokens: int = 24) -> DataFrame:
+    """Drive the OCR line-assembly kernels (K5/K6/F7) distributively over a
+    crafted per-document word stream — the micro-seat that makes their
+    quirks driver-visible (round-5 verdict #6; through round 4 they were
+    reachable only inside the extraction golden).
+
+    Crafted input, derivable identically in SQL: the doc's first
+    ``max_tokens`` space-split tokens, token ``i`` carrying line_num=i//3,
+    block_num=i//7; every token with ``(doc_id*7 + i) % 13 == 0`` gets an
+    ad marker appended (so the ad filter provably fires).  Three kernel
+    behaviors then run per doc inside one Arrow batch:
+
+    * ``k6`` rows — ``kernels.textproc.assemble_lines`` over the non-empty
+      tokens (F7: the empty-word filter of kernels/html_extract applied
+      first, positions kept): word runs keyed by (block, line), ad lines
+      dropped, and the reference's final-run-never-emitted quirk
+      (/root/reference/src/utils.py:197-220) now pinned by the ORACLE,
+      not just pytest;
+    * one ``k5`` row — ``kernels.textproc.join_clean_lines`` over the same
+      tokens wrapped in spaces (strip → ad-filter → separator-free join,
+      /root/reference/src/utils.py:131-162).
+
+    Output: (doc_id, kind, idx, value); narrow map, no shuffle.
+    """
+    from document_automation_spark.kernels.textproc import (
+        assemble_lines,
+        join_clean_lines,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", documents.schema["doc_id"].dataType),
+            T.StructField("kind", T.StringType()),
+            T.StructField("idx", T.LongType()),
+            T.StructField("value", T.StringType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in it:
+            rows = []
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                toks = (text or "").split(" ")[:max_tokens]
+                crafted = [
+                    (
+                        w + "广告" if (int(doc_id) * 7 + i) % 13 == 0 else w,
+                        i // 3,
+                        i // 7,
+                    )
+                    for i, w in enumerate(toks)
+                ]
+                k6_in = [(w, l, b) for (w, l, b) in crafted if w != ""]  # F7
+                lines = assemble_lines(
+                    [w for w, _, _ in k6_in],
+                    [l for _, l, _ in k6_in],
+                    [b for _, _, b in k6_in],
+                )
+                rows.extend((doc_id, "k6", i, line) for i, line in enumerate(lines))
+                joined = join_clean_lines([" " + w + "  " for (w, _, _) in crafted])
+                rows.append((doc_id, "k5", 0, joined))
+            yield pd.DataFrame(rows, columns=["doc_id", "kind", "idx", "value"])
+
+    return documents.select("doc_id", "text").mapInPandas(batches, schema)
