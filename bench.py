@@ -169,6 +169,16 @@ def main() -> None:
         "hash_embeddings",
     ]
     qs = registry.queries()
+
+    # round 5 folded the simhash fingerprint seat into a tagged union with
+    # the (heavier) near-dup-pair half; keep THIS bench row measuring the
+    # fingerprint operator itself so the number stays comparable r3→r4→r5
+    def _simhash_fp_only(spark, sf_dir):
+        from document_automation_spark.operators.dedup import simhash_fingerprints
+
+        return simhash_fingerprints(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+    qs = {**qs, "simhash_fingerprints": _simhash_fp_only}
     for name in headliners:
         reps = 3 if name in BEST_OF_3 else 2
         best = float("inf")

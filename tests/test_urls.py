@@ -162,3 +162,74 @@ class TestDuplicateRecordCopies:
         rows = [("warc:/seg#error", None, "q"), ("warc:/seg#error", None, "q")]
         df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
         assert dedup_by_url(df, shuffle_payloads=False).count() == 1
+
+
+class TestFastPathParity:
+    def test_fast_path_equals_full_expression(self, spark):
+        """The already-canonical guard must be EXACTLY the identity set of
+        the full expression: for every url — fast-shaped or not — the
+        guarded canonical_url equals _canonical_url_full."""
+        from document_automation_spark.operators.urls import (
+            _canonical_url_full,
+            canonical_url,
+        )
+
+        urls = [
+            # fast-shaped (guard should hit; full expr must agree)
+            "https://example.com/a/b.html",
+            "http://example.com/",
+            "http://example.com",
+            "https://sub.host-name.org/path_with~tilde/%20enc",
+            "ftp://files.example.com/pub/x",
+            # NOT fast-shaped: every canonicalization rule exercised
+            "HTTPS://Example.COM:443/a?utm_source=x&b=2&a=1#frag",
+            "http://example.com:80/x",
+            "http://example.com:8080/x",
+            "https://example.com/a?z=1&a=2",
+            "https://example.com/a?",
+            "http://EXAMPLE.com/CaseInPath",
+            "mailto:user@example.com",
+            "warc:/seg/file.warc#error",
+            "not a url at all",
+            "http://[::1]:8080/v6",
+            "https://example.com/a#only-frag",
+            "",
+        ]
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(u,) for u in urls], "url string").select(
+            "url",
+            canonical_url(F.col("url")).alias("guarded"),
+            _canonical_url_full(F.col("url")).alias("full"),
+        )
+        for r in df.collect():
+            assert r.guarded == r.full, f"{r.url!r}: {r.guarded!r} != {r.full!r}"
+
+    def test_fast_path_parity_on_generated_corpus(self, spark):
+        """Property-style sweep: the guard agrees with the full expression
+        on every fixture url plus mechanical mutations (uppercase, ports,
+        queries, fragments) of each."""
+        from pyspark.sql import functions as F
+
+        from document_automation_spark.operators.urls import (
+            _canonical_url_full,
+            canonical_url,
+        )
+        from document_automation_spark.sources.pages import pages_df
+
+        base = pages_df(spark, 300, partitions=4).select("url")
+        mutated = base.select(
+            F.explode(
+                F.array(
+                    F.col("url"),
+                    F.upper(F.col("url")),
+                    F.concat(F.col("url"), F.lit("?b=2&a=1&utm_source=t")),
+                    F.concat(F.col("url"), F.lit("#frag")),
+                    F.regexp_replace(F.col("url"), "://", "://x:8080@"),
+                )
+            ).alias("url")
+        )
+        bad = mutated.filter(
+            canonical_url(F.col("url")) != _canonical_url_full(F.col("url"))
+        )
+        assert bad.count() == 0
