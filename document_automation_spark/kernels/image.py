@@ -8,7 +8,7 @@ fields, and GIF is LZW (implemented below, bit-level + roundtrip +
 KwKwK + interlace tested) — so the multimodal pipeline's decode leg
 (operators/multimodal.py) is REAL for all three dominant web image
 formats; the ``NotImplementedError`` seam remains only for payloads that
-genuinely need a codec (progressive JPEG, video frames).
+genuinely need a codec (video frames; arithmetic-coded JPEG).
 
 Reference parity: the reference decodes with PIL and feeds (grayscale,
 crop, binarize) OCR preprocessing (/root/reference/src/utils.py:41-50);
@@ -280,7 +280,8 @@ def grayscale(width: int, height: int, channels: int, pixels: bytes) -> List[int
 # Baseline JPEG pixel decode (stdlib-only).  Scope: SOF0 (baseline
 # sequential DCT), 8-bit, 1 or 3 components, sampling factors 1-2 with
 # nearest-neighbour chroma upsampling, restart markers; progressive (SOF2)
-# and arithmetic coding raise ValueError honestly.  Entropy decode follows
+# decodes fully via _ProgressiveState (round 5); arithmetic coding raises
+# ValueError honestly.  Entropy decode follows
 # ITU T.81 §F.2; the IDCT is the exact float separable cosine transform
 # (pinned against an independent matrix formulation in tests).
 # ---------------------------------------------------------------------------
@@ -410,6 +411,281 @@ def _ycbcr_to_rgb(y: int, cb: int, cr: int) -> Tuple[int, int, int]:
     return clamp(r), clamp(g), clamp(b)
 
 
+class _ProgressiveState:
+    """Coefficient accumulator + the four scan decoders of progressive
+    JPEG (ITU T.81 §G.2, the same scan taxonomy libjpeg names
+    DC_first / DC_refine / AC_first / AC_refine):
+
+    * a **DC first** scan delivers ``(diff >> .. ) << Al`` point-
+      transformed DC coefficients, interleaved across the scan's
+      components exactly like a baseline MCU walk (or a plain block walk
+      when the scan holds one component);
+    * a **DC refinement** scan appends one raw bit per block at
+      position ``Al`` — no Huffman table involved;
+    * an **AC first** scan covers one spectral band [Ss, Se] of ONE
+      component, with the EOB-RUN extension (``r < 15, s == 0`` encodes
+      a run of ``2^r + bits`` all-zero bands);
+    * an **AC refinement** scan sends a correction bit for every already
+      non-zero coefficient it passes and inserts new ±(1<<Al)
+      coefficients, with ZRL/EOBRUN skipping that must still CONSUME the
+      correction bits of the non-zero coefficients it crosses — the
+      subtle part of G.2 and the reason this is a dedicated state
+      machine.
+
+    Coefficients accumulate in natural (row-major) order per block over
+    any number of scans; ``finish`` dequantizes, runs the shared exact
+    IDCT, and reuses the baseline plane assembly byte-for-byte.
+    """
+
+    def __init__(self, frame: dict):
+        comps = frame["comps"]
+        if len(comps) not in (1, 3):
+            raise ValueError(f"unsupported JPEG component count {len(comps)}")
+        if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
+            raise ValueError("sampling factors beyond 2 not supported")
+        self.frame = frame
+        w, h = frame["w"], frame["h"]
+        self.hmax = max(c["h"] for c in comps)
+        self.vmax = max(c["v"] for c in comps)
+        self.mcus_x = (w + 8 * self.hmax - 1) // (8 * self.hmax)
+        self.mcus_y = (h + 8 * self.vmax - 1) // (8 * self.vmax)
+        self.bw = {}   # padded block-grid width (MCU multiples)
+        self.bh = {}
+        self.ebw = {}  # effective (non-interleaved) block grid
+        self.ebh = {}
+        self.coef = {}
+        for c in comps:
+            cid = c["id"]
+            self.bw[cid] = self.mcus_x * c["h"]
+            self.bh[cid] = self.mcus_y * c["v"]
+            cw = (w * c["h"] + self.hmax - 1) // self.hmax
+            chh = (h * c["v"] + self.vmax - 1) // self.vmax
+            self.ebw[cid] = (cw + 7) // 8
+            self.ebh[cid] = (chh + 7) // 8
+            self.coef[cid] = [
+                [0] * 64 for _ in range(self.bw[cid] * self.bh[cid])
+            ]
+        self.any_scan = False
+
+    # -- scan dispatch ----------------------------------------------------
+    def decode_sos(
+        self, data: bytes, pos: int, scan: list,
+        ss: int, se: int, ah: int, al: int, restart_interval: int,
+    ) -> int:
+        """Decode one SOS's entropy data; returns the offset of the next
+        marker (the 0xFF byte) after the scan."""
+        if ss > se or se > 63:
+            raise ValueError("JPEG invalid spectral selection")
+        reader = _BitReader(data, pos)
+        if ss == 0:
+            if se != 0:
+                raise ValueError("JPEG progressive scan mixes DC and AC")
+            if ah == 0:
+                if any(s["dc"] is None for s in scan):
+                    raise ValueError("JPEG scan references missing Huffman table")
+                self._dc_first(reader, scan, al, restart_interval)
+            else:
+                self._dc_refine(reader, scan, al, restart_interval)
+        else:
+            if len(scan) != 1:
+                raise ValueError("JPEG progressive AC scan must be single-component")
+            if scan[0]["ac"] is None:
+                raise ValueError("JPEG scan references missing Huffman table")
+            if ah == 0:
+                self._ac_first(reader, scan[0], ss, se, al, restart_interval)
+            else:
+                self._ac_refine(reader, scan[0], ss, se, al, restart_interval)
+        self.any_scan = True
+        return self._next_marker(data, reader.pos)
+
+    @staticmethod
+    def _next_marker(data: bytes, pos: int) -> int:
+        """First real marker at/after pos: skips entropy bytes, stuffed
+        FF00, fill FFs and restart markers."""
+        n = len(data)
+        p = pos
+        while p + 1 < n:
+            if data[p] != 0xFF:
+                p += 1
+                continue
+            nxt = data[p + 1]
+            if nxt == 0x00:
+                p += 2       # stuffed literal FF
+            elif nxt == 0xFF:
+                p += 1       # fill byte
+            elif 0xD0 <= nxt <= 0xD7:
+                p += 2       # restart marker inside/behind the scan
+            else:
+                return p
+        raise ValueError("JPEG truncated after progressive scan")
+
+    # -- per-scan block walks ----------------------------------------------
+    def _dc_units(self, scan: list):
+        """Yield one MCU's worth of (scan_component, block) per step:
+        MCU-interleaved for multi-component scans, one block per unit in
+        effective-grid order for single-component ones (T.81 interleave
+        rules).  Restart intervals count these units."""
+        if len(scan) > 1:
+            for my in range(self.mcus_y):
+                for mx in range(self.mcus_x):
+                    unit = []
+                    for s in scan:
+                        c = s["comp"]
+                        cid = c["id"]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                idx = (my * c["v"] + by) * self.bw[cid] + (
+                                    mx * c["h"] + bx
+                                )
+                                unit.append((s, self.coef[cid][idx]))
+                    yield unit
+        else:
+            s = scan[0]
+            cid = s["comp"]["id"]
+            for by in range(self.ebh[cid]):
+                for bx in range(self.ebw[cid]):
+                    yield [(s, self.coef[cid][by * self.bw[cid] + bx])]
+
+    def _dc_first(self, reader, scan, al, restart_interval):
+        pred = {s["comp"]["id"]: 0 for s in scan}
+        for unit_no, unit in enumerate(self._dc_units(scan)):
+            if restart_interval and unit_no and unit_no % restart_interval == 0:
+                reader.align_to_restart()
+                pred = {k: 0 for k in pred}
+            for s, block in unit:
+                t = reader.decode_huff(s["dc"])
+                diff = _extend(reader.read_bits(t), t)
+                cid = s["comp"]["id"]
+                pred[cid] += diff
+                block[0] = pred[cid] << al
+
+    def _dc_refine(self, reader, scan, al, restart_interval):
+        for unit_no, unit in enumerate(self._dc_units(scan)):
+            if restart_interval and unit_no and unit_no % restart_interval == 0:
+                reader.align_to_restart()
+            for _s, block in unit:
+                block[0] |= reader.read_bit() << al
+
+    def _ac_first(self, reader, s, ss, se, al, restart_interval):
+        cid = s["comp"]["id"]
+        eobrun = 0
+        unit = 0
+        for by in range(self.ebh[cid]):
+            for bx in range(self.ebw[cid]):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    reader.align_to_restart()
+                    eobrun = 0
+                unit += 1
+                block = self.coef[cid][by * self.bw[cid] + bx]
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = reader.decode_huff(s["ac"])
+                    r, size = rs >> 4, rs & 0x0F
+                    if size == 0:
+                        if r < 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC run past band end")
+                    block[_ZIGZAG[k]] = _extend(reader.read_bits(size), size) << al
+                    k += 1
+
+    def _ac_refine(self, reader, s, ss, se, al, restart_interval):
+        cid = s["comp"]["id"]
+        p1 = 1 << al
+        m1 = -1 << al
+        eobrun = 0
+        unit = 0
+        for by in range(self.ebh[cid]):
+            for bx in range(self.ebw[cid]):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    reader.align_to_restart()
+                    eobrun = 0
+                unit += 1
+                block = self.coef[cid][by * self.bw[cid] + bx]
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = reader.decode_huff(s["ac"])
+                        r, size = rs >> 4, rs & 0x0F
+                        newval = 0
+                        if size == 0:
+                            if r < 15:
+                                eobrun = (1 << r)
+                                if r:
+                                    eobrun += reader.read_bits(r)
+                                break
+                            # ZRL: skip 16 zero-history coefficients
+                        else:
+                            if size != 1:
+                                raise ValueError(
+                                    "JPEG AC refinement magnitude must be 1"
+                                )
+                            newval = p1 if reader.read_bit() else m1
+                        # advance over r zero-history coefficients, sending
+                        # correction bits for the non-zero ones crossed
+                        while k <= se:
+                            z = _ZIGZAG[k]
+                            if block[z] != 0:
+                                if reader.read_bit():
+                                    if (block[z] & p1) == 0:
+                                        block[z] += p1 if block[z] >= 0 else m1
+                            else:
+                                if r == 0:
+                                    if newval:
+                                        block[z] = newval
+                                    k += 1
+                                    break
+                                r -= 1
+                            k += 1
+                if eobrun > 0:
+                    # EOB band: correction bits only, for the rest of band
+                    while k <= se:
+                        z = _ZIGZAG[k]
+                        if block[z] != 0 and reader.read_bit():
+                            if (block[z] & p1) == 0:
+                                block[z] += p1 if block[z] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
+
+    # -- finalization -------------------------------------------------------
+    def finish(self, qt: dict, luma_only: bool) -> Tuple[int, int, int, bytes]:
+        frame = self.frame
+        comps = frame["comps"]
+        planes = {}
+        for c in comps:
+            cid = c["id"]
+            if luma_only and cid != comps[0]["id"]:
+                continue
+            quant = qt.get(c["q"])
+            if quant is None:
+                raise ValueError("JPEG component references missing quant table")
+            q_nat = [0] * 64
+            for k in range(64):
+                q_nat[_ZIGZAG[k]] = quant[k]
+            pw = self.bw[cid] * 8
+            plane = bytearray(pw * self.bh[cid] * 8)
+            for by in range(self.bh[cid]):
+                for bx in range(self.bw[cid]):
+                    raw = self.coef[cid][by * self.bw[cid] + bx]
+                    coeffs = [raw[i] * q_nat[i] for i in range(64)]
+                    block = _idct_2d(coeffs)
+                    ox, oy = bx * 8, by * 8
+                    for yy in range(8):
+                        row = (oy + yy) * pw + ox
+                        plane[row : row + 8] = bytes(block[yy * 8 : yy * 8 + 8])
+            planes[cid] = plane
+        return _assemble_planes(planes, frame, self.mcus_x, luma_only)
+
+
 def decode_jpeg(data: bytes, luma_only: bool = False) -> Tuple[int, int, int, bytes]:
     """Baseline JPEG decode → (width, height, channels, pixel_bytes).
 
@@ -421,14 +697,22 @@ def decode_jpeg(data: bytes, luma_only: bool = False) -> Tuple[int, int, int, by
     JFIF BT.601 matrix; ``luma_only=True`` returns the decoded Y plane
     (1 channel, possibly subsampled dims) without chroma upsample or
     colorspace conversion — the cheap path for luma statistics.
-    Progressive/extended/arithmetic frames raise ValueError (an honest
-    scope cut, not a silent misdecode)."""
+
+    Progressive (SOF2) frames decode fully: coefficients accumulate
+    across DC/AC first + refinement scans with spectral selection,
+    successive approximation and EOB-runs (``_ProgressiveState``), then
+    flow through the SAME dequant → exact IDCT → plane assembly as the
+    baseline path — a spectrally-complete progressive stream therefore
+    decodes bit-identically to the baseline encoding of the same
+    coefficients (pinned in tests).  Extended/lossless/arithmetic frames
+    raise ValueError (an honest scope cut, not a silent misdecode)."""
     if data[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG (bad SOI)")
     qt: dict = {}
     huff_dc: dict = {}
     huff_ac: dict = {}
     frame = None
+    prog = None
     restart_interval = 0
     pos = 2
     n = len(data)
@@ -442,7 +726,7 @@ def decode_jpeg(data: bytes, luma_only: bool = False) -> Tuple[int, int, int, by
         if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
-        if marker == 0xD9:  # EOI before any SOS
+        if marker == 0xD9:  # EOI before any SOS (progressive: see below)
             break
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         body = data[pos + 4 : pos + 2 + seglen]
@@ -465,7 +749,7 @@ def decode_jpeg(data: bytes, luma_only: bool = False) -> Tuple[int, int, int, by
                 values = body[b + 17 : b + 17 + count]
                 (huff_dc if tclass == 0 else huff_ac)[tid] = _HuffTable(bits, values)
                 b += 17 + count
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             h, w = struct.unpack(">HH", body[1:5])
             if w == 0 or h == 0:
                 raise ValueError("JPEG zero dimension (DNL-deferred height unsupported)")
@@ -474,10 +758,12 @@ def decode_jpeg(data: bytes, luma_only: bool = False) -> Tuple[int, int, int, by
             for c in range(ncomp):
                 cid, hv, qid = body[6 + c * 3 : 9 + c * 3]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "q": qid})
-            frame = {"w": w, "h": h, "comps": comps}
+            frame = {"w": w, "h": h, "comps": comps, "progressive": marker == 0xC2}
+            if frame["progressive"]:
+                prog = _ProgressiveState(frame)
         elif marker in _JPEG_SOF:  # any other frame type
             raise ValueError(
-                "only baseline sequential JPEG (SOF0) is supported"
+                "only baseline (SOF0) and progressive (SOF2) JPEG are supported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
@@ -500,6 +786,14 @@ def decode_jpeg(data: bytes, luma_only: bool = False) -> Tuple[int, int, int, by
                         "ac": huff_ac.get(tables & 0x0F),
                     }
                 )
+            if frame["progressive"]:
+                ss, se = body[1 + ns * 2], body[2 + ns * 2]
+                ahal = body[3 + ns * 2]
+                pos = prog.decode_sos(
+                    data, pos + 2 + seglen, scan,
+                    ss, se, ahal >> 4, ahal & 0x0F, restart_interval,
+                )
+                continue
             if any(s["dc"] is None or s["ac"] is None for s in scan):
                 raise ValueError("JPEG scan references missing Huffman table")
             if len(scan) != len(frame["comps"]):
@@ -520,6 +814,10 @@ def decode_jpeg(data: bytes, luma_only: bool = False) -> Tuple[int, int, int, by
                 luma_only=luma_only,
             )
         pos += 2 + seglen
+    # progressive frames fall out of the marker loop at EOI (or at the end
+    # of data) with their scans accumulated — finalize here
+    if frame is not None and frame.get("progressive") and prog.any_scan:
+        return prog.finish(qt, luma_only)
     raise ValueError("JPEG has no SOS scan")
 
 
@@ -601,7 +899,19 @@ def _decode_scan(
                             plane[row : row + 8] = bytes(block[yy * 8 : yy * 8 + 8])
             mcu_count += 1
 
-    # assemble output, upsampling subsampled planes nearest-neighbour
+    return _assemble_planes(planes, frame, mcus_x, luma_only)
+
+
+def _assemble_planes(
+    planes: dict, frame: dict, mcus_x: int, luma_only: bool
+) -> Tuple[int, int, int, bytes]:
+    """Component pixel planes → output image, upsampling subsampled
+    planes nearest-neighbour (shared by the baseline and progressive
+    paths — both end in identical plane assembly)."""
+    w, h = frame["w"], frame["h"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     if luma_only:
         # component 1 of a JFIF frame IS luma — skip chroma upsample and
         # the double YCbCr→RGB→luma rounding entirely

@@ -11,7 +11,7 @@ PNG / JPEG / GIF decode for REAL via the stdlib-only kernel
 full T.81 baseline entropy decode + IDCT for JPEG pixels
 (``kernels.image.decode_jpeg``), SOFn frame headers for dimensions, the
 logical screen descriptor for GIF; no PIL/cv2 required.  The remaining
-codec-bound formats (progressive JPEG pixels, video frames) keep
+codec-bound formats (video frames, arithmetic-coded JPEG) keep
 ``decode_image`` as a clearly-marked seam: it
 raises ``NotImplementedError`` unless ``deterministic_fake=True`` (stable
 fake dimensions derived from the bytes, keeping the distributed plumbing
@@ -203,15 +203,15 @@ def media_features(
     """Decode → resize-spec → frame-sample → feature-extract, one pass.
 
     The full multimodal stage lineup (task brief).  Since round 4 the
-    feature leg is REAL pixels for PNG/baseline-JPEG/GIF payloads (luma
+    feature leg is REAL pixels for PNG/baseline-and-progressive-JPEG/GIF payloads (luma
     histogram via the stdlib decoders).  The pure-python decoders cost
     ~0.5-1 s per megapixel per core — honest but 1000× a byte sketch —
     so payloads above ``max_pixel_decode_bytes`` take the byte-sketch
     path (``0`` disables pixel decode entirely, ``-1`` removes the cap);
     a production deployment swaps a vectorized decoder into
     ``pixel_feature_vector``'s seam and lifts the cap.  Payloads whose
-    DIMENSIONS decode but whose pixels cannot (progressive JPEG, or a
-    malformed body behind a valid header) also fall back to the byte
+    DIMENSIONS decode but whose pixels cannot (lossless/arithmetic JPEG
+    variants, or a malformed body behind a valid header) also fall back to the byte
     sketch with ``error=None`` — quarantine is reserved for payloads that
     fail the dimension decode itself (and, when ``deterministic_fake``
     is off, for formats beyond the stdlib decoders)."""

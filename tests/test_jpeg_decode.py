@@ -287,14 +287,16 @@ class TestJpegColor:
 
 
 class TestJpegErrors:
-    def test_progressive_raises(self):
+    def test_lossless_sof3_raises(self):
+        """Progressive (SOF2) now decodes (tests/test_jpeg_progressive.py);
+        the remaining honest scope cuts — lossless, arithmetic — still
+        raise instead of misdecoding."""
         w = BitWriter()
         encode_block(w, dc_diff=0, ac={})
         data = bytearray(build_jpeg(8, 8, [(1, 1, 1)], w.to_bytes(), FLAT_Q))
-        # flip SOF0 -> SOF2 (find the C0 marker)
         i = bytes(data).find(b"\xff\xc0")
-        data[i + 1] = 0xC2
-        with pytest.raises(ValueError, match="baseline"):
+        data[i + 1] = 0xC3  # SOF3 lossless
+        with pytest.raises(ValueError, match="SOF0.*SOF2|baseline"):
             decode_jpeg(bytes(data))
 
     def test_missing_tables_raise(self):
