@@ -36,7 +36,22 @@ import json
 import os
 import sys
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@contextmanager
+def _conf_override(spark: SparkSession, key: str, value: str):
+    """Set a session conf for one pipeline stage, restoring the caller's
+    value afterwards (the caller may have tuned it for a DIFFERENT stage)."""
+    before = spark.conf.get(key)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        spark.conf.set(key, before)
 
 
 def run_ingest_pipeline(
@@ -64,7 +79,13 @@ def run_ingest_pipeline(
     TOMBSTONE table + gate config (``operators.curate.curation_tombstones``)
     — at 100 TB this halves ingest write bytes, and consumers reconstruct
     the curated view with :func:`read_curated` (gates re-evaluate at scan
-    speed, losers broadcast-anti-join).  ``cut_dup_spans`` requires
+    speed, losers broadcast-anti-join).  ``"fused"`` curates IN-FLIGHT:
+    gates + exact dedup run between the extraction kernel and the one
+    durable write, so the corpus table IS the curated table (quarantine
+    rows retained with ``error`` set — filter ``error IS NULL`` to read
+    the curated view); fastest wall-clock at small/medium scale, at the
+    cost of persisting the extracted rows for the job's duration (the
+    dup-loser subquery reads them twice).  ``cut_dup_spans`` requires
     ``"copy"`` (span surgery rewrites text, so a physical table exists
     anyway).
 
@@ -102,12 +123,56 @@ def run_ingest_pipeline(
             pages, shuffle_payloads=False, cache_registry=url_cache
         ).drop("canonical_url")
 
+    if curated_mode not in ("copy", "view", "fused"):
+        raise ValueError(
+            f"curated_mode must be 'copy', 'view' or 'fused', got {curated_mode!r}"
+        )
+    if cut_dup_spans and curated_mode != "copy":
+        raise ValueError("cut_dup_spans rewrites text and needs curated_mode='copy'")
+
     if from_text:
         from document_automation_spark.operators.extract import documents_from_text
 
         docs_fn = documents_from_text
     else:
         docs_fn = None  # default: HTML/PDF extraction
+
+    fused_cache: list = []
+    fused_stats: dict = {}
+    if curated_mode == "fused":
+        # FUSED mode: curation (gates + exact dedup) runs BETWEEN the
+        # extraction kernel and the one durable write — the corpus table
+        # IS the curated table, so the composed ingest pays a single
+        # write instead of write-read-write (measured: the curated copy
+        # pass alone is ~5 s of the 200k-page composed job).  Quarantine
+        # rows are RETAINED in the table (filter ``error IS NULL`` to
+        # read the curated view) so the audit trail survives without a
+        # side write.  The dup-loser subquery re-reads the extraction
+        # lineage, so the extracted docs persist for the job's duration —
+        # the memory-footprint trade that makes this the small/medium-
+        # scale mode: at 100 TB prefer 'view' (metadata-only curation) or
+        # 'copy' (write-then-curate, nothing persisted).
+        from pyspark import StorageLevel
+
+        from document_automation_spark.operators.extract import extract_documents
+
+        base_fn = docs_fn or extract_documents
+
+        def fused_docs_fn(pages_, cfg_):
+            docs = base_fn(pages_, cfg_).persist(StorageLevel.MEMORY_AND_DISK)
+            fused_cache.append(docs)
+            curated, collect = curate_extracted(
+                docs,
+                min_chars=min_chars,
+                scripts=scripts,
+                drop_exact_dups=drop_exact_dups,
+                keep_quarantined=True,
+            )
+            fused_stats["collect"] = collect
+            return curated
+
+        docs_fn = fused_docs_fn
+
     # both payload paths run through the SAME durable writer: bucketed
     # dynamic-overwrite data commit + per-bucket resume manifests + real
     # counter totals (a crashed --wet run resumes exactly like --warc)
@@ -118,157 +183,186 @@ def run_ingest_pipeline(
     finally:
         for handle in url_cache:  # the dedup key table served the extract job
             handle.unpersist()
+        for handle in fused_cache:
+            handle.unpersist()
 
-    if curated_mode not in ("copy", "view"):
-        raise ValueError(f"curated_mode must be 'copy' or 'view', got {curated_mode!r}")
-    if cut_dup_spans and curated_mode == "view":
-        raise ValueError("cut_dup_spans rewrites text and needs curated_mode='copy'")
+    if curated_mode == "fused":
+        stats = fused_stats["collect"]()
+        stats_row = stats.first().asDict()
+        stats.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(output_path, "_curation_stats")
+        )
+        summary = {
+            **extract_summary,
+            **stats_row,
+            "curated_mode": "fused",
+            "curated_path": os.path.join(output_path, "data"),
+        }
+        if embed:
+            curated_docs = read_output(spark, output_path).filter(
+                F.col("error").isNull()
+            )
+            summary.update(
+                _embed_stage(spark, curated_docs, output_path, embed_dim)
+            )
+        return summary
 
-    raw_docs = read_output(spark, output_path, with_sha=True)
+    # Stage-appropriate input split size: extraction wants FINE splits
+    # (the per-row kernel is CPU-bound, so callers often set
+    # maxPartitionBytes to a few MB for the pages scan), but every pass
+    # from here on re-reads already-columnar parquet at IO speed — tiny
+    # splits just multiply task/file/zstd-stream overhead.  Measured at
+    # the 200k-page composed ingest: the curated copy pass is 9.9 s under
+    # a 4 MB split vs 4.2-4.6 s at 128/32 MB.  32 MB keeps ~4x more tasks
+    # in flight than the 128 MB default at this corpus size (straggler
+    # headroom) at the same measured cost; the caller's value is restored
+    # after the pipeline (it may be extraction-tuned).
+    with _conf_override(spark, "spark.sql.files.maxPartitionBytes", "32m"):
+        raw_docs = read_output(spark, output_path, with_sha=True)
 
-    # content_sha completeness: THIS run's writer populates content_sha for
-    # every row it writes — but a RESUMED run keeps already-done buckets
-    # verbatim, and those may predate the sha-writing writer (NULL shas).
-    # Keying curation on a NULL sha would collapse every legacy row into one
-    # dedup group and silently drop all but one.  Only trust the pruned-scan
-    # path when zero buckets were carried over from a previous run; a resumed
-    # run falls back to curate's coalesce(sha, re-hash) guard.
-    sha_complete = extract_summary.get("buckets_skipped", 0) == 0
+        # content_sha completeness: THIS run's writer populates content_sha for
+        # every row it writes — but a RESUMED run keeps already-done buckets
+        # verbatim, and those may predate the sha-writing writer (NULL shas).
+        # Keying curation on a NULL sha would collapse every legacy row into one
+        # dedup group and silently drop all but one.  Only trust the pruned-scan
+        # path when zero buckets were carried over from a previous run; a resumed
+        # run falls back to curate's coalesce(sha, re-hash) guard.
+        sha_complete = extract_summary.get("buckets_skipped", 0) == 0
 
-    if curated_mode == "view":
-        from document_automation_spark.operators.curate import curation_tombstones
+        if curated_mode == "view":
+            from document_automation_spark.operators.curate import curation_tombstones
 
-        losers, collect_in_counts = curation_tombstones(
+            losers, collect_in_counts = curation_tombstones(
+                raw_docs,
+                min_chars=min_chars,
+                scripts=scripts,
+                drop_exact_dups=drop_exact_dups,
+                sha_is_complete=sha_complete,
+            )
+            losers_path = os.path.join(output_path, "curation_losers")
+            # no separate stats action: the input counters ride the loser
+            # write as an Observation (collect_in_counts reads them after)
+            losers.write.mode("overwrite").parquet(losers_path)
+            n_losers = spark.read.parquet(losers_path).count()
+            in_counts = collect_in_counts()
+            rows_out = (
+                in_counts["rows_in"]
+                - in_counts["quarantined"]
+                - in_counts["gated"]
+                - n_losers
+            )
+            stats_row = {
+                **in_counts,
+                "deduped": n_losers,
+                "rows_out": rows_out,
+            }
+            # persist the gate config so read_curated applies the SAME policy
+            spark.createDataFrame(
+                [(min_chars, ",".join(scripts) if scripts else None)],
+                "min_chars int, scripts string",
+            ).coalesce(1).write.mode("overwrite").json(
+                os.path.join(output_path, "_curation_config")
+            )
+            spark.createDataFrame(
+                [tuple(stats_row[k] for k in
+                       ("rows_in", "quarantined", "gated", "deduped", "rows_out"))],
+                "rows_in long, quarantined long, gated long, deduped long, rows_out long",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(output_path, "_curation_stats")
+            )
+            summary = {
+                **extract_summary,
+                **stats_row,
+                "curated_mode": "view",
+                "losers_path": losers_path,
+            }
+            if embed:
+                summary.update(
+                    _embed_stage(spark, read_curated(spark, output_path), output_path, embed_dim)
+                )
+            return summary
+
+        curated, collect_stats = curate_extracted(
             raw_docs,
             min_chars=min_chars,
             scripts=scripts,
             drop_exact_dups=drop_exact_dups,
             sha_is_complete=sha_complete,
         )
-        losers_path = os.path.join(output_path, "curation_losers")
-        # no separate stats action: the input counters ride the loser
-        # write as an Observation (collect_in_counts reads them after)
-        losers.write.mode("overwrite").parquet(losers_path)
-        n_losers = spark.read.parquet(losers_path).count()
-        in_counts = collect_in_counts()
-        rows_out = (
-            in_counts["rows_in"]
-            - in_counts["quarantined"]
-            - in_counts["gated"]
-            - n_losers
+        curated_path = os.path.join(output_path, "curated")
+        # ONE action runs the whole curation: stage counters ride the write as
+        # CollectMetrics observations (collect_stats() reads them afterwards).
+        # zstd-1 writer options match the durable writer (see plans/checkpoint)
+        (
+            curated.write.mode("overwrite")
+            .option("compression", "zstd")
+            .option("parquet.compression.codec.zstd.level", "1")
+            .parquet(curated_path)
         )
-        stats_row = {
-            **in_counts,
-            "deduped": n_losers,
-            "rows_out": rows_out,
-        }
-        # persist the gate config so read_curated applies the SAME policy
-        spark.createDataFrame(
-            [(min_chars, ",".join(scripts) if scripts else None)],
-            "min_chars int, scripts string",
-        ).coalesce(1).write.mode("overwrite").json(
-            os.path.join(output_path, "_curation_config")
-        )
-        spark.createDataFrame(
-            [tuple(stats_row[k] for k in
-                   ("rows_in", "quarantined", "gated", "deduped", "rows_out"))],
-            "rows_in long, quarantined long, gated long, deduped long, rows_out long",
-        ).coalesce(1).write.mode("overwrite").parquet(
+        stats = collect_stats()
+        stats_row = stats.first().asDict()
+        stats.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(output_path, "_curation_stats")
         )
-        summary = {
-            **extract_summary,
-            **stats_row,
-            "curated_mode": "view",
-            "losers_path": losers_path,
-        }
+        summary = {**extract_summary, **stats_row, "curated_path": curated_path}
+
+        if cut_dup_spans:
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F
+
+            from document_automation_spark.operators.dedup import (
+                cut_spans,
+                duplicate_spans,
+            )
+
+            corpus = spark.read.parquet(curated_path)
+            as_docs = corpus.withColumnRenamed("content", "text")
+            span_cache: list = []
+            spans = duplicate_spans(
+                as_docs, k=span_k, min_docs=2, cache_registry=span_cache
+            )
+            obs_cut = Observation("span_cut")
+            surgered = (
+                cut_spans(as_docs, spans)
+                .observe(
+                    obs_cut,
+                    F.sum("n_cut_chars").alias("cut_chars"),
+                    F.sum((F.col("n_cut_chars") > 0).cast("long")).alias(
+                        "spanned_passages"
+                    ),
+                )
+                .withColumnRenamed("text", "content")
+                # re-derive BOTH content-derived identities after surgery:
+                # doc_id's invariant is sha256(url || content) (kernels/page.
+                # doc_id_for — sha2 over UTF-8 concat matches hexdigest), and
+                # content_sha is the dedup key
+                .withColumn("doc_id", F.sha2(F.concat(F.col("url"), F.col("content")), 256))
+                .withColumn("content_sha", F.unhex(F.sha2(F.col("content"), 256)))
+                .drop("n_cut_chars")
+            )
+            cut_path = os.path.join(output_path, "curated_cut")
+            try:
+                (
+                    surgered.write.mode("overwrite")
+                    .option("compression", "zstd")
+                    .option("parquet.compression.codec.zstd.level", "1")
+                    .parquet(cut_path)
+                )
+            finally:
+                for handle in span_cache:  # targeted: never clearCache() the session
+                    handle.unpersist()
+            summary["cut_chars"] = int(obs_cut.get["cut_chars"] or 0)
+            summary["spanned_passages"] = int(obs_cut.get["spanned_passages"] or 0)
+            summary["curated_path"] = cut_path
+
         if embed:
             summary.update(
-                _embed_stage(spark, read_curated(spark, output_path), output_path, embed_dim)
+                _embed_stage(
+                    spark, spark.read.parquet(summary["curated_path"]), output_path, embed_dim
+                )
             )
+
         return summary
-
-    curated, collect_stats = curate_extracted(
-        raw_docs,
-        min_chars=min_chars,
-        scripts=scripts,
-        drop_exact_dups=drop_exact_dups,
-        sha_is_complete=sha_complete,
-    )
-    curated_path = os.path.join(output_path, "curated")
-    # ONE action runs the whole curation: stage counters ride the write as
-    # CollectMetrics observations (collect_stats() reads them afterwards).
-    # zstd-1 writer options match the durable writer (see plans/checkpoint)
-    (
-        curated.write.mode("overwrite")
-        .option("compression", "zstd")
-        .option("parquet.compression.codec.zstd.level", "1")
-        .parquet(curated_path)
-    )
-    stats = collect_stats()
-    stats_row = stats.first().asDict()
-    stats.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(output_path, "_curation_stats")
-    )
-    summary = {**extract_summary, **stats_row, "curated_path": curated_path}
-
-    if cut_dup_spans:
-        from pyspark.sql import Observation
-        from pyspark.sql import functions as F
-
-        from document_automation_spark.operators.dedup import (
-            cut_spans,
-            duplicate_spans,
-        )
-
-        corpus = spark.read.parquet(curated_path)
-        as_docs = corpus.withColumnRenamed("content", "text")
-        span_cache: list = []
-        spans = duplicate_spans(
-            as_docs, k=span_k, min_docs=2, cache_registry=span_cache
-        )
-        obs_cut = Observation("span_cut")
-        surgered = (
-            cut_spans(as_docs, spans)
-            .observe(
-                obs_cut,
-                F.sum("n_cut_chars").alias("cut_chars"),
-                F.sum((F.col("n_cut_chars") > 0).cast("long")).alias(
-                    "spanned_passages"
-                ),
-            )
-            .withColumnRenamed("text", "content")
-            # re-derive BOTH content-derived identities after surgery:
-            # doc_id's invariant is sha256(url || content) (kernels/page.
-            # doc_id_for — sha2 over UTF-8 concat matches hexdigest), and
-            # content_sha is the dedup key
-            .withColumn("doc_id", F.sha2(F.concat(F.col("url"), F.col("content")), 256))
-            .withColumn("content_sha", F.unhex(F.sha2(F.col("content"), 256)))
-            .drop("n_cut_chars")
-        )
-        cut_path = os.path.join(output_path, "curated_cut")
-        try:
-            (
-                surgered.write.mode("overwrite")
-                .option("compression", "zstd")
-                .option("parquet.compression.codec.zstd.level", "1")
-                .parquet(cut_path)
-            )
-        finally:
-            for handle in span_cache:  # targeted: never clearCache() the session
-                handle.unpersist()
-        summary["cut_chars"] = int(obs_cut.get["cut_chars"] or 0)
-        summary["spanned_passages"] = int(obs_cut.get["spanned_passages"] or 0)
-        summary["curated_path"] = cut_path
-
-    if embed:
-        summary.update(
-            _embed_stage(
-                spark, spark.read.parquet(summary["curated_path"]), output_path, embed_dim
-            )
-        )
-
-    return summary
 
 
 def _embed_stage(
@@ -361,10 +455,13 @@ def main(argv=None) -> None:
     parser.add_argument("--embed-dim", type=int, default=16)
     parser.add_argument(
         "--curated-mode",
-        choices=("copy", "view"),
+        choices=("copy", "view", "fused"),
         default="copy",
         help="'view' materializes only the dup-loser tombstone table "
-        "(halves write bytes; read back with read_curated)",
+        "(halves write bytes; read back with read_curated); 'fused' "
+        "curates in-flight so the durable corpus write IS the curated "
+        "table (fastest wall-clock; quarantine rows retained — read with "
+        "error IS NULL)",
     )
     args = parser.parse_args(argv)
 

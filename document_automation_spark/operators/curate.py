@@ -85,6 +85,7 @@ def curate_extracted(
     scripts: Optional[Sequence[str]] = None,
     drop_exact_dups: bool = True,
     sha_is_complete: bool = False,
+    keep_quarantined: bool = False,
 ) -> Tuple[DataFrame, Callable[[], DataFrame]]:
     """Curate extraction output into a training-ready passages table.
 
@@ -94,7 +95,13 @@ def curate_extracted(
     columns.  Dedup semantics match the round-3 version exactly: the
     lexicographically smallest ``(url, passage_idx)`` survives per content
     hash; byte-identical ``(url, passage_idx)`` collisions (possible only
-    without upstream url dedup) all survive, as before."""
+    without upstream url dedup) all survive, as before.
+
+    ``keep_quarantined=True`` (the FUSED ingest mode) retains error rows
+    in the output instead of dropping them — the single durable table then
+    serves both as the curated corpus (filter ``error IS NULL``) and the
+    quarantine audit trail; all counters (including ``rows_out``, which
+    always counts NON-quarantined output rows) are unchanged."""
     quarantined_f = F.col("error").isNotNull()
     gate_f = F.lit(False)
     if min_chars is not None:
@@ -113,7 +120,11 @@ def curate_extracted(
         F.sum(quarantined_f.cast("long")).alias("quarantined"),
         F.sum((~quarantined_f & gate_f).cast("long")).alias("gated"),
     )
-    gated = observed.filter(~quarantined_f & ~gate_f)
+    if keep_quarantined:
+        # error rows pass through untouched; gates/dedup apply to the rest
+        gated = observed.filter(quarantined_f | ~gate_f)
+    else:
+        gated = observed.filter(~quarantined_f & ~gate_f)
 
     curated = gated
     if drop_exact_dups:
@@ -140,13 +151,19 @@ def curate_extracted(
             F.col("_keep.url").alias("_lu"), F.col("_keep.passage_idx").alias("_lp")
         )
         losers = losers.join(keeper_keys, ["_lu", "_lp"], "left_anti")
-        curated = gated.join(
-            losers,
-            (gated["url"] == losers["_lu"])
-            & (gated["passage_idx"] == losers["_lp"]),
-            "left_anti",
+        anti_cond = (gated["url"] == losers["_lu"]) & (
+            gated["passage_idx"] == losers["_lp"]
         )
-    curated = curated.observe(obs_out, F.count(F.lit(1)).alias("rows_out"))
+        if keep_quarantined:
+            # a quarantine row can never be a dup loser, even if a docs_fn
+            # gave it a (url, passage_idx) colliding with a content row
+            anti_cond = anti_cond & gated["error"].isNull()
+        curated = gated.join(losers, anti_cond, "left_anti")
+    # rows_out counts NON-quarantined output in both modes (identical to
+    # count(*) when quarantined rows are dropped)
+    curated = curated.observe(
+        obs_out, F.sum((~quarantined_f).cast("long")).alias("rows_out")
+    )
 
     spark = documents.sparkSession
 
@@ -155,7 +172,7 @@ def curate_extracted(
         total = int(gi["total"])
         n_quarantined = int(gi["quarantined"] or 0)
         n_gated_out = int(gi["gated"] or 0)
-        n_curated = int(go["rows_out"])
+        n_curated = int(go["rows_out"] or 0)  # sum() is NULL on empty input
         n_gated_in = total - n_quarantined - n_gated_out
         return spark.createDataFrame(
             [(total, n_quarantined, n_gated_out, n_gated_in - n_curated, n_curated)],

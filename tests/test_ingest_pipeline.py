@@ -460,3 +460,92 @@ class TestIngestPipeline:
             .select("url", "passage_idx").collect()
         }
         assert resumed_rows == fresh_rows
+
+    def test_fused_mode_equals_copy_mode(self, spark, tmp_path):
+        """curated_mode='fused' (single durable write, curation in-flight)
+        produces the SAME curated row set and stats as copy mode; the
+        quarantine rows ride the same table with error set."""
+        pages = pages_df(spark, 120, partitions=4)
+        out_c = str(tmp_path / "copy")
+        s_c = run_ingest_pipeline(
+            spark, pages, out_c, "fp", cfg=ExtractConfig(n_buckets=8)
+        )
+        out_f = str(tmp_path / "fused")
+        s_f = run_ingest_pipeline(
+            spark, pages, out_f, "fp", cfg=ExtractConfig(n_buckets=8),
+            curated_mode="fused",
+        )
+        for k in ("rows_in", "quarantined", "gated", "deduped", "rows_out"):
+            assert s_f[k] == s_c[k], k
+        fused_tbl = spark.read.parquet(s_f["curated_path"])
+        copy_rows = {
+            (r.url, r.passage_idx)
+            for r in spark.read.parquet(s_c["curated_path"])
+            .select("url", "passage_idx").collect()
+        }
+        fused_rows = {
+            (r.url, r.passage_idx)
+            for r in fused_tbl.filter(F.col("error").isNull())
+            .select("url", "passage_idx").collect()
+        }
+        assert fused_rows == copy_rows
+        # quarantine rows retained for audit
+        assert fused_tbl.filter(F.col("error").isNotNull()).count() == s_f["quarantined"]
+
+    def test_fused_mode_crash_resume(self, spark, tmp_path):
+        """A fused-mode run resumes through the same per-bucket manifests:
+        crash (buckets missing) → resume completes → rows match a fresh
+        fused run exactly."""
+        from document_automation_spark.plans.checkpoint import run_extraction_job
+
+        pages = pages_df(spark, 80, partitions=4)
+        cfg = ExtractConfig(n_buckets=8)
+        out = str(tmp_path / "fused_resume")
+
+        # crash the FUSED write path midway: reuse the extraction job's
+        # fail hook through a first partial ingest-like run
+        from document_automation_spark.operators.curate import curate_extracted
+        from document_automation_spark.operators.extract import extract_documents
+        from pyspark import StorageLevel
+
+        cache = []
+
+        def fused_fn(pages_, cfg_):
+            docs = extract_documents(pages_, cfg_).persist(StorageLevel.MEMORY_AND_DISK)
+            cache.append(docs)
+            curated, _ = curate_extracted(docs, keep_quarantined=True)
+            return curated
+
+        crashed = run_extraction_job(
+            spark, pages, out, "fp-f", cfg, docs_fn=fused_fn, fail_buckets_above=4
+        )
+        for h in cache:
+            h.unpersist()
+        assert 0 < crashed["buckets_processed"] < 8
+
+        s = run_ingest_pipeline(
+            spark, pages, out, "fp-f", cfg=cfg, curated_mode="fused"
+        )
+        assert s["buckets_skipped"] == crashed["buckets_processed"]
+
+        out2 = str(tmp_path / "fused_fresh")
+        s2 = run_ingest_pipeline(
+            spark, pages, out2, "fp-f", cfg=cfg, curated_mode="fused"
+        )
+        rows_a = {
+            (r.url, r.passage_idx)
+            for r in spark.read.parquet(s["curated_path"]).select("url", "passage_idx").collect()
+        }
+        rows_b = {
+            (r.url, r.passage_idx)
+            for r in spark.read.parquet(s2["curated_path"]).select("url", "passage_idx").collect()
+        }
+        assert rows_a == rows_b
+
+    def test_fused_rejects_cut_dup_spans(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="copy"):
+            run_ingest_pipeline(
+                spark, pages_df(spark, 10, partitions=1), str(tmp_path / "x"),
+                "fp", cfg=ExtractConfig(n_buckets=2),
+                curated_mode="fused", cut_dup_spans=True,
+            )
