@@ -38,7 +38,7 @@ import sys
 
 from contextlib import contextmanager
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -240,10 +240,15 @@ def run_ingest_pipeline(
                 sha_is_complete=sha_complete,
             )
             losers_path = os.path.join(output_path, "curation_losers")
-            # no separate stats action: the input counters ride the loser
-            # write as an Observation (collect_in_counts reads them after)
-            losers.write.mode("overwrite").parquet(losers_path)
-            n_losers = spark.read.parquet(losers_path).count()
+            # no separate stats action: the input counters AND the loser
+            # count both ride the loser write as Observations (a re-read +
+            # count() after the write would be one more full job — at small
+            # scale these fixed action costs dominate the composed wall)
+            obs_losers = Observation("loser_count")
+            losers.observe(
+                obs_losers, F.count(F.lit(1)).alias("n_losers")
+            ).write.mode("overwrite").parquet(losers_path)
+            n_losers = int(obs_losers.get["n_losers"] or 0)
             in_counts = collect_in_counts()
             rows_out = (
                 in_counts["rows_in"]
@@ -307,9 +312,6 @@ def run_ingest_pipeline(
         summary = {**extract_summary, **stats_row, "curated_path": curated_path}
 
         if cut_dup_spans:
-            from pyspark.sql import Observation
-            from pyspark.sql import functions as F
-
             from document_automation_spark.operators.dedup import (
                 cut_spans,
                 duplicate_spans,
