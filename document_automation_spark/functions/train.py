@@ -164,3 +164,192 @@ def rank_eval(samples: DataFrame, weights: np.ndarray, dim: int = 256) -> dict:
         "n_samples": n,
         "recall_at_1": (int(totals["h"] or 0) / n) if n else 0.0,
     }
+
+
+def train_contrastive_distributed(
+    pairs: DataFrame,
+    dim_in: int = 512,
+    hidden: int = 128,
+    dim_out: int = 16,
+    seed: int = 7,
+    epochs: int = 800,
+    lr: float = 0.5,
+    temp: float = 0.07,
+):
+    """Distributed symmetric-InfoNCE training of the TinyDualEncoder —
+    the same objective, init, and update rule as
+    :func:`document_automation_spark.functions.encoder.train_contrastive`
+    (which is the driver-side reference implementation), re-expressed as
+    the data-parallel loop a 1000-executor cluster runs:
+
+    per epoch (two jobs, O(N·dim_out + dim_in·hidden) bytes on the wire):
+
+    1. **forward** — ``mapInPandas`` encodes every pair under the
+       broadcast weights; ONLY the L2-normalized output embeddings
+       ``Z_a, Z_b`` (N × dim_out — the contrastive head's input) are
+       collected.  Features and hidden activations never leave the
+       executors.
+    2. the driver computes the N×N similarity softmaxes and the loss —
+       in-batch negatives make InfoNCE non-separable across partitions,
+       so the (tiny) head runs where the full batch is visible — and
+       broadcasts the per-row output-gradients ``dZ_a, dZ_b``.
+    3. **backward** — ``mapInPandas`` RECOMPUTES each partition's forward
+       (activation checkpointing: cheaper to redo tanh on a partition
+       than to ship N×hidden activations), backprops its rows through
+       the cosine head / tanh / both weight matrices, and emits ONE
+       flattened partial-gradient vector per partition; a component-wise
+       ``groupBy(idx).sum`` reduce (dim_in·hidden + hidden +
+       hidden·dim_out ≈ 68k rows — never the samples) hands the driver
+       the exact full-batch gradient, up to float-sum association.
+    4. the driver applies the GD step and loops.
+
+    This is the same skeleton as :func:`train_ranker` (weights down,
+    gradients up, samples never move) with the one extra round-trip that
+    in-batch negatives force.  The N×N head is driver-side, so the
+    practical full-batch cap is N ≈ 10k pairs (S is N² doubles); above
+    that, shard the epoch into driver-sized batches and run this loop
+    per shard — the mechanics are unchanged.
+
+    Matches the driver-side trainer to float-association tolerance
+    (pinned by tests/test_train_encoder.py: same weights at 1e-8 after
+    multiple epochs, parallelism-invariant at 1e-6).
+
+    ``pairs`` needs columns ``text_a, text_b``; row order is made
+    deterministic by dense ids over ``text_a`` (must be unique — doc
+    prefixes are), or pass a precomputed dense 0-based ``pair_id``.
+    Returns ``(TinyDualEncoder, loss_history)``.
+    """
+    from pyspark import StorageLevel
+
+    from document_automation_spark.functions.encoder import (
+        TinyDualEncoder,
+        _forward,
+        featurize,
+    )
+
+    spark = pairs.sparkSession
+    sc = spark.sparkContext
+
+    id_cache: list = []
+    if "pair_id" not in pairs.columns:
+        from document_automation_spark.functions.embed import assign_dense_vector_ids
+
+        pairs = assign_dense_vector_ids(
+            pairs.select("text_a", "text_b"),
+            order_col="text_a",
+            cache_registry=id_cache,
+        ).withColumnRenamed("vector_id", "pair_id")
+
+    def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not len(batch):
+                continue
+            yield pd.DataFrame(
+                {
+                    "pair_id": batch["pair_id"].astype("int64"),
+                    "xa": list(featurize(batch["text_a"].tolist(), dim_in)),
+                    "xb": list(featurize(batch["text_b"].tolist(), dim_in)),
+                }
+            )
+
+    feats = (
+        pairs.select("pair_id", "text_a", "text_b")
+        .mapInPandas(feat_batches, "pair_id long, xa array<double>, xb array<double>")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    N = feats.count()
+    for handle in id_cache:
+        handle.unpersist()
+    if N == 0:
+        raise ValueError("need non-empty positive-pair DataFrame")
+
+    rng = np.random.default_rng(seed)
+    W1 = rng.standard_normal((dim_in, hidden)) * 0.1
+    b1 = np.zeros(hidden)
+    W2 = rng.standard_normal((hidden, dim_out)) * 0.1
+    n_w1, n_b1 = W1.size, b1.size
+    history: List[float] = []
+    I = np.eye(N)
+    idx_arange = np.arange(N)
+
+    for _ in range(epochs):
+        b_w = sc.broadcast((W1, b1, W2))
+
+        def fwd_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            W1v, b1v, W2v = b_w.value
+            for batch in batches:
+                if not len(batch):
+                    continue
+                Za = _forward(np.stack(batch["xa"]), W1v, b1v, W2v)[3]
+                Zb = _forward(np.stack(batch["xb"]), W1v, b1v, W2v)[3]
+                yield pd.DataFrame(
+                    {
+                        "pair_id": batch["pair_id"].astype("int64"),
+                        "za": list(Za),
+                        "zb": list(Zb),
+                    }
+                )
+
+        Za = np.zeros((N, dim_out))
+        Zb = np.zeros((N, dim_out))
+        for row in feats.mapInPandas(
+            fwd_batches, "pair_id long, za array<double>, zb array<double>"
+        ).collect():
+            Za[row["pair_id"]] = row["za"]
+            Zb[row["pair_id"]] = row["zb"]
+
+        # the contrastive head: N×N softmaxes, driver-side (in-batch
+        # negatives need the whole batch) — identical math to the
+        # reference trainer in encoder.py
+        S = (Za @ Zb.T) / temp
+        Pa = np.exp(S - S.max(axis=1, keepdims=True))
+        Pa /= Pa.sum(axis=1, keepdims=True)
+        Pb = np.exp(S - S.max(axis=0, keepdims=True))
+        Pb /= Pb.sum(axis=0, keepdims=True)
+        la = np.log(np.maximum(Pa[idx_arange, idx_arange], 1e-300))
+        lb = np.log(np.maximum(Pb[idx_arange, idx_arange], 1e-300))
+        history.append(float(-(la.mean() + lb.mean()) / 2))
+        dS = ((Pa - I) + (Pb - I)) / (2 * N * temp)
+        b_dz = sc.broadcast((dS @ Zb, dS.T @ Za))
+
+        def grad_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            W1v, b1v, W2v = b_w.value
+            dZa_all, dZb_all = b_dz.value
+            dW1 = np.zeros_like(W1v)
+            db1 = np.zeros_like(b1v)
+            dW2 = np.zeros_like(W2v)
+            for batch in batches:
+                if not len(batch):
+                    continue
+                ids = batch["pair_id"].to_numpy()
+                for col, dZ_all in (("xa", dZa_all), ("xb", dZb_all)):
+                    X = np.stack(batch[col])
+                    H, U, nrm, Z = _forward(X, W1v, b1v, W2v)
+                    dZi = dZ_all[ids]
+                    dU = (dZi - Z * (Z * dZi).sum(axis=1, keepdims=True)) / nrm
+                    dW2 += H.T @ dU
+                    dpre = (dU @ W2v.T) * (1.0 - H * H)
+                    dW1 += X.T @ dpre
+                    db1 += dpre.sum(axis=0)
+            flat = np.concatenate([dW1.ravel(), db1, dW2.ravel()])
+            yield pd.DataFrame(
+                {"idx": np.arange(flat.size, dtype="int64"), "val": flat}
+            )
+
+        agg = (
+            feats.mapInPandas(grad_batches, "idx long, val double")
+            .groupBy("idx")
+            .agg(F.sum("val").alias("s"))
+            .collect()
+        )
+        flat = np.zeros(n_w1 + n_b1 + W2.size)
+        for row in agg:
+            flat[row["idx"]] = row["s"]
+        W1 = W1 - lr * flat[:n_w1].reshape(W1.shape)
+        b1 = b1 - lr * flat[n_w1 : n_w1 + n_b1]
+        W2 = W2 - lr * flat[n_w1 + n_b1 :].reshape(W2.shape)
+        b_w.destroy()
+        b_dz.destroy()
+
+    feats.unpersist()
+    return TinyDualEncoder(W1=W1, b1=b1, W2=W2), history
