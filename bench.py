@@ -96,7 +96,10 @@ def main() -> None:
     from document_automation_spark.plans.checkpoint import run_extraction_job
 
     durable_s = float("inf")
-    for rep in range(2):  # best-of-2: single draws swing ±40% on this host
+    for rep in range(3):  # best-of-3: the round-5 calm re-measure caught a
+        # best-of-2 pair reading 17.6 s where the true calm floor is 9.8 s
+        # (BENCH/BASELINE.md round-5 confirmations) — two bad draws in a
+        # row are common enough on this shared host to need a third
         durable_out = os.path.join(
             tempfile.gettempdir(), f"bench_durable_{os.getpid()}_{rep}"
         )
@@ -117,7 +120,7 @@ def main() -> None:
     from document_automation_spark.jobs.ingest_pipeline import run_ingest_pipeline
 
     ingest_s = float("inf")
-    for rep in range(2):  # best-of-2, same reasoning as the durable entry
+    for rep in range(3):  # best-of-3, same reasoning as the durable entry
         ingest_out = os.path.join(
             tempfile.gettempdir(), f"bench_ingest_{os.getpid()}_{rep}"
         )
