@@ -166,6 +166,169 @@ def rank_eval(samples: DataFrame, weights: np.ndarray, dim: int = 256) -> dict:
     }
 
 
+def _pair_features(
+    pairs: DataFrame, dim_in: int, row_id_expr=None
+):
+    """Featurize positive pairs once into a persistable frame
+    ``(row_id, shard?, xa, xb)``.
+
+    Dense ids come from :func:`assign_dense_vector_ids` over ``text_a``
+    (no single-partition window) unless the caller already carries a
+    dense 0-based ``pair_id``.  ``row_id_expr``, when given, maps
+    ``pair_id`` to the matrix row index used by the contrastive head
+    (identity for full-batch; ``pair_id // n_shards`` for sharded) and
+    may add a ``shard`` column.
+    """
+    from pyspark import StorageLevel
+
+    from document_automation_spark.functions.encoder import featurize
+
+    id_cache: list = []
+    if "pair_id" not in pairs.columns:
+        from document_automation_spark.functions.embed import assign_dense_vector_ids
+
+        pairs = assign_dense_vector_ids(
+            pairs.select("text_a", "text_b"),
+            order_col="text_a",
+            cache_registry=id_cache,
+        ).withColumnRenamed("vector_id", "pair_id")
+
+    has_shard = False
+    if row_id_expr is not None:
+        row_id, shard = row_id_expr
+        pairs = pairs.withColumn("row_id", row_id).withColumn("shard", shard)
+        cols = [F.col("row_id"), F.col("shard"), F.col("text_a"), F.col("text_b")]
+        schema = "row_id long, shard int, xa array<double>, xb array<double>"
+        has_shard = True
+    else:
+        pairs = pairs.withColumn("row_id", F.col("pair_id"))
+        cols = [F.col("row_id"), F.col("text_a"), F.col("text_b")]
+        schema = "row_id long, xa array<double>, xb array<double>"
+
+    def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not len(batch):
+                continue
+            out = {
+                "row_id": batch["row_id"].astype("int64"),
+                "xa": list(featurize(batch["text_a"].tolist(), dim_in)),
+                "xb": list(featurize(batch["text_b"].tolist(), dim_in)),
+            }
+            if has_shard:
+                out["shard"] = batch["shard"].astype("int32")
+            yield pd.DataFrame(out)
+
+    feats = (
+        pairs.select(*cols)
+        .mapInPandas(feat_batches, schema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = feats.count()
+    for handle in id_cache:
+        handle.unpersist()
+    return feats, n
+
+
+def _contrastive_step(sc, feats: DataFrame, M: int, W1, b1, W2, lr, temp):
+    """One full-batch symmetric-InfoNCE GD step over ``feats``
+    (``row_id`` ∈ [0, M), ``xa``, ``xb``) — forward collects only the
+    M×dim_out head inputs, the N×N head runs driver-side, backward
+    recomputes activations per partition and reduces ~|W| flattened
+    gradient components.  Returns ``(W1, b1, W2, loss)``; the caller
+    owns the epoch/shard loop."""
+    from document_automation_spark.functions.encoder import _forward
+
+    dim_out = W2.shape[1]
+    b_w = sc.broadcast((W1, b1, W2))
+
+    def fwd_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        W1v, b1v, W2v = b_w.value
+        for batch in batches:
+            if not len(batch):
+                continue
+            Za = _forward(np.stack(batch["xa"]), W1v, b1v, W2v)[3]
+            Zb = _forward(np.stack(batch["xb"]), W1v, b1v, W2v)[3]
+            yield pd.DataFrame(
+                {
+                    "row_id": batch["row_id"].astype("int64"),
+                    "za": list(Za),
+                    "zb": list(Zb),
+                }
+            )
+
+    Za = np.zeros((M, dim_out))
+    Zb = np.zeros((M, dim_out))
+    for row in feats.mapInPandas(
+        fwd_batches, "row_id long, za array<double>, zb array<double>"
+    ).collect():
+        Za[row["row_id"]] = row["za"]
+        Zb[row["row_id"]] = row["zb"]
+
+    # the contrastive head: M×M softmaxes, driver-side (in-batch
+    # negatives need the whole batch) — identical math to the reference
+    # trainer in encoder.py
+    S = (Za @ Zb.T) / temp
+    Pa = np.exp(S - S.max(axis=1, keepdims=True))
+    Pa /= Pa.sum(axis=1, keepdims=True)
+    Pb = np.exp(S - S.max(axis=0, keepdims=True))
+    Pb /= Pb.sum(axis=0, keepdims=True)
+    diag = np.arange(M)
+    la = np.log(np.maximum(Pa[diag, diag], 1e-300))
+    lb = np.log(np.maximum(Pb[diag, diag], 1e-300))
+    loss = float(-(la.mean() + lb.mean()) / 2)
+    I = np.eye(M)
+    dS = ((Pa - I) + (Pb - I)) / (2 * M * temp)
+    b_dz = sc.broadcast((dS @ Zb, dS.T @ Za))
+
+    def grad_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        W1v, b1v, W2v = b_w.value
+        dZa_all, dZb_all = b_dz.value
+        dW1 = np.zeros_like(W1v)
+        db1 = np.zeros_like(b1v)
+        dW2 = np.zeros_like(W2v)
+        for batch in batches:
+            if not len(batch):
+                continue
+            ids = batch["row_id"].to_numpy()
+            for col, dZ_all in (("xa", dZa_all), ("xb", dZb_all)):
+                X = np.stack(batch[col])
+                H, U, nrm, Z = _forward(X, W1v, b1v, W2v)
+                dZi = dZ_all[ids]
+                dU = (dZi - Z * (Z * dZi).sum(axis=1, keepdims=True)) / nrm
+                dW2 += H.T @ dU
+                dpre = (dU @ W2v.T) * (1.0 - H * H)
+                dW1 += X.T @ dpre
+                db1 += dpre.sum(axis=0)
+        flat = np.concatenate([dW1.ravel(), db1, dW2.ravel()])
+        yield pd.DataFrame({"idx": np.arange(flat.size, dtype="int64"), "val": flat})
+
+    agg = (
+        feats.mapInPandas(grad_batches, "idx long, val double")
+        .groupBy("idx")
+        .agg(F.sum("val").alias("s"))
+        .collect()
+    )
+    n_w1, n_b1 = W1.size, b1.size
+    flat = np.zeros(n_w1 + n_b1 + W2.size)
+    for row in agg:
+        flat[row["idx"]] = row["s"]
+    W1 = W1 - lr * flat[:n_w1].reshape(W1.shape)
+    b1 = b1 - lr * flat[n_w1 : n_w1 + n_b1]
+    W2 = W2 - lr * flat[n_w1 + n_b1 :].reshape(W2.shape)
+    b_w.destroy()
+    b_dz.destroy()
+    return W1, b1, W2, loss
+
+
+def _init_encoder_weights(dim_in: int, hidden: int, dim_out: int, seed: int):
+    """The exact init of encoder.train_contrastive (same rng draw order)."""
+    rng = np.random.default_rng(seed)
+    W1 = rng.standard_normal((dim_in, hidden)) * 0.1
+    b1 = np.zeros(hidden)
+    W2 = rng.standard_normal((hidden, dim_out)) * 0.1
+    return W1, b1, W2
+
+
 def train_contrastive_distributed(
     pairs: DataFrame,
     dim_in: int = 512,
@@ -207,8 +370,9 @@ def train_contrastive_distributed(
     gradients up, samples never move) with the one extra round-trip that
     in-batch negatives force.  The N×N head is driver-side, so the
     practical full-batch cap is N ≈ 10k pairs (S is N² doubles); above
-    that, shard the epoch into driver-sized batches and run this loop
-    per shard — the mechanics are unchanged.
+    that, :func:`train_contrastive_sharded` runs the same loop per
+    driver-sized shard (mini-batch SGD with in-shard negatives — the
+    standard scale recipe).
 
     Matches the driver-side trainer to float-association tolerance
     (pinned by tests/test_train_encoder.py: same weights at 1e-8 after
@@ -219,137 +383,83 @@ def train_contrastive_distributed(
     prefixes are), or pass a precomputed dense 0-based ``pair_id``.
     Returns ``(TinyDualEncoder, loss_history)``.
     """
-    from pyspark import StorageLevel
+    from document_automation_spark.functions.encoder import TinyDualEncoder
 
-    from document_automation_spark.functions.encoder import (
-        TinyDualEncoder,
-        _forward,
-        featurize,
-    )
-
-    spark = pairs.sparkSession
-    sc = spark.sparkContext
-
-    id_cache: list = []
-    if "pair_id" not in pairs.columns:
-        from document_automation_spark.functions.embed import assign_dense_vector_ids
-
-        pairs = assign_dense_vector_ids(
-            pairs.select("text_a", "text_b"),
-            order_col="text_a",
-            cache_registry=id_cache,
-        ).withColumnRenamed("vector_id", "pair_id")
-
-    def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for batch in batches:
-            if not len(batch):
-                continue
-            yield pd.DataFrame(
-                {
-                    "pair_id": batch["pair_id"].astype("int64"),
-                    "xa": list(featurize(batch["text_a"].tolist(), dim_in)),
-                    "xb": list(featurize(batch["text_b"].tolist(), dim_in)),
-                }
-            )
-
-    feats = (
-        pairs.select("pair_id", "text_a", "text_b")
-        .mapInPandas(feat_batches, "pair_id long, xa array<double>, xb array<double>")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    N = feats.count()
-    for handle in id_cache:
-        handle.unpersist()
+    sc = pairs.sparkSession.sparkContext
+    feats, N = _pair_features(pairs, dim_in)
     if N == 0:
         raise ValueError("need non-empty positive-pair DataFrame")
-
-    rng = np.random.default_rng(seed)
-    W1 = rng.standard_normal((dim_in, hidden)) * 0.1
-    b1 = np.zeros(hidden)
-    W2 = rng.standard_normal((hidden, dim_out)) * 0.1
-    n_w1, n_b1 = W1.size, b1.size
+    W1, b1, W2 = _init_encoder_weights(dim_in, hidden, dim_out, seed)
     history: List[float] = []
-    I = np.eye(N)
-    idx_arange = np.arange(N)
-
     for _ in range(epochs):
-        b_w = sc.broadcast((W1, b1, W2))
+        W1, b1, W2, loss = _contrastive_step(sc, feats, N, W1, b1, W2, lr, temp)
+        history.append(loss)
+    feats.unpersist()
+    return TinyDualEncoder(W1=W1, b1=b1, W2=W2), history
 
-        def fwd_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            W1v, b1v, W2v = b_w.value
-            for batch in batches:
-                if not len(batch):
-                    continue
-                Za = _forward(np.stack(batch["xa"]), W1v, b1v, W2v)[3]
-                Zb = _forward(np.stack(batch["xb"]), W1v, b1v, W2v)[3]
-                yield pd.DataFrame(
-                    {
-                        "pair_id": batch["pair_id"].astype("int64"),
-                        "za": list(Za),
-                        "zb": list(Zb),
-                    }
-                )
 
-        Za = np.zeros((N, dim_out))
-        Zb = np.zeros((N, dim_out))
-        for row in feats.mapInPandas(
-            fwd_batches, "pair_id long, za array<double>, zb array<double>"
-        ).collect():
-            Za[row["pair_id"]] = row["za"]
-            Zb[row["pair_id"]] = row["zb"]
+def train_contrastive_sharded(
+    pairs: DataFrame,
+    n_shards: int,
+    dim_in: int = 512,
+    hidden: int = 128,
+    dim_out: int = 16,
+    seed: int = 7,
+    epochs: int = 800,
+    lr: float = 0.5,
+    temp: float = 0.07,
+):
+    """Mini-batch InfoNCE for pair sets too large for one driver-side
+    N×N head: the corpus is split into ``n_shards`` deterministic shards
+    (``pair_id % n_shards`` — dense ids make shard-local row indices the
+    arithmetic ``pair_id // n_shards``, no second id pass), and each
+    epoch runs :func:`_contrastive_step` once per shard, updating the
+    weights between shards.  In-batch negatives come from the SAME shard
+    — the standard mini-batch contrastive trade (smaller negative pools
+    per step, more steps); ``n_shards=1`` is exactly
+    :func:`train_contrastive_distributed`.
 
-        # the contrastive head: N×N softmaxes, driver-side (in-batch
-        # negatives need the whole batch) — identical math to the
-        # reference trainer in encoder.py
-        S = (Za @ Zb.T) / temp
-        Pa = np.exp(S - S.max(axis=1, keepdims=True))
-        Pa /= Pa.sum(axis=1, keepdims=True)
-        Pb = np.exp(S - S.max(axis=0, keepdims=True))
-        Pb /= Pb.sum(axis=0, keepdims=True)
-        la = np.log(np.maximum(Pa[idx_arange, idx_arange], 1e-300))
-        lb = np.log(np.maximum(Pb[idx_arange, idx_arange], 1e-300))
-        history.append(float(-(la.mean() + lb.mean()) / 2))
-        dS = ((Pa - I) + (Pb - I)) / (2 * N * temp)
-        b_dz = sc.broadcast((dS @ Zb, dS.T @ Za))
+    Per-step driver memory is (N/n_shards)² doubles — size shards to
+    ~4-8k pairs.  The featurized frame is built and persisted ONCE;
+    every shard step filters the cached frame (a scan of an in-memory
+    table, no re-featurization).  Loss history records the mean
+    per-shard loss per epoch.  Deterministic for a given input + seed
+    regardless of parallelism (same tolerance argument as the full-batch
+    trainer: float-sum association only).
 
-        def grad_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            W1v, b1v, W2v = b_w.value
-            dZa_all, dZb_all = b_dz.value
-            dW1 = np.zeros_like(W1v)
-            db1 = np.zeros_like(b1v)
-            dW2 = np.zeros_like(W2v)
-            for batch in batches:
-                if not len(batch):
-                    continue
-                ids = batch["pair_id"].to_numpy()
-                for col, dZ_all in (("xa", dZa_all), ("xb", dZb_all)):
-                    X = np.stack(batch[col])
-                    H, U, nrm, Z = _forward(X, W1v, b1v, W2v)
-                    dZi = dZ_all[ids]
-                    dU = (dZi - Z * (Z * dZi).sum(axis=1, keepdims=True)) / nrm
-                    dW2 += H.T @ dU
-                    dpre = (dU @ W2v.T) * (1.0 - H * H)
-                    dW1 += X.T @ dpre
-                    db1 += dpre.sum(axis=0)
-            flat = np.concatenate([dW1.ravel(), db1, dW2.ravel()])
-            yield pd.DataFrame(
-                {"idx": np.arange(flat.size, dtype="int64"), "val": flat}
-            )
+    Returns ``(TinyDualEncoder, loss_history)``.
+    """
+    from document_automation_spark.functions.encoder import TinyDualEncoder
 
-        agg = (
-            feats.mapInPandas(grad_batches, "idx long, val double")
-            .groupBy("idx")
-            .agg(F.sum("val").alias("s"))
-            .collect()
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    sc = pairs.sparkSession.sparkContext
+    feats, N = _pair_features(
+        pairs,
+        dim_in,
+        row_id_expr=(
+            (F.col("pair_id") / n_shards).cast("long"),
+            (F.col("pair_id") % n_shards).cast("int"),
+        ),
+    )
+    if N == 0:
+        raise ValueError("need non-empty positive-pair DataFrame")
+    # shard s holds ids {s, s+n, s+2n, ...}: M_s = |{i < N : i ≡ s (mod n)}|
+    shard_sizes = [(N - s + n_shards - 1) // n_shards for s in range(n_shards)]
+    if min(shard_sizes) == 0:
+        raise ValueError(
+            f"n_shards={n_shards} leaves empty shards for N={N} pairs — lower it"
         )
-        flat = np.zeros(n_w1 + n_b1 + W2.size)
-        for row in agg:
-            flat[row["idx"]] = row["s"]
-        W1 = W1 - lr * flat[:n_w1].reshape(W1.shape)
-        b1 = b1 - lr * flat[n_w1 : n_w1 + n_b1]
-        W2 = W2 - lr * flat[n_w1 + n_b1 :].reshape(W2.shape)
-        b_w.destroy()
-        b_dz.destroy()
-
+    W1, b1, W2 = _init_encoder_weights(dim_in, hidden, dim_out, seed)
+    history: List[float] = []
+    for _ in range(epochs):
+        losses = []
+        for s in range(n_shards):
+            shard_feats = feats.filter(F.col("shard") == s)
+            W1, b1, W2, loss = _contrastive_step(
+                sc, shard_feats, shard_sizes[s], W1, b1, W2, lr, temp
+            )
+            losses.append(loss)
+        history.append(float(np.mean(losses)))
     feats.unpersist()
     return TinyDualEncoder(W1=W1, b1=b1, W2=W2), history
