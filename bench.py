@@ -170,6 +170,8 @@ def main() -> None:
         "token_stats",
         "duplicate_spans",
         "hash_embeddings",
+        "repetition_features",
+        "lm_perplexity",
     ]
     qs = registry.queries()
 
@@ -181,7 +183,16 @@ def main() -> None:
 
         return simhash_fingerprints(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
-    qs = {**qs, "simhash_fingerprints": _simhash_fp_only}
+    # same treatment for exact_dedup: the seat gained a group-size join in
+    # round 5 (duplicate_groups merged in); bench the bare operator so the
+    # row stays comparable across rounds
+    def _exact_dedup_only(spark, sf_dir):
+        from document_automation_spark.operators.dedup import exact_dedup
+        from document_automation_spark.queries import _docs_with_dups
+
+        return exact_dedup(_docs_with_dups(spark, sf_dir))
+
+    qs = {**qs, "simhash_fingerprints": _simhash_fp_only, "exact_dedup": _exact_dedup_only}
     for name in headliners:
         reps = 3 if name in BEST_OF_3 else 2
         best = float("inf")

@@ -1,0 +1,386 @@
+"""Web-text curation quality operators: repetition features + bigram-LM
+perplexity scoring.
+
+Two curation stages every large web-corpus pipeline runs between
+extraction and training-set export.  The reference curates per page by
+length and ad-line heuristics only (``/root/reference/src/utils.py``
+``clean_words`` / ``get_split`` — min-length gate and 广告/热门 line
+drops); these operators add the corpus-level quality axes those
+heuristics cannot see:
+
+* :func:`repetition_features` — the Gopher repetition rules (Rae et al.
+  2021, Table A1): fraction of duplicate lines, fraction of characters
+  inside duplicate lines, characters covered by the dominant word
+  bigram, fraction of duplicated 5-gram positions — plus the C4-style
+  symbol/ellipsis/bullet line heuristics (Raffel et al. 2020, §2.2).
+* :func:`train_bigram_lm` / :func:`score_with_bigram_lm` — the CCNet
+  recipe (Wenzek et al. 2020): fit an n-gram LM on an in-domain slice,
+  score every document by mean token log-probability; low perplexity ≈
+  fluent in-domain text, high ≈ boilerplate/gibberish.  Stupid Backoff
+  smoothing (Brants et al. 2007) — the non-normalized backoff score that
+  was designed precisely for MapReduce-style distributed LMs.
+
+Scale shape
+-----------
+``repetition_features`` is pure JVM higher-order-function expressions:
+per-row compute, ZERO shuffles, whole-stage codegen end to end — at
+100 TB it rides the extraction scan.  The duplicate-line and n-gram
+scans are O(distinct² ) per document (bounded by the max-doc-size cap
+any web pipeline already enforces), embarrassingly parallel, and never
+materialize an exploded row per line/gram.
+
+The LM trainer is two hash aggregations (map-side partial combine on a
+string key); pruning ``min_count`` keeps the broadcast LM bounded the
+way production n-gram LMs are entropy-pruned.  Scoring explodes
+consecutive word pairs and joins the count tables — broadcast-hash when
+the pruned LM fits (the default here), plain shuffle join on the ngram
+key with AQE skew splitting otherwise (``broadcast_lm=False``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "repetition_features",
+    "train_bigram_lm",
+    "score_with_bigram_lm",
+    "BigramLM",
+]
+
+
+# ---------------------------------------------------------------------------
+# shared column builders
+# ---------------------------------------------------------------------------
+
+
+def words_col(text: "F.Column") -> "F.Column":
+    """Lower-cased whitespace tokens, empty strings dropped (mirrors
+    DuckDB ``list_filter(string_split_regex(lower(text),'\\s+'), ...)``)."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != F.lit(""))
+
+
+def lines_col(text: "F.Column") -> "F.Column":
+    """Trimmed, non-empty ``\\n``-separated lines."""
+    trimmed = F.transform(F.split(text, "\n"), lambda l: F.trim(l))
+    return F.filter(trimmed, lambda l: l != F.lit(""))
+
+
+def _ngrams(words: "F.Column", n: int) -> "F.Column":
+    """Word n-grams as space-joined strings via an index sequence (same
+    shape as the DuckDB twin: ``list_transform(generate_series(...))``).
+
+    Spark's ``sequence(1, k)`` counts DOWN when k < 1, so the < n-words
+    case is guarded to an empty array explicitly."""
+    nw = F.size(words)
+    idx = F.sequence(F.lit(1), nw - F.lit(n - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(words, i + F.lit(j)) for j in range(n)]
+    )
+    return F.when(nw >= n, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _occurrences(hay: "F.Column", needle: str) -> "F.Column":
+    """Non-overlapping occurrence count via replace-length arithmetic."""
+    return (F.length(hay) - F.length(F.replace(hay, F.lit(needle), F.lit("")))) / F.lit(
+        len(needle)
+    )
+
+
+def _frac(num: "F.Column", den: "F.Column") -> "F.Column":
+    return F.round(
+        F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(F.lit(0.0)), 6
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher / C4 repetition features
+# ---------------------------------------------------------------------------
+
+
+def repetition_features(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition/boilerplate features, all JVM expressions.
+
+    Output columns (fractions rounded to 6 dp):
+
+    ``n_lines``             non-empty trimmed lines
+    ``dup_line_frac``       1 − distinct/total lines (Gopher "duplicate
+                            line fraction")
+    ``dup_line_char_frac``  chars inside lines occurring ≥2× / chars in
+                            all lines (Gopher "duplicate line character
+                            fraction")
+    ``top_bigram_char_frac`` chars covered by the word bigram with the
+                            largest count×length, / total chars — the
+                            *covering* bigram rather than the most
+                            frequent one, which keeps the metric argmax-
+                            free and tie-stable (documented deviation
+                            from Gopher's top-2-gram)
+    ``dup_5gram_frac``      fraction of 5-gram positions whose gram
+                            occurs more than once (position-fraction
+                            variant of Gopher's duplicate-5-gram
+                            character fraction — overlap-free and
+                            exactly computable in one pass)
+    ``symbol_word_ratio``   (# '#' + # '...' + # '…') / words (C4)
+    ``ellipsis_line_frac``  lines ending in '...' or '…' / lines (C4)
+    ``bullet_line_frac``    lines starting with '- ', '* ' or '•' /
+                            lines (C4)
+
+    No shuffle anywhere: every feature is a higher-order-function fold
+    over the row's own line/word arrays, so the operator fuses into the
+    upstream scan.  Duplicate counting is O(n log n) per row: sort the
+    array once, then a single index fold testing sorted neighbours (a
+    naive ``filter(arr, x = g)``-per-element formulation is O(n²)
+    *expression re-evaluations* under Spark's interpreted higher-order
+    functions — measured 4× slower on 60-word documents).
+    """
+    text = F.col(text_col)
+    d = documents.select(
+        id_col,
+        text.alias("_t"),
+        lines_col(text).alias("_lines"),
+        words_col(text).alias("_ws"),
+    )
+    # Bind every array referenced from inside a lambda as a named column
+    # FIRST: a lambda body referencing a raw expression (not an attribute)
+    # re-evaluates that expression on every element access under Spark's
+    # interpreted HOFs, and CollapseProject keeps multi-referenced
+    # non-trivial aliases materialized rather than inlining them.
+    d = d.select(
+        id_col,
+        "_t",
+        "_lines",
+        "_ws",
+        F.array_sort(F.col("_lines")).alias("_sl"),
+        _ngrams(F.col("_ws"), 2).alias("_bg"),
+        F.array_sort(_ngrams(F.col("_ws"), 2)).alias("_sbg"),
+        F.array_sort(_ngrams(F.col("_ws"), 5)).alias("_sg5"),
+    )
+    lines, ws = F.col("_lines"), F.col("_ws")
+    n_lines, n_words = F.size(lines), F.size(ws)
+
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l)
+    )
+
+    def _unique_at(s):
+        """Predicate builder over a SORTED array ``s``: 1-based index i →
+        element differs from both sorted neighbours (null-safe via F.get,
+        which returns NULL out of bounds instead of raising under ANSI)."""
+
+        def pred(i):
+            cur = F.get(s, i - F.lit(1))
+            return (~cur.eqNullSafe(F.get(s, i - F.lit(2)))) & (
+                ~cur.eqNullSafe(F.get(s, i))
+            )
+
+        return pred
+
+    def _fold_unique(s, body):
+        """Σ over positions of a sorted array where the element is unique
+        (occurs exactly once): ``body(i)`` contributes, else 0."""
+        uniq = _unique_at(s)
+        return F.when(
+            F.size(s) > 0,
+            F.aggregate(
+                F.sequence(F.lit(1), F.size(s)),
+                F.lit(0).cast("long"),
+                lambda a, i: a + F.when(uniq(i), body(s, i)).otherwise(F.lit(0)),
+            ),
+        ).otherwise(F.lit(0).cast("long"))
+
+    # chars inside lines that occur exactly once; dup chars = total − once
+    once_chars = _fold_unique(
+        F.col("_sl"), lambda s, i: F.length(F.get(s, i - F.lit(1)))
+    )
+
+    # dominant-bigram cover: run-length fold over the sorted bigram array,
+    # tracking max(run × gram length) — ≡ max over distinct grams of
+    # count × length, in one O(n) pass
+    bigrams = F.col("_bg")
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def _run_merge(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run * F.length(x)).alias("best"),
+        )
+
+    top_bigram_cover = F.aggregate(
+        F.col("_sbg"), acc0, _run_merge, lambda acc: acc["best"]
+    )
+
+    grams5 = F.col("_sg5")
+    dup5 = F.size(grams5) - _fold_unique(
+        grams5, lambda s, i: F.lit(1).cast("long")
+    )
+
+    symbols = (
+        _occurrences(F.col("_t"), "#")
+        + _occurrences(F.col("_t"), "...")
+        + _occurrences(F.col("_t"), "…")
+    )
+    ell_lines = F.size(
+        F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+    )
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("- ") | l.startswith("* ") | l.startswith("•"),
+        )
+    )
+
+    return d.select(
+        id_col,
+        n_lines.cast("long").alias("n_lines"),
+        _frac(n_lines - F.size(F.array_distinct(lines)), n_lines).alias(
+            "dup_line_frac"
+        ),
+        _frac(line_chars - once_chars, line_chars).alias("dup_line_char_frac"),
+        F.round(
+            F.least(
+                F.when(
+                    F.length(F.col("_t")) > 0,
+                    top_bigram_cover.cast("double") / F.length(F.col("_t")),
+                ).otherwise(F.lit(0.0)),
+                F.lit(1.0),
+            ),
+            6,
+        ).alias("top_bigram_char_frac"),
+        _frac(dup5, F.size(grams5)).alias("dup_5gram_frac"),
+        _frac(symbols, F.greatest(n_words, F.lit(1))).alias("symbol_word_ratio"),
+        _frac(ell_lines, n_lines).alias("ellipsis_line_frac"),
+        _frac(bullet_lines, n_lines).alias("bullet_line_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style bigram LM perplexity
+# ---------------------------------------------------------------------------
+
+
+class BigramLM(NamedTuple):
+    """A trained Stupid-Backoff bigram LM: two count tables + the scalar
+    total.  ``unigrams``: (w, uc); ``bigrams``: (pw, w, bc)."""
+
+    unigrams: DataFrame
+    bigrams: DataFrame
+    total_tokens: int
+
+
+def train_bigram_lm(
+    corpus: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> BigramLM:
+    """Fit bigram + unigram counts over ``corpus`` (the in-domain slice).
+
+    Two hash aggregations, each map-side partial-combined on a bounded
+    string key — the exact shape Brants et al. 2007 distributed over
+    MapReduce.  ``min_count`` > 1 entropy-prunes the long tail so the
+    broadcast LM stays bounded at corpus scale (unseen ≡ pruned under
+    Stupid Backoff, so pruning only sharpens the backoff, never breaks
+    scoring).  The single driver-side scalar is ``total_tokens`` (one
+    aggregate row — bounded like the IVF centroid collect)."""
+    ws = corpus.select(words_col(F.col(text_col)).alias("_ws"))
+    uni = (
+        ws.select(F.explode("_ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("uc"))
+    )
+    total = uni.agg(F.sum("uc").alias("t")).collect()[0]["t"] or 0
+    if min_count > 1:
+        uni = uni.filter(F.col("uc") >= min_count)
+    pairs = ws.select(F.explode(_ngrams(F.col("_ws"), 2)).alias("g"))
+    bi = (
+        pairs.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("bc"))
+        .select(
+            F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("pw"),
+            F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("w"),
+            "bc",
+        )
+    )
+    if min_count > 1:
+        bi = bi.filter(F.col("bc") >= min_count)
+    return BigramLM(unigrams=uni, bigrams=bi, total_tokens=int(total))
+
+
+def score_with_bigram_lm(
+    documents: DataFrame,
+    lm: BigramLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Score every document by mean Stupid-Backoff log-probability.
+
+    Per consecutive word pair (p, w):
+
+        S(w|p) = bc(p,w) / uc(p)          if the bigram survived training
+               = α · uc(w) / total        else (backoff to unigram)
+               = α · α / total            if w itself is unseen
+
+    Output per doc (only docs with ≥1 bigram): ``n_bigrams``,
+    ``avg_logprob`` (mean ln S, rounded 6 dp), ``ppl`` (exp(−avg), the
+    CCNet ranking key, rounded 4 dp).
+
+    Plan: one explode of consecutive pairs (never the raw text), three
+    hash joins against the count tables — broadcast when
+    ``broadcast_lm`` (pruned LMs fit executor memory by construction),
+    shuffle-hash on the token key with AQE skew splitting otherwise.
+    The aggregate back to doc_id partial-combines map-side."""
+    total = F.lit(float(max(lm.total_tokens, 1)))
+    uni, bi = lm.unigrams, lm.bigrams
+    if broadcast_lm:
+        uni, bi = F.broadcast(uni), F.broadcast(bi)
+
+    pairs = documents.select(
+        id_col, F.explode(_ngrams(words_col(F.col(text_col)), 2)).alias("g")
+    ).select(
+        id_col,
+        F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("pw"),
+        F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("w"),
+    )
+    scored = (
+        pairs.join(bi, ["pw", "w"], "left")
+        .join(uni.select(F.col("w").alias("pw"), F.col("uc").alias("uc_prev")), "pw", "left")
+        .join(uni.select("w", F.col("uc").alias("uc_w")), "w", "left")
+        .select(
+            id_col,
+            F.round(
+                F.log(
+                    F.when(
+                        F.col("bc").isNotNull(),
+                        F.col("bc").cast("double") / F.col("uc_prev").cast("double"),
+                    ).otherwise(
+                        F.lit(alpha)
+                        * F.coalesce(F.col("uc_w").cast("double"), F.lit(alpha))
+                        / total
+                    )
+                ),
+                9,
+            ).alias("lp"),
+        )
+    )
+    avg_lp = F.round(F.avg("lp"), 6)
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        avg_lp.alias("avg_logprob"),
+        F.round(F.exp(-avg_lp), 4).alias("ppl"),
+    )

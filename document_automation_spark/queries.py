@@ -1022,30 +1022,37 @@ def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "exact_dedup",
     f"""
-    WITH {_DOCS_WITH_DUPS_SQL}
-    SELECT doc_id, text, lang, source, n_chars FROM (
-        SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS keep_id FROM docs_dup
-    ) WHERE doc_id = keep_id
+    WITH {_DOCS_WITH_DUPS_SQL},
+    keep AS (
+        SELECT doc_id, text, lang, source, n_chars FROM (
+            SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS keep_id FROM docs_dup
+        ) WHERE doc_id = keep_id
+    ),
+    grp AS (
+        SELECT CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
+               COUNT(*) AS n_dups
+        FROM docs_dup GROUP BY text HAVING COUNT(*) > 1
+    )
+    SELECT k.doc_id, k.text, k.lang, k.source, k.n_chars,
+           CAST(COALESCE(g.n_dups, 1) AS BIGINT) AS n_dups
+    FROM keep k LEFT JOIN grp g ON g.canonical_doc_id = k.doc_id
     """,
 )
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from document_automation_spark.operators.dedup import exact_dedup
+    """Exact dedup survivors annotated with their group sizes — both
+    dedup.py operators in one seat (duplicate_groups merged here to free
+    a slot under the driver's 50-entry cap): survivors left-join the
+    >1-occurrence group table on canonical id, unique docs get
+    n_dups = 1."""
+    from document_automation_spark.operators.dedup import duplicate_groups, exact_dedup
 
-    return exact_dedup(_docs_with_dups(spark, sf_dir))
-
-
-@register(
-    "duplicate_groups",
-    f"""
-    WITH {_DOCS_WITH_DUPS_SQL}
-    SELECT CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id, COUNT(*) AS n_dups
-    FROM docs_dup GROUP BY text HAVING COUNT(*) > 1
-    """,
-)
-def q_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from document_automation_spark.operators.dedup import duplicate_groups
-
-    return duplicate_groups(_docs_with_dups(spark, sf_dir))
+    docs = _docs_with_dups(spark, sf_dir)
+    groups = duplicate_groups(docs).withColumnRenamed("canonical_doc_id", "doc_id")
+    return (
+        exact_dedup(docs)
+        .join(groups, "doc_id", "left")
+        .withColumn("n_dups", F.coalesce(F.col("n_dups"), F.lit(1).cast("long")))
+    )
 
 
 @register(
@@ -1746,22 +1753,16 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "detect_language_script",
-    """
-    SELECT doc_id,
+# (detect_language_script no longer has its own registry entry: its
+# script CASE column rides the language_id_kernel seat — slot freed for
+# repetition_features; the standalone operator remains available.)
+_SCRIPT_CASE_SQL = """
            CASE WHEN regexp_matches(text, '[぀-ヿ]') THEN 'ja'
                 WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
                 WHEN regexp_matches(text, '[가-힯]') THEN 'ko'
                 WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
                 ELSE 'latin' END AS detected_script
-    FROM documents
-    """,
-)
-def q_detect_script(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from document_automation_spark.operators.text_analysis import detect_language_script
-
-    return detect_language_script(_t(spark, sf_dir, "documents"))
+"""
 
 
 # (rolling_fingerprint no longer has its own registry entry: the
@@ -1969,6 +1970,7 @@ def _hint_count_sql(hints: list) -> str:
     "language_id_kernel",
     f"""
     SELECT doc_id,
+      {_SCRIPT_CASE_SQL},
       CASE WHEN regexp_matches(text, '[\\x{{3040}}-\\x{{30ff}}]') THEN 'ja'
            WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
            WHEN regexp_matches(text, '[\\x{{ac00}}-\\x{{d7af}}]') THEN 'ko'
@@ -1992,10 +1994,223 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sorted-lang tie-break, kernels/textstats.detect_language) — hint
     lists embedded as SQL literals so DuckDB replays the exact heuristic.
     The CASE ladder encodes the kernel's iterate-sorted-langs argmax:
-    earliest lang in sorted order wins ties."""
-    from document_automation_spark.operators.text_analysis import language_id_kernel
+    earliest lang in sorted order wins ties.  Also carries the JVM-side
+    script CASE column (operators/text_analysis.detect_language_script,
+    formerly its own seat — merged to free a slot under the driver's
+    50-entry cap): same doc, kernel verdict and pure-SQL script verdict
+    side by side."""
+    from document_automation_spark.operators.text_analysis import (
+        detect_language_script,
+        language_id_kernel,
+    )
 
-    return language_id_kernel(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
+    return language_id_kernel(docs).join(detect_language_script(docs), "doc_id")
+
+
+# --- webtext curation: Gopher/C4 repetition rules + CCNet LM perplexity ---
+#
+# The documents table is single-line word salad, so the repetition seat
+# derives a deterministic multiline corpus IN BOTH ENGINES: wrap every 4
+# words into a line, make every 5th line a '- ...' bullet ending in an
+# ellipsis, then append the first two lines again (guaranteed duplicate
+# lines).  Same trick as _DOCS_WITH_DUPS_SQL — synthesis is part of the
+# oracle contract, the operator itself takes any (doc_id, text) frame.
+
+_DOCS_MULTILINE_SQL = """
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           w -> w <> '') AS ws0
+        FROM documents
+    ),
+    ml AS (
+        SELECT doc_id,
+               array_to_string(list_concat(ch, ch[1:2]), chr(10)) AS text
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(1, (len(ws0) + 3) // 4),
+                       i -> CASE WHEN i % 5 = 0
+                            THEN '- ' || array_to_string(ws0[(i-1)*4+1 : i*4], ' ') || ' ...'
+                            ELSE array_to_string(ws0[(i-1)*4+1 : i*4], ' ') END
+                   ) AS ch
+            FROM toks
+        )
+    )
+"""
+
+
+def _docs_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _DOCS_MULTILINE_SQL (identical wrap/bullet/append)."""
+    from document_automation_spark.operators.webtext_quality import words_col
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", words_col(F.col("text")).alias("ws")
+    )
+    n_chunks = F.floor((F.size("ws") + F.lit(3)) / F.lit(4)).cast("int")
+
+    def chunk(i):
+        return F.concat_ws(
+            " ", F.slice(F.col("ws"), (i - F.lit(1)) * F.lit(4) + F.lit(1), F.lit(4))
+        )
+
+    ch = F.when(
+        n_chunks >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda i: F.when(
+                i % 5 == 0, F.concat(F.lit("- "), chunk(i), F.lit(" ..."))
+            ).otherwise(chunk(i)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select(
+        "doc_id", F.array_join(F.concat(ch, F.slice(ch, 1, 2)), "\n").alias("text")
+    )
+
+
+@register(
+    "repetition_features",
+    f"""
+    WITH {_DOCS_MULTILINE_SQL},
+    feat AS (
+        SELECT doc_id, text,
+               list_filter(list_transform(string_split(text, chr(10)),
+                                          l -> trim(l)), l -> l <> '') AS lines,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           w -> w <> '') AS ws
+        FROM ml
+    ),
+    f2 AS (
+        SELECT doc_id, text, lines, ws,
+               len(lines) AS n_lines, len(ws) AS n_words,
+               CASE WHEN len(ws) >= 2 THEN list_transform(
+                        generate_series(1, len(ws) - 1),
+                        i -> ws[i] || ' ' || ws[i+1])
+                    ELSE []::VARCHAR[] END AS bigrams,
+               CASE WHEN len(ws) >= 5 THEN list_transform(
+                        generate_series(1, len(ws) - 4),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                             || ws[i+3] || ' ' || ws[i+4])
+                    ELSE []::VARCHAR[] END AS g5,
+               COALESCE(list_sum(list_transform(lines, l -> length(l))), 0)
+                   AS line_chars,
+               COALESCE(list_sum(list_transform(list_distinct(lines),
+                   l -> CASE WHEN len(list_filter(lines, x -> x = l)) = 1
+                        THEN length(l) ELSE 0 END)), 0) AS once_chars
+        FROM feat
+    )
+    SELECT doc_id,
+      CAST(n_lines AS BIGINT) AS n_lines,
+      ROUND(CASE WHEN n_lines > 0
+            THEN (n_lines - len(list_distinct(lines))) / CAST(n_lines AS DOUBLE)
+            ELSE 0.0 END, 6) AS dup_line_frac,
+      ROUND(CASE WHEN line_chars > 0
+            THEN (line_chars - once_chars) / CAST(line_chars AS DOUBLE)
+            ELSE 0.0 END, 6) AS dup_line_char_frac,
+      ROUND(LEAST(CASE WHEN length(text) > 0
+            THEN COALESCE(list_max(list_transform(list_distinct(bigrams),
+                     g -> len(list_filter(bigrams, x -> x = g)) * length(g))), 0)
+                 / CAST(length(text) AS DOUBLE)
+            ELSE 0.0 END, 1.0), 6) AS top_bigram_char_frac,
+      ROUND(CASE WHEN len(g5) > 0
+            THEN len(list_filter(g5,
+                     g -> len(list_filter(g5, x -> x = g)) > 1))
+                 / CAST(len(g5) AS DOUBLE)
+            ELSE 0.0 END, 6) AS dup_5gram_frac,
+      ROUND(((length(text) - length(replace(text, '#', '')))
+             + (length(text) - length(replace(text, '...', ''))) / 3.0
+             + (length(text) - length(replace(text, '…', ''))))
+            / CAST(GREATEST(n_words, 1) AS DOUBLE), 6) AS symbol_word_ratio,
+      ROUND(CASE WHEN n_lines > 0
+            THEN len(list_filter(lines, l -> ends_with(l, '...')
+                                             OR ends_with(l, '…')))
+                 / CAST(n_lines AS DOUBLE)
+            ELSE 0.0 END, 6) AS ellipsis_line_frac,
+      ROUND(CASE WHEN n_lines > 0
+            THEN len(list_filter(lines, l -> starts_with(l, '- ')
+                                             OR starts_with(l, '* ')
+                                             OR starts_with(l, '•')))
+                 / CAST(n_lines AS DOUBLE)
+            ELSE 0.0 END, 6) AS bullet_line_frac
+    FROM f2
+    """,
+)
+def q_repetition_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules + C4 line heuristics
+    (operators/webtext_quality.repetition_features) over the derived
+    multiline corpus — duplicate-line fractions, dominant-bigram char
+    coverage, duplicate-5-gram positions, symbol/ellipsis/bullet ratios.
+    Every feature is a zero-shuffle JVM higher-order-function fold; the
+    DuckDB oracle recomputes each with list lambdas on the identically
+    derived corpus."""
+    from document_automation_spark.operators.webtext_quality import (
+        repetition_features,
+    )
+
+    return repetition_features(_docs_multiline(spark, sf_dir))
+
+
+@register(
+    "lm_perplexity",
+    """
+    WITH tok AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           w -> w <> '') AS ws
+        FROM documents
+    ),
+    uni AS (
+        SELECT w, COUNT(*) AS uc
+        FROM (SELECT unnest(ws) AS w FROM tok WHERE lang = 'en')
+        GROUP BY w
+    ),
+    tot AS (SELECT CAST(SUM(uc) AS DOUBLE) AS t FROM uni),
+    bi AS (
+        SELECT pw, w, COUNT(*) AS bc FROM (
+            SELECT ws[i] AS pw, ws[i+1] AS w FROM (
+                SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+                FROM tok WHERE lang = 'en')
+        ) GROUP BY pw, w
+    ),
+    pairs AS (
+        SELECT doc_id, ws[i] AS pw, ws[i+1] AS w FROM (
+            SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+            FROM tok)
+    ),
+    scored AS (
+        SELECT p.doc_id,
+               ROUND(ln(CASE WHEN b.bc IS NOT NULL
+                        THEN b.bc / CAST(u1.uc AS DOUBLE)
+                        ELSE 0.4 * COALESCE(CAST(u2.uc AS DOUBLE), 0.4)
+                             / (SELECT t FROM tot) END), 9) AS lp
+        FROM pairs p
+        LEFT JOIN bi b ON b.pw = p.pw AND b.w = p.w
+        LEFT JOIN uni u1 ON u1.w = p.pw
+        LEFT JOIN uni u2 ON u2.w = p.w
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(lp), 6) AS avg_logprob,
+           ROUND(exp(-ROUND(AVG(lp), 6)), 4) AS ppl
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring
+    (operators/webtext_quality.train_bigram_lm / score_with_bigram_lm):
+    a Stupid-Backoff bigram LM fit on the lang='en' slice, every document
+    scored by mean log-probability and perplexity.  Train = two map-side-
+    combined hash aggregations; score = pair explode + broadcast joins
+    against the count tables.  The oracle refits the identical LM in SQL
+    (unigram/bigram CTEs) and replays the backoff formula."""
+    from document_automation_spark.operators.webtext_quality import (
+        score_with_bigram_lm,
+        train_bigram_lm,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = train_bigram_lm(docs.filter(F.col("lang") == "en"))
+    return score_with_bigram_lm(docs, lm)
 
 
 @register(
