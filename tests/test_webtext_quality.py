@@ -139,3 +139,141 @@ class TestBigramLM:
         )
         got = {r.doc_id for r in score_with_bigram_lm(docs, lm).collect()}
         assert got == {22}
+
+
+# --- randomized cross-implementation check -------------------------------
+# One Spark pass over a seeded randomized corpus, every row compared to an
+# independent pure-Python mirror (same contract as the kernel goldens:
+# two implementations, one spec).
+
+import random
+import re
+
+_JWS = r"[ \t\n\x0b\f\r]+"  # Java's \s — Python's \s also eats \xa0 etc.
+
+
+def _py_words(text):
+    return [w for w in re.split(_JWS, text.lower()) if w]
+
+
+def _py_lines(text):
+    return [l for l in (s.strip(" ") for s in text.split("\n")) if l]
+
+
+def _py_ngrams(ws, n):
+    return [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)] if len(ws) >= n else []
+
+
+def _py_repetition(text):
+    lines, ws = _py_lines(text), _py_words(text)
+    n_lines = len(lines)
+    total = sum(len(l) for l in lines)
+    once = sum(len(l) for l in set(lines) if lines.count(l) == 1)
+    bigrams = _py_ngrams(ws, 2)
+    cover = max((bigrams.count(g) * len(g) for g in set(bigrams)), default=0)
+    g5 = _py_ngrams(ws, 5)
+    dup5 = sum(1 for g in g5 if g5.count(g) > 1)
+    sym = text.count("#") + text.count("...") + text.count("…")
+    return dict(
+        n_lines=n_lines,
+        dup_line_frac=(n_lines - len(set(lines))) / n_lines if n_lines else 0.0,
+        dup_line_char_frac=(total - once) / total if total else 0.0,
+        top_bigram_char_frac=min(cover / len(text), 1.0) if text else 0.0,
+        dup_5gram_frac=dup5 / len(g5) if g5 else 0.0,
+        symbol_word_ratio=sym / max(len(ws), 1),
+        ellipsis_line_frac=(
+            sum(1 for l in lines if l.endswith(("...", "…"))) / n_lines
+            if n_lines
+            else 0.0
+        ),
+        bullet_line_frac=(
+            sum(1 for l in lines if l.startswith(("- ", "* ", "•"))) / n_lines
+            if n_lines
+            else 0.0
+        ),
+    )
+
+
+def _random_corpus(seed=20260817, n=80):
+    rng = random.Random(seed)
+    vocab = ["alpha", "beta", "Gamma", "d", "ee", "#", "...", "…", "x#y", "W.W"]
+    docs = []
+    for doc_id in range(n):
+        n_lines = rng.randint(0, 12)
+        lines = []
+        for _ in range(n_lines):
+            k = rng.randint(0, 8)
+            line = " ".join(rng.choice(vocab) for _ in range(k))
+            r = rng.random()
+            if r < 0.15:
+                line = "- " + line
+            elif r < 0.25:
+                line = "* " + line
+            elif r < 0.3:
+                line = "• " + line
+            if rng.random() < 0.2:
+                line += " ..."
+            if rng.random() < 0.1:
+                line = " " + line + "  "
+            if rng.random() < 0.08:
+                line = "\t" + line
+            lines.append(line)
+        # force exact duplicate lines sometimes
+        if lines and rng.random() < 0.5:
+            lines.append(rng.choice(lines))
+        docs.append((doc_id, "\n".join(lines)))
+    return docs
+
+
+class TestRandomizedMirror:
+    def test_repetition_features_match_python_mirror(self, spark):
+        docs = _random_corpus()
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r.doc_id: r for r in repetition_features(df).collect()}
+        assert len(got) == len(docs)
+        for doc_id, text in docs:
+            exp = _py_repetition(text)
+            row = got[doc_id]
+            for k, v in exp.items():
+                assert getattr(row, k) == pytest.approx(v, abs=1.1e-6), (
+                    doc_id,
+                    k,
+                    text,
+                )
+
+    def test_lm_scores_match_python_mirror(self, spark):
+        docs = _random_corpus(seed=99, n=40)
+        train = docs[:20]
+        df_train = spark.createDataFrame(train, "doc_id long, text string")
+        df_all = spark.createDataFrame(docs, "doc_id long, text string")
+        lm = train_bigram_lm(df_train)
+        got = {r.doc_id: r for r in score_with_bigram_lm(df_all, lm).collect()}
+
+        # python mirror of the LM
+        uni, bi, total = {}, {}, 0
+        for _, t in train:
+            ws = _py_words(t)
+            total += len(ws)
+            for w in ws:
+                uni[w] = uni.get(w, 0) + 1
+            for a, b in zip(ws, ws[1:]):
+                bi[(a, b)] = bi.get((a, b), 0) + 1
+        assert lm.total_tokens == total
+
+        for doc_id, t in docs:
+            ws = _py_words(t)
+            pairs = list(zip(ws, ws[1:]))
+            if not pairs:
+                assert doc_id not in got
+                continue
+            lps = []
+            for a, b in pairs:
+                if (a, b) in bi:
+                    lps.append(math.log(bi[(a, b)] / uni[a]))
+                else:
+                    lps.append(math.log(0.4 * uni.get(b, 0.4) / total))
+            avg = sum(lps) / len(lps)
+            row = got[doc_id]
+            assert row.n_bigrams == len(pairs)
+            assert row.avg_logprob == pytest.approx(avg, abs=2e-6), (doc_id, t)
+            assert row.ppl == pytest.approx(math.exp(-avg), abs=2e-4)
