@@ -67,6 +67,8 @@ def run_ingest_pipeline(
     from_text: bool = False,
     cut_dup_spans: bool = False,
     span_k: int = 32,
+    quality_filter: bool = False,
+    quality_rules=None,
     curated_mode: str = "copy",
     embed: bool = False,
     embed_dim: int = 16,
@@ -106,6 +108,15 @@ def run_ingest_pipeline(
     rows; the summary gains ``cut_chars`` /
     ``spanned_passages`` and ``curated_path`` points at the surgered
     table.
+
+    ``quality_filter=True`` appends the Gopher/C4 repetition gate
+    (``operators.webtext_quality.filter_by_quality``; thresholds from
+    ``quality_rules``, default the published Gopher bounds) over the
+    final curated table — a zero-shuffle expression gate whose per-rule
+    drop counters ride the write as Observation metrics (summary gains
+    ``quality_n_docs`` / ``quality_n_kept`` / ``quality_drop_<rule>``
+    and ``curated_path`` moves to the filtered table).  Requires
+    ``curated_mode='copy'`` like span surgery (the gate re-reads text).
     """
     from document_automation_spark.operators.curate import curate_extracted
     from document_automation_spark.operators.extract import ExtractConfig
@@ -129,6 +140,8 @@ def run_ingest_pipeline(
         )
     if cut_dup_spans and curated_mode != "copy":
         raise ValueError("cut_dup_spans rewrites text and needs curated_mode='copy'")
+    if quality_filter and curated_mode != "copy":
+        raise ValueError("quality_filter re-reads text and needs curated_mode='copy'")
 
     if from_text:
         from document_automation_spark.operators.extract import documents_from_text
@@ -357,6 +370,30 @@ def run_ingest_pipeline(
             summary["spanned_passages"] = int(obs_cut.get["spanned_passages"] or 0)
             summary["curated_path"] = cut_path
 
+        if quality_filter:
+            from document_automation_spark.operators.webtext_quality import (
+                QualityRules,
+                filter_by_quality,
+            )
+
+            corpus = spark.read.parquet(summary["curated_path"])
+            kept, obs_q = filter_by_quality(
+                corpus.withColumnRenamed("content", "text"),
+                rules=quality_rules or QualityRules(),
+            )
+            quality_path = os.path.join(output_path, "curated_quality")
+            (
+                kept.withColumnRenamed("text", "content")
+                .write.mode("overwrite")
+                .option("compression", "zstd")
+                .option("parquet.compression.codec.zstd.level", "1")
+                .parquet(quality_path)
+            )
+            summary.update(
+                {f"quality_{k}": int(v or 0) for k, v in obs_q.get.items()}
+            )
+            summary["curated_path"] = quality_path
+
         if embed:
             summary.update(
                 _embed_stage(
@@ -449,6 +486,12 @@ def main(argv=None) -> None:
     )
     parser.add_argument("--span-k", type=int, default=32)
     parser.add_argument(
+        "--quality-filter",
+        action="store_true",
+        help="append the Gopher/C4 repetition-rule gate over the curated "
+        "corpus (zero-shuffle; per-rule drop counters in the summary)",
+    )
+    parser.add_argument(
         "--embed",
         action="store_true",
         help="append the embedding phase: hash-embed curated passages, "
@@ -506,6 +549,7 @@ def main(argv=None) -> None:
             from_text=from_text,
             cut_dup_spans=args.cut_dup_spans,
             span_k=args.span_k,
+            quality_filter=args.quality_filter,
             curated_mode=args.curated_mode,
             embed=args.embed,
             embed_dim=args.embed_dim,

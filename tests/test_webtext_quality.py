@@ -11,6 +11,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from document_automation_spark.operators.webtext_quality import (
+    QualityRules,
+    filter_by_quality,
     repetition_features,
     score_with_bigram_lm,
     train_bigram_lm,
@@ -139,6 +141,104 @@ class TestBigramLM:
         )
         got = {r.doc_id for r in score_with_bigram_lm(docs, lm).collect()}
         assert got == {22}
+
+
+class TestQualityFilterGate:
+    """filter_by_quality: the actionable half of the features — keep/drop
+    with per-rule Observation counters riding the first action."""
+
+    CLEAN = (
+        "plenty of ordinary narrative words flow here\n"
+        "an entirely different second sentence follows\n"
+        "and a third one closes the paragraph calmly"
+    )
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, self.CLEAN),
+                (2, "same line\nsame line\nsame line\nsame line\nother"),
+                (3, ("spam ham " * 30).strip()),
+                (4, "w x y z # # # # # # # #"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_counters_and_kept_rows(self, spark, corpus):
+        kept, obs = filter_by_quality(corpus)
+        ids = sorted(r.doc_id for r in kept.collect())  # triggers observe
+        m = obs.get
+        assert ids == [1]
+        assert m["n_docs"] == 4 and m["n_kept"] == 1
+        assert m["drop_dup_line_frac"] >= 1          # doc 2
+        assert m["drop_top_bigram_char_frac"] >= 1   # doc 3
+        assert m["drop_symbol_word_ratio"] >= 1      # doc 4
+
+    def test_disabled_rules_pass_everything(self, spark, corpus):
+        off = QualityRules(*([None] * len(QualityRules._fields)))
+        kept, obs = filter_by_quality(corpus, rules=off)
+        assert kept.count() == 4
+        assert obs.get == {"n_docs": 4, "n_kept": 4}
+
+    def test_annotate_only_audit_mode(self, spark, corpus):
+        annotated, obs = filter_by_quality(corpus, annotate_only=True)
+        rows = {r.doc_id: r for r in annotated.collect()}
+        assert len(rows) == 4  # nothing filtered
+        assert rows[1].violations == []
+        assert "dup_line_frac" in rows[2].violations
+        assert "dup_line_char_frac" in rows[2].violations
+        assert "top_bigram_char_frac" in rows[3].violations
+        assert "symbol_word_ratio" in rows[4].violations
+        assert obs.get["n_kept"] == 1  # counters identical to filter mode
+
+    def test_ppl_rule(self, spark, corpus):
+        lm = train_bigram_lm(corpus.filter("doc_id = 1"))
+        kept, obs = filter_by_quality(
+            corpus,
+            rules=QualityRules(
+                *([None] * (len(QualityRules._fields) - 1)), 5.0
+            ),
+            lm=lm,
+        )
+        ids = sorted(r.doc_id for r in kept.collect())
+        # doc 1 is the LM's own training text -> low ppl; the others are
+        # out-of-domain -> high ppl
+        assert ids == [1]
+        assert obs.get["drop_ppl"] == 3
+
+    def test_ppl_rule_requires_lm(self, spark, corpus):
+        with pytest.raises(ValueError, match="BigramLM"):
+            filter_by_quality(corpus, rules=QualityRules(max_ppl=10.0))
+
+    def test_zero_shuffle_without_ppl(self, spark, corpus):
+        buf = io.StringIO()
+        kept, _ = filter_by_quality(corpus)
+        with contextlib.redirect_stdout(buf):
+            kept.explain("formatted")
+        assert "Exchange" not in buf.getvalue()
+
+    def test_ingest_pipeline_stage(self, spark, tmp_path):
+        """--quality-filter over the composed ingest: final table holds
+        only rule-passing passages, summary carries the per-rule drops."""
+        from document_automation_spark.jobs.ingest_pipeline import run_ingest_pipeline
+        from document_automation_spark.operators.extract import ExtractConfig
+        from document_automation_spark.sources.pages import pages_df
+
+        base = pages_df(spark, 40, partitions=2)
+        out = str(tmp_path / "corpus_q")
+        summary = run_ingest_pipeline(
+            spark, base, out, "test-quality",
+            cfg=ExtractConfig(n_buckets=4), quality_filter=True,
+        )
+        assert summary["curated_path"].endswith("curated_quality")
+        assert summary["quality_n_docs"] > 0
+        kept = spark.read.parquet(summary["curated_path"])
+        assert kept.count() == summary["quality_n_kept"]
+        # the kept table itself passes a re-run of the gate unchanged
+        kept2, obs2 = filter_by_quality(kept.withColumnRenamed("content", "text"))
+        assert kept2.count() == summary["quality_n_kept"]
+        assert obs2.get["n_kept"] == obs2.get["n_docs"]
 
 
 # --- randomized cross-implementation check -------------------------------
