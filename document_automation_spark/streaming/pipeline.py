@@ -53,6 +53,41 @@ def start_streaming_extraction(
     )
 
 
+def start_streaming_quality_filter(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id long, text string",
+    rules=None,
+) -> StreamingQuery:
+    """The Gopher/C4 quality gate on a document stream — the same
+    stateless expression gate as the batch ingest stage
+    (``operators.webtext_quality.filter_by_quality``), so a corpus can be
+    quality-filtered as it lands instead of in a nightly sweep.  Per-rule
+    drop counters surface per micro-batch in
+    ``query.lastProgress.observedMetrics['quality_filter']`` (the
+    streaming twin of the batch Observation)."""
+    from document_automation_spark.operators.webtext_quality import (
+        QualityRules,
+        filter_by_quality,
+    )
+
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+    kept, _name = filter_by_quality(docs, rules=rules or QualityRules())
+    return (
+        kept.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def streaming_user_totals(events_stream: DataFrame) -> DataFrame:
     """Custom stateful operator: running per-user totals via
     ``applyInPandasWithState`` — the Structured Streaming extension point
