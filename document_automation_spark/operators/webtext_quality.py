@@ -54,6 +54,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "repetition_features",
     "filter_by_quality",
+    "corpus_datasheet",
     "QualityRules",
     "train_bigram_lm",
     "score_with_bigram_lm",
@@ -420,6 +421,90 @@ def filter_by_quality(
     if annotate_only:
         return observed, obs
     return observed.filter(F.size("violations") == 0).drop("violations"), obs
+
+
+# ---------------------------------------------------------------------------
+# corpus datasheet rollup
+# ---------------------------------------------------------------------------
+
+
+def corpus_datasheet(
+    documents: DataFrame,
+    group_col: str = "lang",
+    rules: QualityRules = QualityRules(),
+    lm: "BigramLM | None" = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    exact_percentiles: bool = False,
+) -> DataFrame:
+    """Per-group corpus quality report — the "datasheet for a dataset"
+    table a corpus release ships (docs/tokens, token-length percentiles,
+    repetition profile, fraction that would fail the quality gate,
+    optional mean perplexity), one row per ``group_col`` value.
+
+    Plan: the repetition features and the gate verdict evaluate in the
+    same zero-shuffle expression frame the gate uses, so the whole
+    datasheet is ONE map-side-combined aggregation on the group key.
+    Token percentiles default to ``percentile_approx`` (a mergeable
+    t-digest-style sketch — the only correct choice when a group spans
+    thousands of partitions); ``exact_percentiles=True`` switches to the
+    exact interpolated percentile for oracle comparison at test scale.
+    With ``lm``, per-doc perplexity is scored (broadcast LM) and
+    aggregated per group — one extra explode pass + id-join, the price
+    of a corpus-aggregate column.
+    """
+    keep = [group_col] + (
+        [id_col] if id_col != group_col and id_col in documents.columns else []
+    )
+    d, feats = _feature_frame(documents, text_col, keep)
+    checks = [
+        ("dup_line_frac", rules.max_dup_line_frac),
+        ("dup_line_char_frac", rules.max_dup_line_char_frac),
+        ("top_bigram_char_frac", rules.max_top_bigram_char_frac),
+        ("dup_5gram_frac", rules.max_dup_5gram_frac),
+        ("symbol_word_ratio", rules.max_symbol_word_ratio),
+        ("ellipsis_line_frac", rules.max_ellipsis_line_frac),
+        ("bullet_line_frac", rules.max_bullet_line_frac),
+    ]
+    fails = [feats[name] > F.lit(t) for name, t in checks if t is not None]
+    would_drop = fails[0] if fails else F.lit(False)
+    for f in fails[1:]:
+        would_drop = would_drop | f
+
+    n_tokens = F.size(F.col("_ws"))
+    rows = d.select(
+        group_col,
+        *([id_col] if id_col in documents.columns and lm is not None else []),
+        n_tokens.alias("_nt"),
+        would_drop.cast("double").alias("_drop"),
+        feats["dup_line_frac"].alias("_dlf"),
+        feats["top_bigram_char_frac"].alias("_tbf"),
+        feats["symbol_word_ratio"].alias("_swr"),
+    )
+    if lm is not None:
+        ppl = score_with_bigram_lm(
+            documents, lm, text_col=text_col, id_col=id_col
+        ).select(id_col, "ppl")
+        rows = rows.join(ppl, id_col, "left")
+
+    pct = (
+        (lambda c, p: F.expr(f"percentile({c}, {p})"))
+        if exact_percentiles
+        else (lambda c, p: F.percentile_approx(c, p, 10_000))
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").alias("total_tokens"),
+        pct("_nt", 0.5).cast("double").alias("tokens_p50"),
+        pct("_nt", 0.95).cast("double").alias("tokens_p95"),
+        F.round(F.avg("_dlf"), 6).alias("mean_dup_line_frac"),
+        F.round(F.avg("_tbf"), 6).alias("mean_top_bigram_char_frac"),
+        F.round(F.avg("_swr"), 6).alias("mean_symbol_word_ratio"),
+        F.round(F.avg("_drop"), 6).alias("would_drop_frac"),
+    ]
+    if lm is not None:
+        aggs.append(F.round(F.avg("ppl"), 4).alias("mean_ppl"))
+    return rows.groupBy(group_col).agg(*aggs)
 
 
 # ---------------------------------------------------------------------------

@@ -365,6 +365,77 @@ def _random_corpus(seed=20260817, n=80):
     return docs
 
 
+class TestCorpusDatasheet:
+    """corpus_datasheet vs a Python-mirror aggregation of the same rows."""
+
+    @pytest.fixture(scope="class")
+    def grouped(self, spark):
+        docs = _random_corpus(seed=7, n=60)
+        rows = [(doc_id, t, f"g{doc_id % 3}") for doc_id, t in docs]
+        return rows, spark.createDataFrame(
+            rows, "doc_id long, text string, grp string"
+        )
+
+    def test_matches_python_mirror(self, spark, grouped):
+        import numpy as np
+
+        from document_automation_spark.operators.webtext_quality import (
+            corpus_datasheet,
+        )
+
+        rows, df = grouped
+        got = {
+            r.grp: r
+            for r in corpus_datasheet(
+                df, group_col="grp", exact_percentiles=True
+            ).collect()
+        }
+        rules = QualityRules()
+        for g in ("g0", "g1", "g2"):
+            members = [(i, t) for i, t, grp in rows if grp == g]
+            feats = [_py_repetition(t) for _, t in members]
+            toks = [len(_py_words(t)) for _, t in members]
+            row = got[g]
+            assert row.n_docs == len(members)
+            assert row.total_tokens == sum(toks)
+            assert row.tokens_p50 == pytest.approx(np.percentile(toks, 50))
+            assert row.tokens_p95 == pytest.approx(np.percentile(toks, 95))
+            assert row.mean_dup_line_frac == pytest.approx(
+                sum(f["dup_line_frac"] for f in feats) / len(feats), abs=2e-6
+            )
+            assert row.mean_top_bigram_char_frac == pytest.approx(
+                sum(f["top_bigram_char_frac"] for f in feats) / len(feats),
+                abs=2e-6,
+            )
+            drop = [
+                f["dup_line_frac"] > rules.max_dup_line_frac
+                or f["dup_line_char_frac"] > rules.max_dup_line_char_frac
+                or f["top_bigram_char_frac"] > rules.max_top_bigram_char_frac
+                or f["dup_5gram_frac"] > rules.max_dup_5gram_frac
+                or f["symbol_word_ratio"] > rules.max_symbol_word_ratio
+                or f["ellipsis_line_frac"] > rules.max_ellipsis_line_frac
+                or f["bullet_line_frac"] > rules.max_bullet_line_frac
+                for f in feats
+            ]
+            assert row.would_drop_frac == pytest.approx(
+                sum(drop) / len(drop), abs=2e-6
+            )
+
+    def test_ppl_column_and_approx_mode(self, spark, grouped):
+        from document_automation_spark.operators.webtext_quality import (
+            corpus_datasheet,
+        )
+
+        rows, df = grouped
+        lm = train_bigram_lm(df.filter("grp = 'g0'"))
+        out = corpus_datasheet(df, group_col="grp", lm=lm).collect()
+        by = {r.grp: r for r in out}
+        # the in-domain slice scores itself lower-perplexity than the rest
+        assert by["g0"].mean_ppl == min(r.mean_ppl for r in out)
+        for r in out:
+            assert r.tokens_p50 <= r.tokens_p95
+
+
 class TestRandomizedMirror:
     def test_repetition_features_match_python_mirror(self, spark):
         docs = _random_corpus()
