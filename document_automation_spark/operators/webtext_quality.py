@@ -303,6 +303,14 @@ class QualityRules(NamedTuple):
     * symbol-to-word ratio             > 0.10  → drop
     * ellipsis-line fraction           > 0.30  → drop
     * bullet-line fraction             > 0.90  → drop
+    plus Gopher's lexical/length rules:
+
+    * word count outside [50, 100 000]  → drop (``min_words``/``max_words``)
+    * mean word length outside [3, 10]  → drop
+    * words containing ≥1 letter (any script, ``\\p{L}``) < 80 % → drop
+    * stopword hits < ``min_stopword_hits`` → drop (OFF by default —
+      Gopher's ≥2-of-a-small-English-list rule is English-only; enable
+      it for monolingual English corpora)
     * perplexity                       > max_ppl → drop (off by default;
       needs a :class:`BigramLM` — the CCNet "keep the head/middle of the
       perplexity distribution" gate with an explicit cutoff)
@@ -315,7 +323,59 @@ class QualityRules(NamedTuple):
     max_symbol_word_ratio: float | None = 0.10
     max_ellipsis_line_frac: float | None = 0.30
     max_bullet_line_frac: float | None = 0.90
+    min_words: int | None = 50
+    max_words: int | None = 100_000
+    min_mean_word_len: float | None = 3.0
+    max_mean_word_len: float | None = 10.0
+    min_alpha_word_frac: float | None = 0.80
+    min_stopword_hits: int | None = None
     max_ppl: float | None = None
+
+
+#: Gopher's stopword-hit list (Rae et al. 2021: "contains at least two of
+#: the following English words") — used only when ``min_stopword_hits``
+#: is enabled.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _lexical_checks(rules: "QualityRules"):
+    """The Gopher lexical/length rules as (name, violated-expr builders)
+    over the bound ``_ws`` column.  Kept separate from the repetition
+    feature dict because they are range/min rules, not max-fraction
+    rules."""
+    ws = F.col("_ws")
+    n_words = F.size(ws)
+    mean_wl = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    ).cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
+    alpha_frac = F.size(
+        F.filter(ws, lambda w: w.rlike(r"\p{L}"))
+    ).cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_hits = F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w)))
+
+    out = []
+    if rules.min_words is not None:
+        out.append(("min_words", n_words < F.lit(rules.min_words)))
+    if rules.max_words is not None:
+        out.append(("max_words", n_words > F.lit(rules.max_words)))
+    if rules.min_mean_word_len is not None:
+        out.append(
+            ("min_mean_word_len", mean_wl < F.lit(rules.min_mean_word_len))
+        )
+    if rules.max_mean_word_len is not None:
+        out.append(
+            ("max_mean_word_len", mean_wl > F.lit(rules.max_mean_word_len))
+        )
+    if rules.min_alpha_word_frac is not None:
+        out.append(
+            ("min_alpha_word_frac", alpha_frac < F.lit(rules.min_alpha_word_frac))
+        )
+    if rules.min_stopword_hits is not None:
+        out.append(
+            ("min_stopword_hits", stop_hits < F.lit(rules.min_stopword_hits))
+        )
+    return out
 
 
 def filter_by_quality(
@@ -371,15 +431,13 @@ def filter_by_quality(
         ("ellipsis_line_frac", rules.max_ellipsis_line_frac),
         ("bullet_line_frac", rules.max_bullet_line_frac),
     ]
-    active = [(name, t) for name, t in checks if t is not None]
+    active = [(name, feats[name] > F.lit(t)) for name, t in checks if t is not None]
+    active += _lexical_checks(rules)
     flagged = d.select(
         *documents.columns,
         F.array_compact(
             F.array(
-                *[
-                    F.when(feats[name] > F.lit(t), F.lit(name))
-                    for name, t in active
-                ]
+                *[F.when(violated, F.lit(name)) for name, violated in active]
             )
         ).alias("violations"),
     )
@@ -467,6 +525,7 @@ def corpus_datasheet(
         ("bullet_line_frac", rules.max_bullet_line_frac),
     ]
     fails = [feats[name] > F.lit(t) for name, t in checks if t is not None]
+    fails += [violated for _, violated in _lexical_checks(rules)]
     would_drop = fails[0] if fails else F.lit(False)
     for f in fails[1:]:
         would_drop = would_drop | f

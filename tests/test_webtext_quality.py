@@ -147,10 +147,17 @@ class TestQualityFilterGate:
     """filter_by_quality: the actionable half of the features — keep/drop
     with per-rule Observation counters riding the first action."""
 
+    # ≥50 words (Gopher min), distinct vocabulary, mean word length in
+    # [3, 10], fully alphabetic — passes every default rule
     CLEAN = (
-        "plenty of ordinary narrative words flow here\n"
-        "an entirely different second sentence follows\n"
-        "and a third one closes the paragraph calmly"
+        "plenty of ordinary narrative words flow gently here while nothing"
+        " repeats itself beyond natural usage patterns in prose\n"
+        "an entirely different second sentence follows carrying fresh"
+        " vocabulary about rivers mountains harvests and quiet village"
+        " evenings under clouded skies\n"
+        "the third line closes this paragraph calmly with further varied"
+        " language describing markets travelers seasons letters and the"
+        " slow passage of ordinary days"
     )
 
     @pytest.fixture(scope="class")
@@ -217,6 +224,45 @@ class TestQualityFilterGate:
         with contextlib.redirect_stdout(buf):
             kept.explain("formatted")
         assert "Exchange" not in buf.getvalue()
+
+    def test_lexical_rules(self, spark):
+        """Gopher's length/lexical rules: each crafted doc trips exactly
+        the intended rule; a stopword rule is opt-in."""
+        long_clean = " ".join(f"word{i:03d} common" for i in range(30))  # 60 words
+        docs = spark.createDataFrame(
+            [
+                (1, long_clean),
+                (2, "too short to keep"),                        # min_words
+                (3, " ".join(["ab"] * 60)),                      # mean_word_len < 3
+                (4, " ".join(["extraordinarily"] * 60)),         # mean_word_len > 10
+                (5, " ".join(["12345"] * 30 + ["www"] * 30)),    # alpha frac 0.5
+            ],
+            "doc_id long, text string",
+        )
+        # isolate the lexical rules: repetition rules off
+        base = {f: None for f in QualityRules._fields}
+        rules = QualityRules(**{**base, "min_words": 50, "max_words": 100_000,
+                                "min_mean_word_len": 3.0,
+                                "max_mean_word_len": 10.0,
+                                "min_alpha_word_frac": 0.8})
+        annotated, obs = filter_by_quality(docs, rules=rules, annotate_only=True)
+        rows = {r.doc_id: list(r.violations) for r in annotated.collect()}
+        assert rows[1] == []
+        assert rows[2] == ["min_words"]
+        assert rows[3] == ["min_mean_word_len"]
+        assert rows[4] == ["max_mean_word_len"]
+        assert rows[5] == ["min_alpha_word_frac"]
+        assert obs.get["drop_min_words"] == 1
+
+        # opt-in stopword rule: doc 1 has zero Gopher stopwords
+        with_stop = QualityRules(**{**base, "min_stopword_hits": 2})
+        kept, _ = filter_by_quality(docs, rules=with_stop)
+        assert {r.doc_id for r in kept.collect()} == set()
+        docs2 = spark.createDataFrame(
+            [(9, "the cat and the dog have a ball")], "doc_id long, text string"
+        )
+        kept2, _ = filter_by_quality(docs2, rules=with_stop)
+        assert {r.doc_id for r in kept2.collect()} == {9}
 
     def test_streaming_gate_matches_batch(self, spark, tmp_path, corpus):
         """The gate on a readStream plan: kept rows identical to batch,
@@ -407,16 +453,29 @@ class TestCorpusDatasheet:
                 sum(f["top_bigram_char_frac"] for f in feats) / len(feats),
                 abs=2e-6,
             )
-            drop = [
-                f["dup_line_frac"] > rules.max_dup_line_frac
-                or f["dup_line_char_frac"] > rules.max_dup_line_char_frac
-                or f["top_bigram_char_frac"] > rules.max_top_bigram_char_frac
-                or f["dup_5gram_frac"] > rules.max_dup_5gram_frac
-                or f["symbol_word_ratio"] > rules.max_symbol_word_ratio
-                or f["ellipsis_line_frac"] > rules.max_ellipsis_line_frac
-                or f["bullet_line_frac"] > rules.max_bullet_line_frac
-                for f in feats
-            ]
+            def py_drop(text, f):
+                ws = _py_words(text)
+                nw = len(ws)
+                mwl = sum(map(len, ws)) / max(nw, 1)
+                alpha = sum(1 for w in ws if any(c.isalpha() for c in w)) / max(
+                    nw, 1
+                )
+                return (
+                    f["dup_line_frac"] > rules.max_dup_line_frac
+                    or f["dup_line_char_frac"] > rules.max_dup_line_char_frac
+                    or f["top_bigram_char_frac"] > rules.max_top_bigram_char_frac
+                    or f["dup_5gram_frac"] > rules.max_dup_5gram_frac
+                    or f["symbol_word_ratio"] > rules.max_symbol_word_ratio
+                    or f["ellipsis_line_frac"] > rules.max_ellipsis_line_frac
+                    or f["bullet_line_frac"] > rules.max_bullet_line_frac
+                    or nw < rules.min_words
+                    or nw > rules.max_words
+                    or mwl < rules.min_mean_word_len
+                    or mwl > rules.max_mean_word_len
+                    or alpha < rules.min_alpha_word_frac
+                )
+
+            drop = [py_drop(t, f) for (_, t), f in zip(members, feats)]
             assert row.would_drop_frac == pytest.approx(
                 sum(drop) / len(drop), abs=2e-6
             )
