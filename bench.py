@@ -172,6 +172,8 @@ def main() -> None:
         "hash_embeddings",
         "repetition_features",
         "lm_perplexity",
+        "pii_redaction",
+        "benchmark_decontamination",
     ]
     qs = registry.queries()
 
@@ -192,7 +194,42 @@ def main() -> None:
 
         return exact_dedup(_docs_with_dups(spark, sf_dir))
 
-    qs = {**qs, "simhash_fingerprints": _simhash_fp_only, "exact_dedup": _exact_dedup_only}
+    # duplicate_spans folded into the span_cut_corpus seat in round 5;
+    # keep the bare span-finder as its own bench row for r3→r5 comparability
+    def _duplicate_spans_only(spark, sf_dir):
+        from document_automation_spark.operators.dedup import duplicate_spans
+        from document_automation_spark.queries import _docs_with_dups
+
+        return duplicate_spans(_docs_with_dups(spark, sf_dir), k=32, min_docs=2)
+
+    # hash_embeddings' seat gained the missing-embeddings union leg in
+    # round 5; bench the bare embed+dense-ids path for comparability
+    def _hash_embeddings_only(spark, sf_dir):
+        import pyspark.sql.functions as F
+        from document_automation_spark.functions.embed import (
+            assign_dense_vector_ids,
+            embed_documents,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = assign_dense_vector_ids(embed_documents(docs))
+        # same serialize projection the seat carried through round 4
+        serialize = F.array_join(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x * 1e6).cast("long").cast("string"),
+            ),
+            "|",
+        )
+        return out.select("doc_id", "vector_id", serialize.alias("emb_micro"))
+
+    qs = {
+        **qs,
+        "simhash_fingerprints": _simhash_fp_only,
+        "exact_dedup": _exact_dedup_only,
+        "duplicate_spans": _duplicate_spans_only,
+        "hash_embeddings": _hash_embeddings_only,
+    }
     for name in headliners:
         reps = 3 if name in BEST_OF_3 else 2
         best = float("inf")

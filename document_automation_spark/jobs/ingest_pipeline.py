@@ -70,6 +70,9 @@ def run_ingest_pipeline(
     quality_filter: bool = False,
     quality_rules=None,
     curated_mode: str = "copy",
+    decontaminate_path: str | None = None,
+    decontaminate_ngram: int = 13,
+    pii_redact: bool = False,
     embed: bool = False,
     embed_dim: int = 16,
 ) -> dict:
@@ -117,6 +120,15 @@ def run_ingest_pipeline(
     ``quality_n_docs`` / ``quality_n_kept`` / ``quality_drop_<rule>``
     and ``curated_path`` moves to the filtered table).  Requires
     ``curated_mode='copy'`` like span surgery (the gate re-reads text).
+
+    ``decontaminate_path`` / ``pii_redact`` append the corpus-HYGIENE
+    stage: GPT-3-style n-gram benchmark decontamination (drop every doc
+    sharing a ``decontaminate_ngram``-gram with the eval-set parquet at
+    ``decontaminate_path`` — ``operators.decontaminate``) and/or PII
+    redaction (``operators.pii.redact_pii``; content-derived identities
+    re-derived after the rewrite).  Both compose into ONE plan + ONE
+    write; counters land in the summary as ``decontam_*`` / ``pii_*``.
+    Requires ``curated_mode='copy'``.
     """
     from document_automation_spark.operators.curate import curate_extracted
     from document_automation_spark.operators.extract import ExtractConfig
@@ -142,6 +154,10 @@ def run_ingest_pipeline(
         raise ValueError("cut_dup_spans rewrites text and needs curated_mode='copy'")
     if quality_filter and curated_mode != "copy":
         raise ValueError("quality_filter re-reads text and needs curated_mode='copy'")
+    if (decontaminate_path or pii_redact) and curated_mode != "copy":
+        raise ValueError(
+            "decontaminate/pii_redact rewrite text and need curated_mode='copy'"
+        )
 
     if from_text:
         from document_automation_spark.operators.extract import documents_from_text
@@ -394,6 +410,45 @@ def run_ingest_pipeline(
             )
             summary["curated_path"] = quality_path
 
+        if decontaminate_path or pii_redact:
+            # corpus-hygiene stage: benchmark decontamination (drop) then
+            # PII redaction (rewrite) composed into ONE plan + ONE write —
+            # both stages' counters ride that write as Observations.
+            from document_automation_spark.operators.decontaminate import decontaminate
+            from document_automation_spark.operators.pii import redact_pii
+
+            corpus = spark.read.parquet(summary["curated_path"]).withColumnRenamed(
+                "content", "text"
+            )
+            obs_d = obs_p = None
+            if decontaminate_path:
+                bench = spark.read.parquet(decontaminate_path).select("text")
+                corpus, obs_d = decontaminate(
+                    corpus, bench, n=decontaminate_ngram, doc_id_col="doc_id"
+                )
+            if pii_redact:
+                corpus, obs_p = redact_pii(corpus, count_cols=False)
+                # redaction rewrites text → re-derive BOTH content-derived
+                # identities (same invariants as the span-surgery stage)
+                corpus = corpus.withColumn(
+                    "doc_id", F.sha2(F.concat(F.col("url"), F.col("text")), 256)
+                ).withColumn("content_sha", F.unhex(F.sha2(F.col("text"), 256)))
+            hygiene_path = os.path.join(output_path, "curated_hygiene")
+            (
+                corpus.withColumnRenamed("text", "content")
+                .write.mode("overwrite")
+                .option("compression", "zstd")
+                .option("parquet.compression.codec.zstd.level", "1")
+                .parquet(hygiene_path)
+            )
+            if obs_d is not None:
+                summary.update(
+                    {f"decontam_{k}": int(v or 0) for k, v in obs_d.get.items()}
+                )
+            if obs_p is not None:
+                summary.update({f"pii_{k}": int(v or 0) for k, v in obs_p.get.items()})
+            summary["curated_path"] = hygiene_path
+
         if embed:
             summary.update(
                 _embed_stage(
@@ -492,6 +547,19 @@ def main(argv=None) -> None:
         "corpus (zero-shuffle; per-rule drop counters in the summary)",
     )
     parser.add_argument(
+        "--decontaminate",
+        metavar="PARQUET",
+        help="append benchmark decontamination: drop curated docs sharing "
+        "an n-gram with the eval-set parquet (text column) at this path",
+    )
+    parser.add_argument("--decontaminate-ngram", type=int, default=13)
+    parser.add_argument(
+        "--redact-pii",
+        action="store_true",
+        help="append PII redaction (email/ssn/ipv4/phone) over the curated "
+        "corpus; content-derived ids re-derived after the rewrite",
+    )
+    parser.add_argument(
         "--embed",
         action="store_true",
         help="append the embedding phase: hash-embed curated passages, "
@@ -551,6 +619,9 @@ def main(argv=None) -> None:
             span_k=args.span_k,
             quality_filter=args.quality_filter,
             curated_mode=args.curated_mode,
+            decontaminate_path=args.decontaminate,
+            decontaminate_ngram=args.decontaminate_ngram,
+            pii_redact=args.redact_pii,
             embed=args.embed,
             embed_dim=args.embed_dim,
         )

@@ -1803,14 +1803,19 @@ def _duplicate_spans_sql(k: int = 32, min_docs: int = 2) -> str:
     """
 
 
-@register("duplicate_spans", lambda: _duplicate_spans_sql())
+# (duplicate_spans no longer has its own registry seat: span_cut_corpus'
+# oracle embeds _duplicate_spans_sql as its spans CTE and its md5-per-doc
+# output depends byte-exactly on every span, so the fold is lossless —
+# slot freed for the round-5 PII/decontamination seats.  bench.py keeps a
+# pinned bare-operator row so the number stays comparable across rounds.)
 def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document exact-substring duplicate spans (Lee et al. 2022
     span-level dedup) over the duplicate-enriched corpus: the id-remapped
     full-text copies guarantee whole-document spans, and any naturally
     shared 32-gram between distinct fixture docs surfaces as well.  The
     Spark side marks windows by xxhash64; the oracle re-derives the same
-    spans from the raw gram strings."""
+    spans from the raw gram strings (now the spans CTE of the
+    span_cut_corpus seat)."""
     from document_automation_spark.operators.dedup import duplicate_spans
 
     return duplicate_spans(_docs_with_dups(spark, sf_dir), k=32, min_docs=2)
@@ -1867,7 +1872,11 @@ def _span_cut_sql(k: int = 32) -> str:
 def q_span_cut_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus AFTER exact-substring span surgery (round-4 verdict #3:
     ``cut_spans`` gets a driver-visible seat now that it is also wired
-    into the ingest CLI as ``--cut-dup-spans``).  Spark cuts via one JVM
+    into the ingest CLI as ``--cut-dup-spans``).  Since round 5 this seat
+    also carries the span-FINDING check: its oracle embeds
+    ``_duplicate_spans_sql`` as the spans CTE, and the per-doc md5 output
+    depends byte-exactly on every span, so the former ``duplicate_spans``
+    seat folds in losslessly.  Spark cuts via one JVM
     ``F.aggregate`` fold over each doc's sorted span array; the oracle
     re-derives the rewrite relationally from raw-gram spans and compares
     md5 + lengths of every rewritten text — a byte-exact check on the
@@ -2358,25 +2367,10 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding stage + resume predicates
 # =====================================================================
 
-@register(
-    "missing_embeddings",
-    """
-    SELECT d.doc_id FROM documents d
-    LEFT JOIN (SELECT vec_id FROM embeddings WHERE vec_id % 7 <> 0) e
-      ON d.doc_id = e.vec_id
-    WHERE e.vec_id IS NULL
-    """,
-)
-def q_missing_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from document_automation_spark.functions.embed import missing_embeddings
-
-    docs = _t(spark, sf_dir, "documents")
-    embedded = (
-        _t(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") % 7 != 0)
-        .select(F.col("vec_id").alias("doc_id"))
-    )
-    return missing_embeddings(docs, embedded).select("doc_id")
+# (missing_embeddings no longer has its own registry seat: its anti-join
+# rows ride the hash_embeddings seat as kind='missing' tagged-union rows —
+# slot freed for the round-5 PII/decontamination seats under the driver's
+# 50-entry cap.  The operator itself is unchanged: functions/embed.py.)
 
 
 _UPSERT_SETUP_SQL = """
@@ -2580,21 +2574,40 @@ def q_learned_encoder_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hash_embeddings",
     f"""
     WITH {_emb_list_cte('documents', 'd')}
-    SELECT doc_id,
+    SELECT 'emb' AS kind, doc_id,
            CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS vector_id,
            array_to_string(
                list_transform(embv, c -> CAST(round(c * 1e6) AS BIGINT)), '|')
                AS emb_micro
     FROM demb
+    UNION ALL
+    SELECT 'missing' AS kind, d.doc_id, CAST(NULL AS BIGINT) AS vector_id,
+           CAST(NULL AS VARCHAR) AS emb_micro
+    FROM documents d
+    LEFT JOIN (SELECT vec_id FROM embeddings WHERE vec_id % 7 <> 0) e
+      ON d.doc_id = e.vec_id
+    WHERE e.vec_id IS NULL
     """,
 )
 def q_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding stage + dense vector ids (K8 + A9), FULLY oracle-checked:
-    the md5 feature-hashing kernel is recomputed in SQL by the oracle and
-    compared in integer micro-units; vector_id density is checked against
-    ``row_number() - 1``.  The Spark side assigns ids via partition offsets
-    (no global window)."""
-    from document_automation_spark.functions.embed import assign_dense_vector_ids, embed_documents
+    """Embedding stage + dense vector ids (K8 + A9) plus the F3 resume
+    predicate, one tagged union (``missing_embeddings`` had its own seat
+    through round 5 — merged to free a slot under the driver's 50-entry
+    cap, every row still oracle-checked):
+
+    * ``emb`` rows — the md5 feature-hashing kernel recomputed in SQL by
+      the oracle and compared in integer micro-units; vector_id density
+      checked against ``row_number() - 1``.  The Spark side assigns ids
+      via partition offsets (no global window).
+    * ``missing`` rows — docs whose id is absent from the (mod-7
+      decimated) embeddings table: the anti-join resume predicate of
+      ``functions/embed.missing_embeddings``.
+    """
+    from document_automation_spark.functions.embed import (
+        assign_dense_vector_ids,
+        embed_documents,
+        missing_embeddings,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     out = assign_dense_vector_ids(embed_documents(docs))
@@ -2605,7 +2618,21 @@ def q_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "|",
     )
-    return out.select("doc_id", "vector_id", serialize.alias("emb_micro"))
+    emb_rows = out.select(
+        F.lit("emb").alias("kind"), "doc_id", "vector_id", serialize.alias("emb_micro")
+    )
+    embedded = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 7 != 0)
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    missing_rows = missing_embeddings(docs, embedded).select(
+        F.lit("missing").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("long").alias("vector_id"),
+        F.lit(None).cast("string").alias("emb_micro"),
+    )
+    return emb_rows.unionByName(missing_rows)
 
 
 @register(
@@ -2850,6 +2877,154 @@ def q_warc_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(build_dir, ignore_errors=True)
     pages = pages_from_warc(spark, warc_dir)
     return _extraction_projection(extract_documents(pages, ExtractConfig(n_buckets=16)))
+
+
+# =====================================================================
+# Webtext hygiene: PII redaction + benchmark decontamination (round 5)
+# =====================================================================
+
+# PII fixture enrichment — ONE expression string evaluated by BOTH
+# engines (Spark selectExpr and the DuckDB CTE; `CAST(.. AS STRING)`,
+# `||` and `lpad` parse identically in the two dialects), appending
+# deterministic synthetic PII to a doc_id-keyed subset of the corpus so
+# the redaction check is never vacuous.
+_PII_ENRICH_EXPR = (
+    "text"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' Contact user' || CAST(doc_id AS STRING)"
+    " || '@ex-ample.org today.' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' Server 10.' || CAST(doc_id % 256 AS STRING)"
+    " || '.3.44 logged it.' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' Call +1 (415) 555-01'"
+    " || lpad(CAST(doc_id % 100 AS STRING), 2, '0') || ' now.' ELSE '' END"
+    " || CASE WHEN doc_id % 17 = 0 THEN ' SSN 123-45-6789 on file.' ELSE '' END"
+)
+
+
+def _pii_redaction_sql() -> str:
+    """DuckDB twin of operators/pii.redact_pii over the enriched corpus:
+    the same category chain replayed as nested regexp_replace CTEs (RE2's
+    'g' flag = Spark's replace-all default), counts taken on each
+    intermediate state exactly as the operator does, final text compared
+    as md5 + length (registry outputs carry no full text)."""
+    from document_automation_spark.operators.pii import PII_CATEGORIES
+
+    ctes = [f"s0 AS (SELECT doc_id, {_PII_ENRICH_EXPR} AS text FROM documents)"]
+    prev = "s0"
+    for i, (name, pat, repl) in enumerate(PII_CATEGORIES, 1):
+        carried = ", ".join(f"n_{c}" for c, _, _ in PII_CATEGORIES[: i - 1])
+        carried = f"{carried}, " if carried else ""
+        ctes.append(
+            f"s{i} AS (SELECT doc_id, {carried}"
+            f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}, "
+            f"regexp_replace(text, '{pat}', '{repl}', 'g') AS text FROM {prev})"
+        )
+        prev = f"s{i}"
+    counts = ", ".join(f"n_{c}" for c, _, _ in PII_CATEGORIES)
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+    SELECT doc_id, {counts},
+           md5(text) AS content_md5, CAST(length(text) AS BIGINT) AS n_chars
+    FROM {prev}
+    """
+    )
+
+
+@register("pii_redaction", lambda: _pii_redaction_sql())
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the PII-enriched corpus (operators/pii.redact_pii):
+    email → ssn → ipv4 → phone chained regexp_replace, per-category
+    counts taken at each category's turn, compared byte-exactly (md5 of
+    every redacted text) against the DuckDB replay.  The plan is one
+    Project — zero shuffles (pinned by tests/test_pii.py)."""
+    from document_automation_spark.operators.pii import redact_pii
+
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_PII_ENRICH_EXPR} AS text"
+    )
+    red, _obs = redact_pii(docs)
+    return red.select(
+        "doc_id",
+        "n_email",
+        "n_ssn",
+        "n_ipv4",
+        "n_phone",
+        F.md5(F.col("text")).alias("content_md5"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def _decontamination_sql(n: int = 13) -> str:
+    """DuckDB twin of operators/decontaminate.ngram_contamination with the
+    benchmark derived as token-slices (tokens 6..35) of every 13th doc —
+    word-slice fixtures in the style of the BM25 query derivation, so
+    contamination is guaranteed non-vacuous.  The oracle joins RAW gram
+    strings where Spark joins xxhash64 values: a hash collision at
+    fixture scale would surface as a mismatch (duplicate_spans pattern).
+    """
+    m = n - 1
+    return f"""
+    WITH dtoks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}_]+') AS toks
+        FROM documents
+    ),
+    bench AS (
+        SELECT array_to_string(list_slice(toks, 6, 35), ' ') AS text
+        FROM dtoks WHERE doc_id % 13 = 0
+    ),
+    btoks AS (
+        SELECT regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}_]+') AS toks FROM bench
+    ),
+    bgrams AS (
+        SELECT DISTINCT array_to_string(list_slice(toks, i, i + {m}), ' ') AS g
+        FROM btoks, LATERAL unnest(generate_series(1, len(toks) - {m})) AS t(i)
+        WHERE len(toks) >= {n}
+    ),
+    dgrams AS (
+        SELECT doc_id, array_to_string(list_slice(toks, i, i + {m}), ' ') AS g
+        FROM dtoks, LATERAL unnest(generate_series(1, len(toks) - {m})) AS t(i)
+        WHERE len(toks) >= {n}
+    ),
+    hits AS (
+        SELECT doc_id, COUNT(*) AS n_hit FROM dgrams JOIN bgrams USING (g)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(greatest(len(d.toks) - {m}, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit_grams,
+           ROUND(CASE WHEN len(d.toks) > {m}
+                      THEN CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / (len(d.toks) - {m})
+                      ELSE 0.0 END, 9) AS hit_frac,
+           CAST(CASE WHEN COALESCE(h.n_hit, 0) >= 1 THEN 1 ELSE 0 END AS BIGINT)
+               AS is_contaminated
+    FROM dtoks d LEFT JOIN hits h USING (doc_id)
+    """
+
+
+@register("benchmark_decontamination", lambda: _decontamination_sql())
+def q_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style 13-gram benchmark-overlap audit
+    (operators/decontaminate.ngram_contamination): benchmark grams hashed
+    + broadcast, corpus side explodes (doc_id, gram_hash) longs only, one
+    map-side-combined shuffle for the hit counts.  Every per-doc stat —
+    gram count, hit count, hit fraction, flag — recomputed by the oracle
+    from raw gram strings."""
+    from document_automation_spark.operators.decontaminate import (
+        ngram_contamination,
+        tokens_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 13 == 0).select(
+        F.array_join(F.slice(tokens_col("text"), 6, 30), " ").alias("text")
+    )
+    out = ngram_contamination(docs, bench, n=13)
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_hit_grams",
+        "hit_frac",
+        F.col("is_contaminated").cast("long").alias("is_contaminated"),
+    )
 
 
 # The driver's CORRECTNESS report covers at most the FIRST 50 registry

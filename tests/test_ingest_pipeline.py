@@ -549,3 +549,70 @@ class TestIngestPipeline:
                 "fp", cfg=ExtractConfig(n_buckets=2),
                 curated_mode="fused", cut_dup_spans=True,
             )
+
+    def test_hygiene_stage_decontaminate_and_pii(self, spark, tmp_path):
+        """--decontaminate + --redact-pii compose into one hygiene write:
+        docs leaking a benchmark n-gram are dropped, PII in the survivors
+        is redacted, content-derived ids are re-derived, and both stages'
+        counters land in the summary."""
+        base = pages_df(spark, 40, partitions=2)
+        out = str(tmp_path / "corpus_hygiene")
+
+        # eval set = token slices of what WILL be extracted: run a plain
+        # ingest first, slice some curated passages into the benchmark
+        plain = run_ingest_pipeline(
+            spark, base, str(tmp_path / "plain"), "test-plain",
+            cfg=ExtractConfig(n_buckets=4),
+        )
+        curated = spark.read.parquet(plain["curated_path"])
+        bench_path = str(tmp_path / "benchmark")
+        (
+            curated.orderBy("doc_id").limit(3)
+            .select(F.col("content").alias("text"))
+            .write.parquet(bench_path)
+        )
+
+        summary = run_ingest_pipeline(
+            spark, base, out, "test-hygiene",
+            cfg=ExtractConfig(n_buckets=4),
+            decontaminate_path=bench_path, decontaminate_ngram=13,
+            pii_redact=True,
+        )
+        assert summary["curated_path"].endswith("curated_hygiene")
+        # >=1: a benchmark passage shorter than 13 tokens contributes no
+        # grams; the strong invariant is the `still == 0` check below
+        assert summary["decontam_n_docs_dropped"] >= 1
+        assert (
+            summary["decontam_n_docs_in"]
+            == plain["rows_out"]
+        )
+        hygiene = spark.read.parquet(summary["curated_path"])
+        assert hygiene.count() == (
+            summary["decontam_n_docs_in"] - summary["decontam_n_docs_dropped"]
+        )
+        # identities re-derived over the (possibly) rewritten content
+        assert hygiene.filter(
+            F.col("content_sha") != F.unhex(F.sha2(F.col("content"), 256))
+        ).count() == 0
+        # the benchmark texts themselves are gone from the corpus
+        from document_automation_spark.operators.decontaminate import (
+            ngram_contamination,
+        )
+
+        bench = spark.read.parquet(bench_path)
+        still = (
+            ngram_contamination(
+                hygiene.withColumnRenamed("content", "text"), bench, n=13
+            )
+            .filter("is_contaminated")
+            .count()
+        )
+        assert still == 0
+
+    def test_hygiene_requires_copy_mode(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="curated_mode='copy'"):
+            run_ingest_pipeline(
+                spark, pages_df(spark, 10, partitions=1), str(tmp_path / "y"),
+                "fp", cfg=ExtractConfig(n_buckets=2),
+                curated_mode="view", pii_redact=True,
+            )
