@@ -1,0 +1,89 @@
+"""operators/domains: per-host stats + allow/block gating."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_automation_spark.operators.domains import (
+    NO_HOST,
+    domain_stats,
+    filter_by_domain,
+    host_col,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "https://example.com/a", "x" * 100),
+        (2, "https://Example.COM/b", "y" * 300),
+        (3, "https://ads.example.com/t", "z" * 50),
+        (4, "http://news.site.org/1", "n" * 200),
+        (5, "http://news.site.org/1", "m" * 200),  # same url re-crawl
+        (6, "not a url at all", "q" * 10),
+        (7, "https://spam.biz/x", "s" * 40),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, url string, text string")
+
+
+class TestDomainStats:
+    def test_stats(self, spark, docs):
+        rows = {r.host: r for r in domain_stats(docs).collect()}
+        assert rows["example.com"].n_docs == 2  # case-insensitive host
+        assert rows["example.com"].n_chars == 400
+        assert rows["ads.example.com"].n_docs == 1
+        assert rows["news.site.org"].n_docs == 2
+        assert rows["news.site.org"].n_urls == 1  # re-crawl of one url
+        assert rows["news.site.org"].docs_per_url == 2.0
+        assert rows[NO_HOST].n_docs == 1  # malformed url bucket
+        assert sum(r.n_docs for r in rows.values()) == 7  # accounting total
+
+    def test_single_shuffle_plan(self, spark, docs):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            domain_stats(docs).explain("formatted")
+        # one shuffle for the groupBy host (+ possibly distinct-url expand),
+        # but never a sort-merge join or a second pass over text
+        assert "SortMergeJoin" not in buf.getvalue()
+
+
+class TestDomainGate:
+    def test_blocklist_with_subdomains(self, spark, docs):
+        kept, obs = filter_by_domain(docs, blocklist=["example.com", "spam.biz"])
+        ids = sorted(r.doc_id for r in kept.collect())
+        assert ids == [4, 5, 6]  # 1,2 host match; 3 subdomain match; 7 match
+        assert obs.get == {"n_docs_in": 7, "n_docs_blocked": 4}
+
+    def test_blocklist_exact_host_only(self, spark, docs):
+        kept, _ = filter_by_domain(
+            docs, blocklist=["example.com"], block_subdomains=False
+        )
+        ids = sorted(r.doc_id for r in kept.collect())
+        assert ids == [3, 4, 5, 6, 7]  # ads.example.com survives
+
+    def test_allowlist(self, spark, docs):
+        kept, obs = filter_by_domain(docs, allowlist=["example.com"])
+        ids = sorted(r.doc_id for r in kept.collect())
+        assert ids == [1, 2, 3]  # subdomain allowed too; (none) blocked
+        assert obs.get["n_docs_blocked"] == 4
+
+    def test_arg_validation(self, spark, docs):
+        with pytest.raises(ValueError, match="exactly one"):
+            filter_by_domain(docs)
+        with pytest.raises(ValueError, match="exactly one"):
+            filter_by_domain(docs, blocklist=["a"], allowlist=["b"])
+        with pytest.raises(ValueError, match="non-empty"):
+            filter_by_domain(docs, blocklist=[])
+        with pytest.raises(ValueError, match="literal cap"):
+            filter_by_domain(docs, blocklist=[f"h{i}.com" for i in range(10_001)])
+
+    def test_zero_shuffle_gate(self, spark, docs):
+        kept, _ = filter_by_domain(docs, blocklist=["example.com"])
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            kept.explain("formatted")
+        assert "Exchange" not in buf.getvalue()
