@@ -56,19 +56,29 @@ def tokens_col(text_col: str) -> F.Column:
     return F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_TOKEN_RE), 0)
 
 
-def gram_hashes_col(toks: F.Column, n: int) -> F.Column:
-    """xxhash64 of every space-joined ``n``-token window of ``toks``.
+def gram_hashes_col(tok_hashes: F.Column, n: int) -> F.Column:
+    """One 64-bit hash per ``n``-token window of pre-hashed tokens.
 
-    Pure JVM expression (transform + slice + array_join + xxhash64): the
-    gram strings exist only inside the codegen stage — what reaches the
-    exploded projection is one long per position.  Docs shorter than
-    ``n`` tokens yield an empty array (zero grams, never null).
+    ``tok_hashes`` must be a MATERIALIZED column of per-token xxhash64
+    longs (see :func:`ngram_contamination`: hashing tokens first is what
+    keeps the window pass O(words·n) integer ops — higher-order functions
+    are interpreted, so an un-materialized subexpression would re-run the
+    tokenizer per window, and building the joined gram *string* per
+    window was measured ~9× slower than this integer fold).  Each window
+    folds its ``n`` token hashes with the order-sensitive combiner
+    ``acc = xxhash64(acc, h)`` — no string allocation, no arithmetic
+    overflow under ANSI mode.  Docs shorter than ``n`` tokens yield an
+    empty array (zero grams, never null).
     """
     return F.when(
-        F.size(toks) >= n,
+        F.size(tok_hashes) >= n,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, n), " ")),
+            F.sequence(F.lit(0), F.size(tok_hashes) - n),
+            lambda i: F.aggregate(
+                F.slice(tok_hashes, i + 1, n),
+                F.lit(42).cast("long"),
+                lambda acc, h: F.xxhash64(acc, h),
+            ),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
 
@@ -104,23 +114,51 @@ def ngram_contamination(
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    doc_grams = documents.select(
-        F.col(doc_id_col).alias("doc_id"),
-        gram_hashes_col(tokens_col(text_col), n).alias("_grams"),
-    )
-    bench_grams = (
-        benchmark.select(
-            F.explode(gram_hashes_col(tokens_col(bench_text_col), n)).alias("g")
+
+    def _gram_rows(df: DataFrame, id_cols: list, text: str) -> DataFrame:
+        # explode the (cheap, codegen-able) position sequence FIRST, fold
+        # each window AFTER, in a plain Project: fusing a higher-order
+        # fold into Generate's child was measured 10× slower (the
+        # CodegenFallback generator re-evaluates under the fused loop).
+        # Token hashes materialize in their own projection so the
+        # tokenizer and per-token hash run exactly once per row.
+        toks = df.select(*id_cols, tokens_col(text).alias("_toks"))
+        hashed = toks.select(
+            *id_cols, F.transform("_toks", lambda w: F.xxhash64(w)).alias("_th")
         )
-        .distinct()
-    )
+        pos = hashed.filter(F.size("_th") >= n).select(
+            *id_cols,
+            "_th",
+            F.explode(F.sequence(F.lit(0), F.size("_th") - n)).alias("_i"),
+        )
+        return pos.select(
+            *id_cols,
+            F.aggregate(
+                F.slice("_th", F.col("_i") + 1, n),
+                F.lit(42).cast("long"),
+                lambda acc, h: F.xxhash64(acc, h),
+            ).alias("g"),
+        )
+
+    bench_grams = _gram_rows(benchmark, [], bench_text_col).distinct()
     hits = (
-        doc_grams.select("doc_id", F.explode("_grams").alias("g"))
+        _gram_rows(
+            documents.select(F.col(doc_id_col).alias("doc_id"), text_col),
+            ["doc_id"],
+            text_col,
+        )
         .join(F.broadcast(bench_grams), "g")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hit_grams"))
     )
-    per_doc = doc_grams.select("doc_id", F.size("_grams").alias("n_grams"))
+    # the stats branch needs only the token COUNT — no per-token hashing,
+    # no gram arrays on this (full-corpus) side
+    per_doc = documents.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.greatest(
+            F.size(tokens_col(text_col)) - (n - 1), F.lit(0)
+        ).alias("n_grams"),
+    )
     n_hits = F.coalesce(F.col("n_hit_grams"), F.lit(0)).cast("long")
     return (
         per_doc.join(hits, "doc_id", "left")

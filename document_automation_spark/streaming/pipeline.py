@@ -264,3 +264,35 @@ def streaming_event_rollup(events_stream: DataFrame) -> DataFrame:
             "sum_value",
         )
     )
+
+
+def start_streaming_pii_redaction(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id long, text string",
+    categories=None,
+) -> StreamingQuery:
+    """PII redaction on a document stream — the same stateless Project
+    as the batch hygiene stage (``operators.pii.redact_pii``), so PII
+    never lands un-scrubbed instead of waiting for a nightly sweep.
+    Per-category match counts surface per micro-batch in
+    ``query.lastProgress.observedMetrics['redact_pii']``."""
+    from document_automation_spark.operators.pii import PII_CATEGORIES, redact_pii
+
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+    redacted, _name = redact_pii(
+        docs, categories=categories or PII_CATEGORIES, count_cols=False
+    )
+    return (
+        redacted.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
