@@ -174,6 +174,8 @@ def main() -> None:
         "lm_perplexity",
         "pii_redaction",
         "benchmark_decontamination",
+        "data_mixing",
+        "sequence_packing",
     ]
     qs = registry.queries()
 
@@ -223,12 +225,24 @@ def main() -> None:
         )
         return out.select("doc_id", "vector_id", serialize.alias("emb_micro"))
 
+    # token_stats' seat gained the quality_features join in round 5
+    # session 3; bench the bare token/fingerprint pass for comparability
+    def _token_stats_only(spark, sf_dir):
+        from document_automation_spark.operators.text_analysis import token_stats
+
+        return token_stats(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            include_bpe=True,
+            include_fingerprint=True,
+        )
+
     qs = {
         **qs,
         "simhash_fingerprints": _simhash_fp_only,
         "exact_dedup": _exact_dedup_only,
         "duplicate_spans": _duplicate_spans_only,
         "hash_embeddings": _hash_embeddings_only,
+        "token_stats": _token_stats_only,
     }
     for name in headliners:
         reps = 3 if name in BEST_OF_3 else 2

@@ -1718,32 +1718,74 @@ def _token_stats_sql() -> str:
     # n_tokens_bpe + the rolling-hash fingerprint folded in (each was its
     # own registry entry in earlier rounds — merged to free seats under
     # the driver's 50-entry report cap; the standalone operators
-    # bpe_token_counts / rolling_fingerprint_col remain available)
+    # bpe_token_counts / rolling_fingerprint_col remain available).
+    # Since round 5 session 3 the quality_features seat is folded in the
+    # same way (doc_id join — both operators still run in full): the
+    # DuckDB twin recomputes the entire Python scoring policy in the
+    # qf CTE chain below, freeing a seat for data_mixing.
     return rf"""
-    SELECT doc_id,
-           length(text) AS n_chars_measured,
-           CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens_ws,
-           ROUND(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
-                 / length(text), 6) AS space_ratio,
-           CAST(len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS BIGINT)
-               AS n_tokens_bpe,
-           list_reduce(
-               list_prepend(CAST(0 AS BIGINT),
-                   list_transform(str_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
-               (acc, c) -> (acc * 31 + c) % 140737488355213) AS fingerprint
-    FROM documents
+    WITH ts AS (
+        SELECT doc_id,
+               length(text) AS n_chars_measured,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens_ws,
+               ROUND(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+                     / length(text), 6) AS space_ratio,
+               CAST(len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS BIGINT)
+                   AS n_tokens_bpe,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(str_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 140737488355213) AS fingerprint
+        FROM documents
+    ),
+    base AS ({_QUAL_TOKS_SQL}),
+    feats AS (
+        SELECT doc_id,
+          CAST(len(toks) AS DOUBLE) AS n_tokens,
+          CASE WHEN length(text) = 0 THEN 0.0
+               ELSE len(regexp_extract_all(text, '[^\p{{L}}\p{{N}}_\s]'))
+                    / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+          CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE len(list_filter(toks, t -> list_contains({_STOPWORDS_SQL},
+                        trim(lower(t), '.,!?;:'))))
+                    / CAST(len(toks) AS DOUBLE) END AS stopword_ratio,
+          CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE list_sum(list_transform(toks, t -> length(t)))
+                    / CAST(len(toks) AS DOUBLE) END AS mean_word_len,
+          length(text) AS n_chars
+        FROM base
+    ),
+    qf AS (
+        SELECT doc_id, n_tokens, punct_ratio, stopword_ratio, mean_word_len,
+               greatest(1.0
+                   - CASE WHEN n_chars < 50 THEN 0.5 ELSE 0.0 END
+                   - CASE WHEN punct_ratio > 0.3 THEN 0.3 ELSE 0.0 END
+                   - CASE WHEN mean_word_len > 15
+                            OR (n_tokens > 0 AND mean_word_len < 2)
+                          THEN 0.2 ELSE 0.0 END,
+                   0.0) AS quality
+        FROM feats
+    )
+    SELECT ts.*, qf.n_tokens, qf.punct_ratio, qf.stopword_ratio,
+           qf.mean_word_len, qf.quality
+    FROM ts JOIN qf USING (doc_id)
     """
 
 
 @register("token_stats", lambda: _token_stats_sql())
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from document_automation_spark.operators.text_analysis import token_stats
-
-    out = token_stats(
-        _t(spark, sf_dir, "documents"), include_bpe=True, include_fingerprint=True
+    """Token/length stats + the composite quality features in one seat
+    (quality_features folded here round 5 session 3 — lossless doc_id
+    join, both operators run in full; see _token_stats_sql)."""
+    from document_automation_spark.operators.text_analysis import (
+        quality_features,
+        token_stats,
     )
-    return out.select(
+
+    docs = _t(spark, sf_dir, "documents")
+    out = token_stats(docs, include_bpe=True, include_fingerprint=True)
+    ts = out.select(
         "doc_id",
         F.col("n_chars_measured").cast("long").alias("n_chars_measured"),
         F.col("n_tokens_ws").cast("long").alias("n_tokens_ws"),
@@ -1751,6 +1793,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens_bpe",
         "fingerprint",
     )
+    return ts.join(quality_features(docs), "doc_id")
 
 
 # (detect_language_script no longer has its own registry entry: its
@@ -1925,45 +1968,109 @@ _STOPWORDS_SQL = (
 )
 
 
+# (quality_features no longer has its own registry entry: its full
+# output — Python scoring policy recomputed by the DuckDB qf CTE chain —
+# rides the token_stats seat via a doc_id join; slot freed for
+# data_mixing under the driver's 50-entry cap.  The standalone operator
+# text_analysis.quality_features remains available and still runs in
+# full inside that seat.)
+
+
+# ---------------------------------------------------------------------
+# Data mixing + sequence packing (LLM pretraining batcher stages)
+# ---------------------------------------------------------------------
+
+_MIX_U_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::UBIGINT / POW(2.0,60)"
+
+
 @register(
-    "quality_features",
+    "data_mixing",
     f"""
-    WITH base AS ({_QUAL_TOKS_SQL}),
-    feats AS (
-        SELECT doc_id,
-          CAST(len(toks) AS DOUBLE) AS n_tokens,
-          CASE WHEN length(text) = 0 THEN 0.0
-               ELSE len(regexp_extract_all(text, '[^\\p{{L}}\\p{{N}}_\\s]'))
-                    / CAST(length(text) AS DOUBLE) END AS punct_ratio,
-          CASE WHEN len(toks) = 0 THEN 0.0
-               ELSE len(list_filter(toks, t -> list_contains({_STOPWORDS_SQL},
-                        trim(lower(t), '.,!?;:'))))
-                    / CAST(len(toks) AS DOUBLE) END AS stopword_ratio,
-          CASE WHEN len(toks) = 0 THEN 0.0
-               ELSE list_sum(list_transform(toks, t -> length(t)))
-                    / CAST(len(toks) AS DOUBLE) END AS mean_word_len,
-          length(text) AS n_chars
-        FROM base
+    WITH counts AS (SELECT lang, COUNT(*) AS n_group FROM documents GROUP BY lang),
+    wt AS (SELECT lang, n_group, POW(CAST(n_group AS DOUBLE), 0.5) AS w FROM counts),
+    rates AS (
+        SELECT lang, n_group,
+               ROUND(LEAST(1.0, 250.0 * (w / (SELECT SUM(w) FROM wt)) / n_group), 6)
+                   AS rate
+        FROM wt
+    ),
+    temp AS (
+        SELECT 'temperature' AS strategy, d.doc_id, d.lang, r.rate AS detail
+        FROM documents d JOIN rates r ON d.lang = r.lang
+        WHERE {_MIX_U_SQL} < r.rate
+    ),
+    u AS (SELECT doc_id, lang, {_MIX_U_SQL} AS u FROM documents),
+    ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rk
+        FROM u
+    ),
+    quota AS (
+        SELECT 'quota' AS strategy, doc_id, lang, CAST(rk AS DOUBLE) AS detail
+        FROM ranked WHERE rk <= 40
     )
-    SELECT doc_id, n_tokens, punct_ratio, stopword_ratio, mean_word_len,
-           greatest(1.0
-               - CASE WHEN n_chars < 50 THEN 0.5 ELSE 0.0 END
-               - CASE WHEN punct_ratio > 0.3 THEN 0.3 ELSE 0.0 END
-               - CASE WHEN mean_word_len > 15
-                        OR (n_tokens > 0 AND mean_word_len < 2)
-                      THEN 0.2 ELSE 0.0 END,
-               0.0) AS quality
-    FROM feats
+    SELECT * FROM temp UNION ALL SELECT * FROM quota
     """,
 )
-def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality features (length/punct/stopword ratios + composite score,
-    kernels/textstats.quality_score) — the full Python scoring policy is
-    recomputed by the DuckDB oracle, raw doubles compared unrounded (all
-    arithmetic is exact-int division → bit-identical across engines)."""
-    from document_automation_spark.operators.text_analysis import quality_features
+def q_data_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing (operators/mixing.py) — temperature-0.5 resampling to
+    ~250 docs plus exact 40-per-lang stratified quotas, tagged union.  The
+    md5-hash uniform draw is a multiple of 2^-60 and rates are rounded to
+    6 dp, so ``u < rate`` can never straddle a cross-engine pow ulp (see
+    module docstring)."""
+    from document_automation_spark.operators.mixing import (
+        stratified_quota_sample,
+        temperature_resample,
+    )
 
-    return quality_features(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
+    temp = temperature_resample(docs, "lang", alpha=0.5, target_rows=250).select(
+        F.lit("temperature").alias("strategy"),
+        "doc_id",
+        "lang",
+        F.col("rate").alias("detail"),
+    )
+    quota = stratified_quota_sample(docs, "lang", quota=40).select(
+        F.lit("quota").alias("strategy"),
+        "doc_id",
+        "lang",
+        F.col("sample_rank").cast("double").alias("detail"),
+    )
+    return temp.unionByName(quota)
+
+
+@register(
+    "sequence_packing",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, source, CAST(n AS BIGINT) AS n,
+               CAST(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+        FROM toks WHERE n > 0
+    )
+    SELECT source, CAST(c AS BIGINT) AS chunk_id, doc_id,
+           CAST(GREATEST(c*256 - (cum_end - n), 0) AS BIGINT) AS doc_token_offset,
+           CAST(GREATEST((cum_end - n) - c*256, 0) AS BIGINT) AS chunk_token_offset,
+           CAST(LEAST(cum_end, (c+1)*256) - GREATEST(cum_end - n, c*256) AS BIGINT)
+               AS seg_tokens
+    FROM cum, LATERAL unnest(generate_series((cum_end - n) // 256,
+                                             (cum_end - 1) // 256)) AS t(c)
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-chop sequence packing at 256 tokens per chunk, sharded by
+    source (operators/packing.py) — the oracle replays the integer layout
+    (per-shard cumulative sums + generate_series segment fold), so the
+    full segment map is hash-exact."""
+    from document_automation_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=256)
 
 
 def _hint_count_sql(hints: list) -> str:
@@ -2261,27 +2368,18 @@ def q_event_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "event_value_quantiles",
-    """
-    SELECT event_type,
-           ROUND(quantile_cont(value, 0.5), 6) AS p50,
-           ROUND(quantile_cont(value, 0.95), 6) AS p95,
-           ROUND(MIN(value), 6) AS min_value,
-           ROUND(MAX(value), 6) AS max_value
-    FROM events GROUP BY event_type
-    """,
-)
-def q_event_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact linear-interpolated percentiles per group (the OLAP quantile
-    pattern; `percentile_approx` is the 100 TB variant — not oracle-
-    comparable across engines, so the exact form carries the gate)."""
+# (event_value_quantiles no longer has its own registry entry: the exact
+# linear-interpolated p50/p95/min columns ride the salted_event_type_stats
+# seat via an event_type join — slot freed for sequence_packing under the
+# driver's 50-entry cap.  The exact-percentile aggregation below still
+# runs in full inside that seat; `percentile_approx` remains the 100 TB
+# variant, not oracle-comparable across engines.)
+def _event_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
         F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
         F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
         F.round(F.min("value"), 6).alias("min_value"),
-        F.round(F.max("value"), 6).alias("max_value"),
     )
 
 
@@ -2324,6 +2422,9 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, COUNT(*) AS n_events,
            ROUND(SUM(value), 6) AS sum_value,
            ROUND(MAX(value), 6) AS max_value,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95,
+           ROUND(MIN(value), 6) AS min_value,
            (SELECT string_agg(DISTINCT source, '|' ORDER BY source)
             FROM documents) AS distinct_sources
     FROM events GROUP BY event_type
@@ -2355,12 +2456,18 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source")
         .agg(F.array_join(F.sort_array(F.collect_set("source")), "|").alias("distinct_sources"))
     )
-    return out.select(
-        "event_type",
-        "n_events",
-        F.round("sum_value_raw", 6).alias("sum_value"),
-        F.round("max_value_raw", 6).alias("max_value"),
-    ).crossJoin(F.broadcast(sources))
+    return (
+        out.select(
+            "event_type",
+            "n_events",
+            F.round("sum_value_raw", 6).alias("sum_value"),
+            F.round("max_value_raw", 6).alias("max_value"),
+        )
+        # event_value_quantiles folded in (lossless event_type join — the
+        # exact-percentile agg still runs in full; see comment above)
+        .join(_event_quantiles(spark, sf_dir), "event_type")
+        .crossJoin(F.broadcast(sources))
+    )
 
 
 # =====================================================================
