@@ -75,6 +75,7 @@ def run_ingest_pipeline(
     pii_redact: bool = False,
     embed: bool = False,
     embed_dim: int = 16,
+    pack_seqlen: int | None = None,
 ) -> dict:
     """Run the whole recipe; returns a summary dict (stage counters).
 
@@ -129,6 +130,16 @@ def run_ingest_pipeline(
     re-derived after the rewrite).  Both compose into ONE plan + ONE
     write; counters land in the summary as ``decontam_*`` / ``pii_*``.
     Requires ``curated_mode='copy'``.
+
+    ``pack_seqlen`` appends the LM-batcher stage: concat-chop sequence
+    packing (``operators.packing.pack_sequences``) over the final curated
+    passages, sharded by the durable ``bucket`` column (the output-file
+    granularity, so every shard's window is bounded) and ordered by the
+    deterministic (doc_id, passage_idx) key; writes the (passage × chunk)
+    segment map to ``chunk_map/`` — the table a training loader joins to
+    materialise fixed-``pack_seqlen``-token batches.  Summary gains
+    ``pack_n_chunks`` / ``pack_n_segments`` / ``pack_n_tokens``.
+    Requires ``curated_mode='copy'`` (reads the final text).
     """
     from document_automation_spark.operators.curate import curate_extracted
     from document_automation_spark.operators.extract import ExtractConfig
@@ -158,6 +169,8 @@ def run_ingest_pipeline(
         raise ValueError(
             "decontaminate/pii_redact rewrite text and need curated_mode='copy'"
         )
+    if pack_seqlen is not None and curated_mode != "copy":
+        raise ValueError("pack_seqlen reads the final text and needs curated_mode='copy'")
 
     if from_text:
         from document_automation_spark.operators.extract import documents_from_text
@@ -456,7 +469,67 @@ def run_ingest_pipeline(
                 )
             )
 
+        if pack_seqlen is not None:
+            summary.update(
+                _pack_stage(
+                    spark,
+                    spark.read.parquet(summary["curated_path"]),
+                    output_path,
+                    pack_seqlen,
+                )
+            )
+
         return summary
+
+
+def _pack_stage(
+    spark: SparkSession, curated: DataFrame, output_path: str, seq_len: int
+) -> dict:
+    """The LM-batcher stage: pack the curated passages into
+    fixed-``seq_len``-token chunks, sharded by the durable ``bucket``
+    column (each shard's cumulative window is bucket-bounded — never
+    corpus-global) with the deterministic (doc_id, passage_idx) order
+    key.  Writes the segment map (the loader's join table) partitioned
+    by bucket like the corpus itself."""
+    from pyspark.sql import functions as F
+
+    from document_automation_spark.operators.packing import chunk_stats, pack_sequences
+
+    packed_in = curated.select(
+        F.col("bucket").alias("shard"),
+        # passage_idx < 10^6 always (500-char passages, <2^31-char docs)
+        F.concat_ws(
+            "#", "doc_id", F.lpad(F.col("passage_idx").cast("string"), 6, "0")
+        ).alias("pack_id"),
+        F.col("content").alias("text"),
+    )
+    segments = pack_sequences(
+        packed_in, seq_len=seq_len, shard_col="shard", id_col="pack_id"
+    )
+    pack_path = os.path.join(output_path, "chunk_map")
+    (
+        segments.write.mode("overwrite")
+        .partitionBy("shard")
+        .option("compression", "zstd")
+        .option("parquet.compression.codec.zstd.level", "1")
+        .parquet(pack_path)
+    )
+    stats = (
+        chunk_stats(spark.read.parquet(pack_path), shard_col="shard")
+        .agg(
+            F.sum("n_chunks").alias("n_chunks"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .first()
+    )
+    n_segments = spark.read.parquet(pack_path).count()
+    return {
+        "pack_path": pack_path,
+        "pack_seq_len": seq_len,
+        "pack_n_chunks": int(stats["n_chunks"] or 0),
+        "pack_n_tokens": int(stats["n_tokens"] or 0),
+        "pack_n_segments": int(n_segments),
+    }
 
 
 def _embed_stage(
@@ -565,6 +638,15 @@ def main(argv=None) -> None:
         help="append the embedding phase: hash-embed curated passages, "
         "assign dense vector ids, write the embeddings table",
     )
+    parser.add_argument(
+        "--pack-seqlen",
+        type=int,
+        default=None,
+        metavar="N",
+        help="append the LM-batcher stage: concat-chop sequence packing "
+        "of the curated passages into N-token chunks (per-bucket windows); "
+        "writes the chunk_map/ segment table",
+    )
     parser.add_argument("--embed-dim", type=int, default=16)
     parser.add_argument(
         "--curated-mode",
@@ -624,6 +706,7 @@ def main(argv=None) -> None:
             pii_redact=args.redact_pii,
             embed=args.embed,
             embed_dim=args.embed_dim,
+            pack_seqlen=args.pack_seqlen,
         )
         print(json.dumps(summary))
     finally:

@@ -52,35 +52,29 @@ def temperature_rates(
     group_col: str,
     alpha: float,
     target_rows: int,
+    cap_at_one: bool = True,
 ) -> DataFrame:
     """Per-group acceptance rates for temperature-``alpha`` resampling.
 
-    Returns ``(group_col, n_group, rate)`` where ``rate = min(1,
-    target_rows * q_g / n_g)`` and ``q_g ∝ (n_g/N)^alpha`` normalised over
-    groups.  One narrow count aggregate + a groups-sized self-join — the
-    corpus itself is touched once, projected to the group column only.
-    Rates are rounded to 6 dp (cross-engine ``pow`` parity; see module
-    docstring).
+    Returns ``(group_col, n_group, rate)`` where ``rate = target_rows *
+    q_g / n_g`` (capped at 1 unless ``cap_at_one=False`` — the
+    upsampling path needs rates > 1 as repeat counts) and ``q_g ∝
+    (n_g/N)^alpha`` normalised over groups.  One narrow count aggregate +
+    a groups-sized self-join — the corpus itself is touched once,
+    projected to the group column only.  Rates are rounded to 6 dp
+    (cross-engine ``pow`` parity; see module docstring).
     """
     counts = documents.groupBy(group_col).agg(F.count("*").alias("n_group"))
     # q_g = (n_g/N)^alpha / Σ_h (n_h/N)^alpha ;  N cancels out of the ratio
     weighted = counts.withColumn("w", F.pow(F.col("n_group").cast("double"), alpha))
     total_w = weighted.agg(F.sum("w").alias("tw"))
-    return (
-        weighted.crossJoin(F.broadcast(total_w))
-        .select(
-            group_col,
-            "n_group",
-            F.round(
-                F.least(
-                    F.lit(1.0),
-                    F.lit(float(target_rows))
-                    * (F.col("w") / F.col("tw"))
-                    / F.col("n_group"),
-                ),
-                6,
-            ).alias("rate"),
-        )
+    raw = (
+        F.lit(float(target_rows)) * (F.col("w") / F.col("tw")) / F.col("n_group")
+    )
+    if cap_at_one:
+        raw = F.least(F.lit(1.0), raw)
+    return weighted.crossJoin(F.broadcast(total_w)).select(
+        group_col, "n_group", F.round(raw, 6).alias("rate")
     )
 
 
@@ -103,6 +97,46 @@ def temperature_resample(
         .join(F.broadcast(rates.select(group_col, "rate")), group_col)
         .where(F.col("u") < F.col("rate"))
         .select(id_col, group_col, "rate")
+    )
+
+
+def upsample_with_repeats(
+    documents: DataFrame,
+    group_col: str = "lang",
+    alpha: float = 0.3,
+    target_rows: int = 600,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature mixing with UPsampling — the half :func:`temperature_
+    resample` can't express: when a flattened group's share calls for more
+    rows than it has (rate > 1), its documents repeat (what XLM-R/mT5
+    actually do for low-resource languages).
+
+    Each row emits ``floor(rate)`` copies plus one more iff ``u(id) <
+    frac(rate)`` — deterministic, expectation exactly ``rate`` per row.
+    Output: one row per copy ``(id_col, group_col, copy_idx, rate)``.
+    Plan shape is identical to the downsampling path (broadcast rate
+    table + row-local explode): zero corpus shuffles.
+    """
+    rates = temperature_rates(
+        documents, group_col, alpha, target_rows, cap_at_one=False
+    )
+    base = F.floor(F.col("rate")).cast("long")
+    frac = F.col("rate") - base
+    n_copies = base + F.when(F.col("u") < frac, F.lit(1)).otherwise(F.lit(0))
+    return (
+        documents.select(id_col, group_col, uniform_hash_col(id_col))
+        .join(F.broadcast(rates.select(group_col, "rate")), group_col)
+        .withColumn("n_copies", n_copies)
+        .where(F.col("n_copies") > 0)
+        .select(
+            id_col,
+            group_col,
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_copies") - 1)).alias(
+                "copy_idx"
+            ),
+            "rate",
+        )
     )
 
 

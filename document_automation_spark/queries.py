@@ -2008,19 +2008,41 @@ _MIX_U_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::UBIGINT / POW
     quota AS (
         SELECT 'quota' AS strategy, doc_id, lang, CAST(rk AS DOUBLE) AS detail
         FROM ranked WHERE rk <= 40
+    ),
+    uw AS (SELECT lang, n_group, POW(CAST(n_group AS DOUBLE), 0.3) AS w FROM counts),
+    urates AS (
+        SELECT lang, n_group,
+               ROUND(600.0 * (w / (SELECT SUM(w) FROM uw)) / n_group, 6) AS rate
+        FROM uw
+    ),
+    ucop AS (
+        SELECT d.doc_id, d.lang,
+               CAST(FLOOR(r.rate) AS BIGINT)
+               + CASE WHEN {_MIX_U_SQL} < r.rate - FLOOR(r.rate)
+                      THEN 1 ELSE 0 END AS n_copies
+        FROM documents d JOIN urates r ON d.lang = r.lang
+    ),
+    upsample AS (
+        SELECT 'upsample' AS strategy, doc_id, lang, CAST(c AS DOUBLE) AS detail
+        FROM (SELECT * FROM ucop WHERE n_copies > 0),
+             LATERAL unnest(generate_series(0, CAST(n_copies - 1 AS BIGINT))) AS t(c)
     )
     SELECT * FROM temp UNION ALL SELECT * FROM quota
+    UNION ALL SELECT * FROM upsample
     """,
 )
 def q_data_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus mixing (operators/mixing.py) — temperature-0.5 resampling to
-    ~250 docs plus exact 40-per-lang stratified quotas, tagged union.  The
-    md5-hash uniform draw is a multiple of 2^-60 and rates are rounded to
-    6 dp, so ``u < rate`` can never straddle a cross-engine pow ulp (see
-    module docstring)."""
+    """Corpus mixing (operators/mixing.py), three strategies as a tagged
+    union: temperature-0.5 DOWNsampling to ~250 docs, exact 40-per-lang
+    stratified quotas, and temperature-0.3 UPsampling to ~600 rows with
+    repeats (detail = copy index).  The md5-hash uniform draw is a
+    multiple of 2^-60 and rates are rounded to 6 dp, so ``u < rate`` /
+    ``u < frac`` can never straddle a cross-engine pow ulp (see module
+    docstring)."""
     from document_automation_spark.operators.mixing import (
         stratified_quota_sample,
         temperature_resample,
+        upsample_with_repeats,
     )
 
     docs = _t(spark, sf_dir, "documents")
@@ -2036,7 +2058,13 @@ def q_data_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.col("sample_rank").cast("double").alias("detail"),
     )
-    return temp.unionByName(quota)
+    ups = upsample_with_repeats(docs, "lang", alpha=0.3, target_rows=600).select(
+        F.lit("upsample").alias("strategy"),
+        "doc_id",
+        "lang",
+        F.col("copy_idx").cast("double").alias("detail"),
+    )
+    return temp.unionByName(quota).unionByName(ups)
 
 
 @register(

@@ -616,3 +616,47 @@ class TestIngestPipeline:
                 "fp", cfg=ExtractConfig(n_buckets=2),
                 curated_mode="view", pii_redact=True,
             )
+
+
+class TestPackStage:
+    def test_pack_stage_segment_map(self, spark, tmp_path):
+        """--pack-seqlen: the LM-batcher stage — the chunk_map/ segment
+        table tiles the curated corpus exactly (total tokens preserved,
+        every non-tail chunk full)."""
+        from document_automation_spark.operators.packing import whitespace_token_count
+
+        pages = pages_df(spark, 50, partitions=4)
+        out = str(tmp_path / "corpus_pack")
+        summary = run_ingest_pipeline(
+            spark, pages, out, "fp-pack",
+            cfg=ExtractConfig(n_buckets=4), pack_seqlen=32,
+        )
+        segs = spark.read.parquet(summary["pack_path"])
+        assert summary["pack_n_segments"] == segs.count() > 0
+        # token conservation vs the curated corpus itself
+        corpus = spark.read.parquet(summary["curated_path"])
+        want_tokens = (
+            corpus.select(whitespace_token_count("content").alias("n"))
+            .where(F.col("n") > 0).agg(F.sum("n")).first()[0]
+        )
+        assert summary["pack_n_tokens"] == want_tokens
+        # every chunk except each shard's tail is exactly full
+        per_chunk = (
+            segs.groupBy("shard", "chunk_id").agg(F.sum("seg_tokens").alias("tok"))
+        )
+        tails = segs.groupBy("shard").agg(F.max("chunk_id").alias("tail"))
+        short_nontail = (
+            per_chunk.join(tails, "shard")
+            .where((F.col("chunk_id") != F.col("tail")) & (F.col("tok") != 32))
+            .count()
+        )
+        assert short_nontail == 0
+        assert summary["pack_seq_len"] == 32
+
+    def test_pack_requires_copy_mode(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="pack_seqlen"):
+            run_ingest_pipeline(
+                spark, pages_df(spark, 10, partitions=1), str(tmp_path / "y"),
+                "fp", cfg=ExtractConfig(n_buckets=2),
+                curated_mode="view", pack_seqlen=16,
+            )

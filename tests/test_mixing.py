@@ -92,3 +92,50 @@ class TestStratifiedQuota:
         large = {(r["lang"], r["doc_id"])
                  for r in stratified_quota_sample(docs, "lang", quota=10).collect()}
         assert small < large
+
+
+class TestUpsampleWithRepeats:
+    def test_expected_total_and_repeats_present(self, docs):
+        from document_automation_spark.operators.mixing import upsample_with_repeats
+
+        out = upsample_with_repeats(docs, "lang", alpha=0.3, target_rows=600).cache()
+        total = out.count()
+        # expectation is exactly 600 (Σ_g n_g · rate_g = target); Bernoulli
+        # remainders give a tight band
+        assert 520 <= total <= 680, total
+        # at alpha=0.3 / target>N, at least one group's rate must exceed 1
+        # → some doc repeats
+        max_copies = out.groupBy("doc_id").count().agg({"count": "max"}).first()[0]
+        assert max_copies >= 2, max_copies
+        out.unpersist()
+
+    def test_copy_indices_dense_per_doc(self, docs):
+        from document_automation_spark.operators.mixing import upsample_with_repeats
+
+        rows = upsample_with_repeats(docs, "lang", alpha=0.3, target_rows=600).collect()
+        by_doc: dict[int, list[int]] = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r["copy_idx"])
+        for doc_id, idxs in by_doc.items():
+            assert sorted(idxs) == list(range(len(idxs))), doc_id
+
+    def test_copies_match_rate_floor_plus_bernoulli(self, docs):
+        """Per doc: n_copies ∈ {floor(rate), floor(rate)+1} and the mean
+        per group tracks the group rate."""
+        from document_automation_spark.operators.mixing import (
+            temperature_rates,
+            upsample_with_repeats,
+        )
+
+        rates = {r["lang"]: r["rate"]
+                 for r in temperature_rates(docs, "lang", 0.3, 600, cap_at_one=False).collect()}
+        rows = upsample_with_repeats(docs, "lang", alpha=0.3, target_rows=600).collect()
+        copies: dict[int, int] = {}
+        lang_of: dict[int, str] = {}
+        for r in rows:
+            copies[r["doc_id"]] = copies.get(r["doc_id"], 0) + 1
+            lang_of[r["doc_id"]] = r["lang"]
+        import math
+        for doc_id, n in copies.items():
+            rate = rates[lang_of[doc_id]]
+            assert n in (math.floor(rate), math.floor(rate) + 1), (doc_id, n, rate)
