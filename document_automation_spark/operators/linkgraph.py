@@ -1,0 +1,153 @@
+"""Link-graph analytics — host-level PageRank over the crawl's hyperlink
+graph (the classic web-curation authority signal; Common Crawl publishes
+exactly this ranking for its host graph).  ``operators/domains.py`` gates
+hosts on corpus STATS; this module adds the graph-structural signal those
+stats can't see.
+
+Spark shape (the textbook distributed PageRank, expressed declaratively):
+
+* nodes/out-degrees are tiny narrow aggregates of the edge list;
+* each power iteration is ONE join (edge src → current rank) + ONE
+  map-side-combined sum by dst + one scalar aggregate for the dangling
+  mass (a DataFrame crossJoin broadcast, never a driver collect);
+* ranks are ``localCheckpoint()``-ed per iteration — the same
+  lineage-truncation discipline as dedup's connected components, so 50
+  iterations can't build a 50-deep recursive plan;
+* at web scale the rank table is |hosts| rows — orders of magnitude
+  smaller than the edge list; the per-iteration shuffles are keyed by
+  host, and the edge list itself is scanned once per iteration with only
+  (src, dst) columns alive.
+
+Determinism contract (shared with the ``host_pagerank`` oracle seat):
+every iteration's rank is ``ROUND(..., 12)`` in BOTH engines, so
+aggregation-order float noise (~1e-16) can never accumulate across
+iterations into the 6-dp output grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iters: int = 5,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Damped PageRank with uniform dangling-mass redistribution.
+
+    ``edges`` is a distinct directed edge list (duplicate edges would
+    weight contributions — callers dedup if that's not intended).
+    Returns ``(node, rank)`` with ranks summing to 1 (up to the 12-dp
+    per-iteration rounding).  Self-loops count as ordinary edges.
+    """
+    if n_iters < 0:
+        raise ValueError(f"n_iters must be >= 0, got {n_iters}")
+    src, dst = F.col(src_col), F.col(dst_col)
+    nodes = (
+        edges.select(src.alias("node"))
+        .union(edges.select(dst.alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = edges.groupBy(src.alias("node")).agg(F.count("*").alias("out_deg"))
+
+    ranks = nodes.withColumn("rank", F.round(F.lit(1.0 / n), 12))
+    base = (1.0 - damping) / n
+    for _ in range(n_iters):
+        # mass sitting on nodes with no outlinks, redistributed uniformly
+        dangling = (
+            ranks.join(out_deg, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
+        )
+        contribs = (
+            edges.select(src.alias("node"), dst.alias("dst_node"))
+            .join(ranks, "node")
+            .join(out_deg, "node")
+            .groupBy(F.col("dst_node").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("inbound"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("inbound"), F.lit(0.0)) + F.col("dangling") / n),
+                    12,
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def host_link_edges(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    html_is_binary: bool = True,
+) -> DataFrame:
+    """Distinct host→host hyperlink edges straight from the pages table —
+    the crawl's own link graph.
+
+    Entirely JVM-side (no Python in the path): decode the payload,
+    ``regexp_extract_all`` the anchor hrefs, explode, resolve
+    root-relative hrefs against the page's own host (a self-host edge —
+    real, and what relative links mean), take hosts of absolute hrefs.
+    Non-HTML payloads (PDF bytes, junk) simply yield no href matches;
+    hrefs/urls whose host can't be parsed are DROPPED rather than
+    bucketed under the domain operators' ``(none)`` sentinel — a sentinel
+    node would aggregate unrelated garbage into one high-degree vertex.
+
+    Scale shape: scan-stage Project + explode, then the DISTINCT is the
+    one shuffle — keyed by (src, dst) host pairs, i.e. already
+    aggregated far below page cardinality.
+    """
+    from document_automation_spark.operators.domains import NO_HOST, host_col
+
+    # lossy decode: non-UTF-8 payloads (PDF bytes, junk) must yield "no
+    # hrefs", never throw (F.decode raises MALFORMED_CHARACTER_CODING
+    # under ANSI; cast + make_valid_utf8 substitutes U+FFFD instead)
+    html_str = (
+        F.expr(f"make_valid_utf8(cast({html_col} as string))")
+        if html_is_binary
+        else F.col(html_col).cast("string")
+    )
+    exploded = pages.select(
+        host_col(url_col).alias("src"),
+        F.explode(
+            F.regexp_extract_all(html_str, F.lit('href="([^"]+)"'), 1)
+        ).alias("href"),
+    )
+    # scheme'd hrefs (http:, mailto:, javascript:, …) carry their own
+    # host — parse it (hostless schemes parse to null → dropped below);
+    # protocol-relative //host/path inherits https; everything else is a
+    # relative reference, whose host is the page's own
+    parsed_host = F.coalesce(
+        F.lower(F.try_parse_url(F.col("href"), F.lit("HOST"))), F.lit(NO_HOST)
+    )
+    proto_rel_host = F.coalesce(
+        F.lower(
+            F.try_parse_url(F.concat(F.lit("https:"), F.col("href")), F.lit("HOST"))
+        ),
+        F.lit(NO_HOST),
+    )
+    dst = (
+        F.when(F.col("href").startswith("//"), proto_rel_host)
+        .when(F.col("href").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:"), parsed_host)
+        .otherwise(F.col("src"))
+    )
+    return (
+        exploded.select("src", dst.alias("dst"))
+        .where((F.col("src") != NO_HOST) & (F.col("dst") != NO_HOST))
+        .distinct()
+    )

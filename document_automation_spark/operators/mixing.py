@@ -53,6 +53,7 @@ def temperature_rates(
     alpha: float,
     target_rows: int,
     cap_at_one: bool = True,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-group acceptance rates for temperature-``alpha`` resampling.
 
@@ -63,8 +64,17 @@ def temperature_rates(
     a groups-sized self-join — the corpus itself is touched once,
     projected to the group column only.  Rates are rounded to 6 dp
     (cross-engine ``pow`` parity; see module docstring).
+
+    ``weight_col`` switches the group-size measure from row counts to a
+    column sum (e.g. token counts): production mixes weight languages by
+    TOKENS, not documents, so a verbose group can't dominate by document
+    count.  ``n_group`` then holds the group's total weight; the per-row
+    keep/repeat decision is unchanged (row-local), so the expected
+    SAMPLED ROW count per group is ``target_rows·q_g`` with q over
+    weight shares.
     """
-    counts = documents.groupBy(group_col).agg(F.count("*").alias("n_group"))
+    size = F.count("*") if weight_col is None else F.sum(weight_col)
+    counts = documents.groupBy(group_col).agg(size.cast("long").alias("n_group"))
     # q_g = (n_g/N)^alpha / Σ_h (n_h/N)^alpha ;  N cancels out of the ratio
     weighted = counts.withColumn("w", F.pow(F.col("n_group").cast("double"), alpha))
     total_w = weighted.agg(F.sum("w").alias("tw"))
@@ -84,14 +94,18 @@ def temperature_resample(
     alpha: float = 0.5,
     target_rows: int = 250,
     id_col: str = "doc_id",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Keep each row iff ``u(id) < rate(group)`` — flattened group mix.
 
     Output: ``(id_col, group_col, rate)`` for the surviving rows.  The
     corpus-side plan is scan → broadcast-join a tiny rate table → filter:
-    zero corpus shuffles, safe at any scale.
+    zero corpus shuffles, safe at any scale.  ``weight_col`` measures
+    group sizes by a column sum (tokens) instead of row counts.
     """
-    rates = temperature_rates(documents, group_col, alpha, target_rows)
+    rates = temperature_rates(
+        documents, group_col, alpha, target_rows, weight_col=weight_col
+    )
     return (
         documents.select(id_col, group_col, uniform_hash_col(id_col))
         .join(F.broadcast(rates.select(group_col, "rate")), group_col)
@@ -106,6 +120,7 @@ def upsample_with_repeats(
     alpha: float = 0.3,
     target_rows: int = 600,
     id_col: str = "doc_id",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Temperature mixing with UPsampling — the half :func:`temperature_
     resample` can't express: when a flattened group's share calls for more
@@ -119,7 +134,7 @@ def upsample_with_repeats(
     table + row-local explode): zero corpus shuffles.
     """
     rates = temperature_rates(
-        documents, group_col, alpha, target_rows, cap_at_one=False
+        documents, group_col, alpha, target_rows, cap_at_one=False, weight_col=weight_col
     )
     base = F.floor(F.col("rate")).cast("long")
     frac = F.col("rate") - base

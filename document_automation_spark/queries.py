@@ -261,35 +261,36 @@ def q_comb_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ORDER BY score_num DESC, doc_id
                ) - 1 AS rank0
         FROM scores
+    ),
+    rrf AS (
+        SELECT query_id, doc_id,
+               ROUND(SUM(1.0 / (61.0 + rank0)), 9) AS rrf_score
+        FROM ranked GROUP BY query_id, doc_id
+    ),
+    concat_dedup AS (
+        SELECT query_id, doc_id, score_num, retriever FROM (
+            SELECT query_id, doc_id, score_num, retriever,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id, doc_id ORDER BY retriever DESC
+                   ) AS rn
+            FROM scores
+        ) WHERE rn = 1
     )
-    SELECT query_id, doc_id,
-           ROUND(SUM(1.0 / (61.0 + rank0)), 9) AS rrf_score
-    FROM ranked GROUP BY query_id, doc_id
+    SELECT r.query_id, r.doc_id, r.rrf_score, c.score_num, c.retriever
+    FROM rrf r JOIN concat_dedup c
+      ON r.query_id = c.query_id AND r.doc_id = c.doc_id
     """,
 )
 def q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from document_automation_spark.operators.fusion import rrf
+    """RRF fusion + concatenate-dedup in one seat (concatenate_dedup
+    folded here round 5 session 3 — both operators emit exactly one row
+    per (query_id, doc_id) over the same scores, so the join is 1:1
+    lossless; slot freed for host_pagerank under the driver's 50-entry
+    cap)."""
+    from document_automation_spark.operators.fusion import concatenate_dedup, rrf
 
-    return rrf(derived_scores(_t(spark, sf_dir, "documents")))
-
-
-@register(
-    "concatenate_dedup",
-    f"""
-    WITH scores AS ({SCORES_SQL})
-    SELECT query_id, doc_id, score_num, retriever FROM (
-        SELECT query_id, doc_id, score_num, retriever,
-               ROW_NUMBER() OVER (
-                   PARTITION BY query_id, doc_id ORDER BY retriever DESC
-               ) AS rn
-        FROM scores
-    ) WHERE rn = 1
-    """,
-)
-def q_concat_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from document_automation_spark.operators.fusion import concatenate_dedup
-
-    return concatenate_dedup(derived_scores(_t(spark, sf_dir, "documents")))
+    scores = derived_scores(_t(spark, sf_dir, "documents"))
+    return rrf(scores).join(concatenate_dedup(scores), ["query_id", "doc_id"])
 
 
 _HYBRID_SQL_BODY = f"""
@@ -2099,6 +2100,73 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_automation_spark.operators.packing import pack_sequences
 
     return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=256)
+
+
+def _pagerank_sql(n_iters: int = 5) -> str:
+    """Oracle twin of operators/linkgraph.pagerank over the seat's
+    deterministic doc_id-derived graph: the power iteration unrolled as
+    chained CTEs (standard SQL forbids aggregates in a recursive term),
+    per-iteration ROUND(...,12) matching the Spark side exactly."""
+    iters = []
+    for k in range(1, n_iters + 1):
+        prev = f"r{k - 1}"
+        iters.append(f"""
+    r{k} AS (
+        SELECT nodes.node,
+               ROUND((1.0 - 0.85) / (SELECT n FROM nn)
+                     + 0.85 * (COALESCE(inb.inbound, 0)
+                         + (SELECT COALESCE(SUM(p.rank), 0) FROM {prev} p
+                            LEFT JOIN deg ON p.node = deg.node
+                            WHERE deg.node IS NULL) / (SELECT n FROM nn)),
+                     12) AS rank
+        FROM nodes LEFT JOIN (
+            SELECT e.dst AS node, SUM(p.rank / d.out_deg) AS inbound
+            FROM edges e JOIN {prev} p ON e.src = p.node
+            JOIN deg d ON e.src = d.node
+            GROUP BY e.dst
+        ) inb ON nodes.node = inb.node
+    )""")
+    return f"""
+    WITH edges AS (
+        SELECT DISTINCT (doc_id * 7 + 3) % 97 AS src,
+                        (doc_id * 31 + 11) % 97 AS dst
+        FROM documents
+    ),
+    nodes AS (
+        SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+        )
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS out_deg FROM edges GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT node, ROUND(1.0 / (SELECT n FROM nn), 12) AS rank FROM nodes),
+    {','.join(iters)}
+    SELECT CAST(node AS BIGINT) AS node, ROUND(rank, 9) AS rank FROM r{n_iters}
+    """
+
+
+@register("host_pagerank", lambda: _pagerank_sql(5))
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level PageRank (operators/linkgraph.py — the web-curation
+    authority signal; Common Crawl publishes this ranking for its host
+    graph) over a deterministic doc_id-derived 97-node graph, 5 damped
+    power iterations with uniform dangling-mass redistribution.  The
+    production edge source is :func:`linkgraph.host_link_edges` over the
+    extraction output's link column — pinned against numpy power
+    iteration in tests/test_linkgraph.py; this seat pins the distributed
+    iteration itself cross-engine (per-iteration 12-dp rounding makes the
+    doubles identical)."""
+    from document_automation_spark.operators.linkgraph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        ((F.col("doc_id") * 7 + 3) % 97).alias("src"),
+        ((F.col("doc_id") * 31 + 11) % 97).alias("dst"),
+    ).distinct()
+    out = pagerank(edges, n_iters=5, damping=0.85)
+    return out.select(
+        F.col("node").cast("long").alias("node"), F.round("rank", 9).alias("rank")
+    )
 
 
 def _hint_count_sql(hints: list) -> str:
