@@ -76,6 +76,8 @@ def run_ingest_pipeline(
     embed: bool = False,
     embed_dim: int = 16,
     pack_seqlen: int | None = None,
+    classifier_good_path: str | None = None,
+    classifier_alpha: float = 9.0,
 ) -> dict:
     """Run the whole recipe; returns a summary dict (stage counters).
 
@@ -131,6 +133,17 @@ def run_ingest_pipeline(
     write; counters land in the summary as ``decontam_*`` / ``pii_*``.
     Requires ``curated_mode='copy'``.
 
+    ``classifier_good_path`` appends the GPT-3-style learned quality
+    filter (``operators.quality_classifier``): train reference-vs-crawl
+    logistic regression (positives = the trusted parquet's ``text``
+    column, negatives = a deterministic hash-sample of the corpus
+    itself), score every curated doc in the same map pass as the write,
+    keep iff ``pareto(classifier_alpha) > 1 - score`` (importance
+    sampling, not a hard cut).  Summary gains ``classifier_n_docs`` /
+    ``classifier_n_kept``; ``curated_path`` moves to the filtered table
+    which carries a ``quality_score`` column.  Requires
+    ``curated_mode='copy'``.
+
     ``pack_seqlen`` appends the LM-batcher stage: concat-chop sequence
     packing (``operators.packing.pack_sequences``) over the final curated
     passages, sharded by the durable ``bucket`` column (the output-file
@@ -171,6 +184,10 @@ def run_ingest_pipeline(
         )
     if pack_seqlen is not None and curated_mode != "copy":
         raise ValueError("pack_seqlen reads the final text and needs curated_mode='copy'")
+    if classifier_good_path and curated_mode != "copy":
+        raise ValueError(
+            "classifier_good_path re-reads the corpus and needs curated_mode='copy'"
+        )
 
     if from_text:
         from document_automation_spark.operators.extract import documents_from_text
@@ -462,6 +479,18 @@ def run_ingest_pipeline(
                 summary.update({f"pii_{k}": int(v or 0) for k, v in obs_p.get.items()})
             summary["curated_path"] = hygiene_path
 
+        if classifier_good_path:
+            summary.update(
+                _classifier_stage(
+                    spark,
+                    spark.read.parquet(summary["curated_path"]),
+                    output_path,
+                    classifier_good_path,
+                    classifier_alpha,
+                )
+            )
+            summary["curated_path"] = summary["classifier_path"]
+
         if embed:
             summary.update(
                 _embed_stage(
@@ -480,6 +509,64 @@ def run_ingest_pipeline(
             )
 
         return summary
+
+
+def _classifier_stage(
+    spark: SparkSession,
+    curated: DataFrame,
+    output_path: str,
+    good_path: str,
+    alpha: float,
+) -> dict:
+    """GPT-3-style learned quality filter as one more pipeline stage:
+    positives = the trusted reference parquet, negatives = a ~2×-positive
+    deterministic hash-sample of the corpus itself (the GPT-3 recipe —
+    raw crawl IS the negative class), score inline on the corpus scan
+    (map-only MLlib transform, no re-join), pareto-importance keep."""
+    from pyspark.sql import functions as F
+
+    from document_automation_spark.operators.mixing import uniform_hash_col
+    from document_automation_spark.operators.quality_classifier import (
+        pareto_importance_filter,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    pos = spark.read.parquet(good_path).select("text")
+    corpus = curated.withColumnRenamed("content", "text")
+    n_pos = pos.count()
+    n_docs = corpus.count()
+    rate = min(1.0, (2.0 * n_pos) / max(n_docs, 1))
+    neg = corpus.select("doc_id", "text").where(uniform_hash_col("doc_id") < rate)
+    model = train_quality_classifier(pos, neg.select("text"))
+
+    # persist the model beside the corpus (the reusable artifact) AND
+    # reload it: a freshly-fit LR model drags its training summary — which
+    # holds the SparkSession — into the scoring task closure
+    # (NotSerializableException on the write); load() strips it
+    from pyspark.ml import PipelineModel
+
+    model_path = os.path.join(output_path, "quality_classifier_model")
+    model.write().overwrite().save(model_path)
+    model = PipelineModel.load(model_path)
+
+    scored = score_quality(corpus, model, keep_all=True)
+    kept = pareto_importance_filter(scored, alpha=alpha)
+    classifier_path = os.path.join(output_path, "curated_classifier")
+    (
+        kept.withColumnRenamed("text", "content")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .option("parquet.compression.codec.zstd.level", "1")
+        .parquet(classifier_path)
+    )
+    n_kept = spark.read.parquet(classifier_path).count()
+    return {
+        "classifier_path": classifier_path,
+        "classifier_n_docs": int(n_docs),
+        "classifier_n_kept": int(n_kept),
+        "classifier_n_pos": int(n_pos),
+    }
 
 
 def _pack_stage(
@@ -639,6 +726,14 @@ def main(argv=None) -> None:
         "assign dense vector ids, write the embeddings table",
     )
     parser.add_argument(
+        "--quality-classifier",
+        metavar="GOOD_PARQUET",
+        help="append the GPT-3-style learned quality filter: train "
+        "reference-vs-crawl LR (positives = this parquet's text column, "
+        "negatives = a corpus hash-sample), score inline, pareto-keep",
+    )
+    parser.add_argument("--classifier-alpha", type=float, default=9.0)
+    parser.add_argument(
         "--pack-seqlen",
         type=int,
         default=None,
@@ -707,6 +802,8 @@ def main(argv=None) -> None:
             embed=args.embed,
             embed_dim=args.embed_dim,
             pack_seqlen=args.pack_seqlen,
+            classifier_good_path=args.quality_classifier,
+            classifier_alpha=args.classifier_alpha,
         )
         print(json.dumps(summary))
     finally:

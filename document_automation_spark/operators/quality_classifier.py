@@ -1,0 +1,138 @@
+"""Classifier-based quality filtering — the GPT-3/LLaMA curation recipe
+(GPT-3 paper, Appendix A: train a classifier to distinguish a trusted
+reference corpus from raw crawl, score every crawl doc, then keep a doc
+iff ``score > 1 - pareto_draw`` so low-scored docs still enter the mix
+with small probability).  Completes the repo's quality-filter family:
+Gopher/C4 rules (heuristics), CCNet bigram LM (perplexity), and now the
+learned-classifier leg.
+
+Spark-first: the whole path is MLlib DataFrame stages — RegexTokenizer →
+(unigram + bigram) hashing-trick features → LogisticRegression — so
+featurization and scoring are JVM transforms (no Python in the scoring
+path) and training is MLlib's distributed L-BFGS.  Scale shape: training
+reads the two labelled samples once (reference corpora are small by
+construction); scoring is a map-only transform over the corpus scan —
+zero shuffles; the pareto gate is a row-local expression reusing the
+engine-wide md5 uniform draw (operators/mixing.uniform_hash_col).
+
+Not oracle-seated: L-BFGS weights are not SQL-replayable (the honest
+boundary, same as the InfoNCE trainer); the pytest gate instead checks
+held-out separation, score determinism, the exact pareto keep rule
+against an independent Python recomputation, and the map-only scoring
+plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_N_FEATURES = 1 << 18
+
+
+def _feature_pipeline(text_col: str, n_features: int):
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import HashingTF, NGram, RegexTokenizer, SQLTransformer
+
+    return Pipeline(
+        stages=[
+            RegexTokenizer(
+                inputCol=text_col, outputCol="qc_words", pattern=r"\W+", toLowercase=True
+            ),
+            NGram(n=2, inputCol="qc_words", outputCol="qc_bigrams"),
+            # one hashing space over unigrams + bigrams (fasttext-style)
+            SQLTransformer(
+                statement="SELECT *, concat(qc_words, qc_bigrams) AS qc_tokens FROM __THIS__"
+            ),
+            HashingTF(
+                inputCol="qc_tokens", outputCol="qc_features", numFeatures=n_features
+            ),
+        ]
+    )
+
+
+def train_quality_classifier(
+    positive: DataFrame,
+    negative: DataFrame,
+    text_col: str = "text",
+    n_features: int = DEFAULT_N_FEATURES,
+    reg_param: float = 0.01,
+    max_iter: int = 50,
+):
+    """Fit the reference-vs-crawl classifier.
+
+    ``positive`` = trusted reference docs (label 1), ``negative`` = raw
+    crawl sample (label 0); both only need ``text_col``.  Returns a
+    fitted PipelineModel whose last stage is the LogisticRegression —
+    pass it to :func:`score_quality`.
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+
+    labelled = positive.select(
+        F.col(text_col), F.lit(1.0).alias("qc_label")
+    ).unionByName(negative.select(F.col(text_col), F.lit(0.0).alias("qc_label")))
+    pipeline = Pipeline(
+        stages=_feature_pipeline(text_col, n_features).getStages()
+        + [
+            LogisticRegression(
+                featuresCol="qc_features",
+                labelCol="qc_label",
+                predictionCol="qc_prediction",
+                probabilityCol="qc_probability",
+                rawPredictionCol="qc_raw",
+                regParam=reg_param,
+                maxIter=max_iter,
+            )
+        ]
+    )
+    return pipeline.fit(labelled)
+
+
+def score_quality(
+    docs: DataFrame,
+    model,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_all: bool = False,
+) -> DataFrame:
+    """P(reference | doc) per document — map-only MLlib transform.
+
+    Output: ``(id_col, quality_score)`` with the score rounded to 9 dp
+    (the repo's double-output convention); ``keep_all=True`` instead
+    returns ALL input columns + ``quality_score`` in the same map pass
+    (what a pipeline stage wants — scoring inline on the corpus scan, no
+    score/corpus re-join shuffle).
+    """
+    from pyspark.ml.functions import vector_to_array
+
+    prob = F.round(vector_to_array(F.col("qc_probability"))[1], 9).alias(
+        "quality_score"
+    )
+    if keep_all:
+        scored = model.transform(docs)
+        return scored.select(*docs.columns, prob)
+    scored = model.transform(docs.select(id_col, text_col))
+    return scored.select(id_col, prob)
+
+
+def pareto_importance_filter(
+    scored: DataFrame,
+    alpha: float = 9.0,
+    score_col: str = "quality_score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-3 Appendix A's keep rule: ``np.random.pareto(alpha) > 1 - score``.
+
+    The pareto draw is the Lomax inverse CDF ``u^(-1/alpha) - 1`` over the
+    engine-wide deterministic md5 uniform (so re-runs keep the same docs
+    — reproducible corpora, unlike np.random).  High-score docs are kept
+    almost surely; low-score docs survive with small probability, which
+    is the point: the filter importance-SAMPLES rather than hard-cuts.
+    Row-local expression — zero shuffles.
+    """
+    from document_automation_spark.operators.mixing import uniform_hash_col
+
+    u = uniform_hash_col(id_col)
+    pareto = F.pow(u, F.lit(-1.0 / alpha)) - F.lit(1.0)
+    return scored.where(pareto > (F.lit(1.0) - F.col(score_col)))

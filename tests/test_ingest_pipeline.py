@@ -660,3 +660,60 @@ class TestPackStage:
                 "fp", cfg=ExtractConfig(n_buckets=2),
                 curated_mode="view", pack_seqlen=16,
             )
+
+
+class TestClassifierStage:
+    def test_classifier_stage_scores_and_filters(self, spark, tmp_path):
+        """--quality-classifier: reference-vs-crawl LR + pareto keep — the
+        filtered corpus carries quality_score and every surviving row
+        satisfies the exact GPT-3 keep rule.
+
+        With a same-distribution reference (positives drawn from the
+        corpus itself) the LR converges near the class prior, so the
+        default alpha=9 would keep ~1% — use a gentle alpha here so the
+        wiring test keeps the majority; the selectivity behaviour itself
+        is pinned by tests/test_quality_classifier.py."""
+        pages = pages_df(spark, 60, partitions=4)
+        good_dir = str(tmp_path / "good")
+        base = run_ingest_pipeline(
+            spark, pages, str(tmp_path / "seed"), "fp-seed",
+            cfg=ExtractConfig(n_buckets=4),
+        )
+        (
+            spark.read.parquet(base["curated_path"])
+            .select(F.col("content").alias("text")).limit(150)
+            .write.parquet(good_dir)
+        )
+        out = str(tmp_path / "corpus_cls")
+        summary = run_ingest_pipeline(
+            spark, pages, out, "fp-cls",
+            cfg=ExtractConfig(n_buckets=4),
+            classifier_good_path=good_dir,
+            classifier_alpha=0.2,
+        )
+        kept = spark.read.parquet(summary["curated_path"])
+        assert "quality_score" in kept.columns
+        assert summary["classifier_n_kept"] == kept.count() > 0
+        assert summary["classifier_n_kept"] <= summary["classifier_n_docs"]
+        # gentle alpha + near-prior scores → the majority survives
+        assert summary["classifier_n_kept"] / summary["classifier_n_docs"] > 0.5
+        # every kept row satisfies pareto(u(doc_id)) > 1 - score, replayed
+        # in pure Python from the engine's deterministic md5 uniform
+        import hashlib
+
+        for r in kept.select("doc_id", "quality_score").collect():
+            u = int(hashlib.md5(r["doc_id"].encode()).hexdigest()[:15], 16) / 2**60
+            assert u ** (-1 / 0.2) - 1 > 1 - r["quality_score"]
+        # scores are probabilities
+        mm = kept.agg(
+            F.min("quality_score").alias("lo"), F.max("quality_score").alias("hi")
+        ).first()
+        assert 0.0 <= mm["lo"] <= mm["hi"] <= 1.0
+
+    def test_classifier_requires_copy_mode(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="classifier"):
+            run_ingest_pipeline(
+                spark, pages_df(spark, 10, partitions=1), str(tmp_path / "z"),
+                "fp", cfg=ExtractConfig(n_buckets=2),
+                curated_mode="view", classifier_good_path="/nonexistent",
+            )
