@@ -78,6 +78,8 @@ def run_ingest_pipeline(
     pack_seqlen: int | None = None,
     classifier_good_path: str | None = None,
     classifier_alpha: float = 9.0,
+    dedup_against_path: str | None = None,
+    trust_existing_sha: bool = False,
 ) -> dict:
     """Run the whole recipe; returns a summary dict (stage counters).
 
@@ -144,6 +146,18 @@ def run_ingest_pipeline(
     which carries a ``quality_score`` column.  Requires
     ``curated_mode='copy'``.
 
+    ``dedup_against_path`` appends cross-snapshot incremental dedup
+    (``operators.curate.dedup_against_corpus``): drop every curated row
+    whose content already exists in the previously-published corpus at
+    that path — the Common-Crawl monthly-snapshot recipe (most of each
+    snapshot is carry-over; dropping it here spares every later stage).
+    ``trust_existing_sha=True`` prunes the existing-corpus scan to its
+    ``content_sha`` column alone (pass it only for corpora written by
+    this engine's durable writer).  Summary gains ``xsnap_rows_in`` /
+    ``xsnap_rows_kept``.  Requires ``curated_mode='copy'``.  Runs FIRST
+    among the optional stages (right after curation) so carried-over
+    rows never reach span surgery / quality / hygiene / classifier.
+
     ``pack_seqlen`` appends the LM-batcher stage: concat-chop sequence
     packing (``operators.packing.pack_sequences``) over the final curated
     passages, sharded by the durable ``bucket`` column (the output-file
@@ -187,6 +201,10 @@ def run_ingest_pipeline(
     if classifier_good_path and curated_mode != "copy":
         raise ValueError(
             "classifier_good_path re-reads the corpus and needs curated_mode='copy'"
+        )
+    if dedup_against_path and curated_mode != "copy":
+        raise ValueError(
+            "dedup_against_path re-reads the corpus and needs curated_mode='copy'"
         )
 
     if from_text:
@@ -370,13 +388,39 @@ def run_ingest_pipeline(
         )
         summary = {**extract_summary, **stats_row, "curated_path": curated_path}
 
+        if dedup_against_path:
+            from document_automation_spark.operators.curate import (
+                dedup_against_corpus,
+            )
+
+            existing = spark.read.parquet(dedup_against_path)
+            fresh = dedup_against_corpus(
+                spark.read.parquet(curated_path),
+                existing,
+                # THIS run just wrote curated_path with the current writer
+                new_sha_complete=True,
+                existing_sha_complete=trust_existing_sha,
+            )
+            obs_x = Observation("xsnap")
+            xsnap_path = os.path.join(output_path, "curated_incremental")
+            (
+                fresh.observe(obs_x, F.count(F.lit(1)).alias("rows_kept"))
+                .write.mode("overwrite")
+                .option("compression", "zstd")
+                .option("parquet.compression.codec.zstd.level", "1")
+                .parquet(xsnap_path)
+            )
+            summary["xsnap_rows_in"] = int(stats_row.get("rows_out") or 0)
+            summary["xsnap_rows_kept"] = int(obs_x.get["rows_kept"] or 0)
+            summary["curated_path"] = xsnap_path
+
         if cut_dup_spans:
             from document_automation_spark.operators.dedup import (
                 cut_spans,
                 duplicate_spans,
             )
 
-            corpus = spark.read.parquet(curated_path)
+            corpus = spark.read.parquet(summary["curated_path"])
             as_docs = corpus.withColumnRenamed("content", "text")
             span_cache: list = []
             spans = duplicate_spans(
@@ -734,6 +778,18 @@ def main(argv=None) -> None:
     )
     parser.add_argument("--classifier-alpha", type=float, default=9.0)
     parser.add_argument(
+        "--dedup-against",
+        metavar="CORPUS_PARQUET",
+        help="append cross-snapshot incremental dedup: drop curated rows "
+        "whose content already exists in this previously-published corpus",
+    )
+    parser.add_argument(
+        "--trust-existing-sha",
+        action="store_true",
+        help="with --dedup-against: prune the existing-corpus scan to its "
+        "content_sha column (only for corpora written by this engine)",
+    )
+    parser.add_argument(
         "--pack-seqlen",
         type=int,
         default=None,
@@ -804,6 +860,8 @@ def main(argv=None) -> None:
             pack_seqlen=args.pack_seqlen,
             classifier_good_path=args.quality_classifier,
             classifier_alpha=args.classifier_alpha,
+            dedup_against_path=args.dedup_against,
+            trust_existing_sha=args.trust_existing_sha,
         )
         print(json.dumps(summary))
     finally:

@@ -304,3 +304,47 @@ def apply_tombstones(
     return documents.filter(~quarantined_f & ~gate_f).join(
         losers, ["url", "passage_idx"], "left_anti"
     )
+
+
+def dedup_against_corpus(
+    new_docs: DataFrame,
+    existing: DataFrame,
+    new_sha_complete: bool = False,
+    existing_sha_complete: bool = False,
+) -> DataFrame:
+    """Cross-snapshot exact dedup: drop rows of a NEW crawl whose content
+    already exists in a previously-published corpus (the Common-Crawl
+    monthly-snapshot story — the majority of each snapshot is carry-over
+    from the last one, and re-curating it wastes every downstream stage).
+
+    Spark shape: the existing corpus contributes only its DISTINCT
+    32-byte dedup key (with ``existing_sha_complete=True`` the scan is
+    column-pruned to ``content_sha`` alone — ~1/1000 of the table bytes;
+    the default keeps :func:`_dedup_key`'s null-safe re-hash guard, which
+    costs reading ``content`` once).  One LEFT ANTI join on the key —
+    AQE broadcasts the key table when it fits, and engine-written
+    corpora can bucket by ``content_sha`` so repeated monthly runs
+    co-locate without a new-side shuffle.  Within-snapshot dedup is
+    :func:`curate_extracted`'s job; this is strictly the cross-snapshot
+    leg, so compose them (curate first, then this).
+    """
+    def _binary_key(df: DataFrame, complete: bool) -> "F.Column":
+        # _dedup_key yields BINARY when a content_sha column exists but a
+        # hex STRING when hashing from scratch — normalize so a sha-less
+        # side still joins an engine-written one
+        key = _dedup_key(df, complete)
+        if "content_sha" not in df.columns:
+            key = F.unhex(key)
+        return key
+
+    key_new = _binary_key(new_docs, new_sha_complete)
+    old_keys = (
+        existing.select(_binary_key(existing, existing_sha_complete).alias("_xsha"))
+        .where(F.col("_xsha").isNotNull())
+        .distinct()
+    )
+    return (
+        new_docs.withColumn("_xsha", key_new)
+        .join(old_keys, "_xsha", "left_anti")
+        .drop("_xsha")
+    )

@@ -717,3 +717,80 @@ class TestClassifierStage:
                 "fp", cfg=ExtractConfig(n_buckets=2),
                 curated_mode="view", classifier_good_path="/nonexistent",
             )
+
+
+class TestIncrementalStage:
+    def test_dedup_against_previous_snapshot(self, spark, tmp_path):
+        """--dedup-against: snapshot 2 (a superset crawl) keeps exactly
+        the content absent from snapshot 1's published corpus."""
+        snap1 = pages_df(spark, 60, partitions=4)
+        snap2 = pages_df(spark, 90, partitions=4)  # same seed: 60 carry-over
+        s1 = run_ingest_pipeline(
+            spark, snap1, str(tmp_path / "c1"), "fp-s1",
+            cfg=ExtractConfig(n_buckets=4),
+        )
+        s2 = run_ingest_pipeline(
+            spark, snap2, str(tmp_path / "c2"), "fp-s2",
+            cfg=ExtractConfig(n_buckets=4),
+            dedup_against_path=s1["curated_path"],
+        )
+        kept = spark.read.parquet(s2["curated_path"])
+        # independent set-difference replay on the content hashes
+        full = run_ingest_pipeline(
+            spark, snap2, str(tmp_path / "c2full"), "fp-s2",
+            cfg=ExtractConfig(n_buckets=4),
+        )
+        shas_full = {
+            r["content_sha"]
+            for r in spark.read.parquet(full["curated_path"]).select("content_sha").collect()
+        }
+        shas_old = {
+            r["content_sha"]
+            for r in spark.read.parquet(s1["curated_path"]).select("content_sha").collect()
+        }
+        shas_kept = {r["content_sha"] for r in kept.select("content_sha").collect()}
+        assert shas_kept == shas_full - shas_old
+        assert 0 < kept.count() < full["rows_out"]
+        assert s2["xsnap_rows_kept"] == kept.count()
+        assert s2["xsnap_rows_in"] == s2["rows_out"]
+
+    def test_trusted_sha_path_matches_and_prunes(self, spark, tmp_path):
+        """trust_existing_sha=True gives identical output AND a scan of
+        the existing corpus pruned to content_sha alone."""
+        from document_automation_spark.operators.curate import dedup_against_corpus
+
+        snap1 = pages_df(spark, 40, partitions=2)
+        s1 = run_ingest_pipeline(
+            spark, snap1, str(tmp_path / "c1"), "fp",
+            cfg=ExtractConfig(n_buckets=2),
+        )
+        existing = spark.read.parquet(s1["curated_path"])
+        new = spark.read.parquet(s1["curated_path"])  # 100% carry-over
+        safe = dedup_against_corpus(new, existing)
+        trusted = dedup_against_corpus(
+            new, existing, new_sha_complete=True, existing_sha_complete=True
+        )
+        assert safe.count() == trusted.count() == 0
+        plan = trusted._jdf.queryExecution().executedPlan().toString()
+        # the existing side's pruned ReadSchema carries ONLY content_sha
+        assert "struct<content_sha:binary>" in plan
+
+    def test_sha_less_side_still_joins(self, spark):
+        """A corpus without content_sha falls back to hashing content —
+        and the hex/binary key normalization keeps the join type-stable."""
+        from document_automation_spark.operators.curate import dedup_against_corpus
+
+        new = spark.createDataFrame(
+            [("u1", "same text"), ("u2", "only in new")], ["url", "content"]
+        )
+        old = spark.createDataFrame([("x", "same text")], ["url", "content"])
+        kept = dedup_against_corpus(new, old).collect()
+        assert [r["url"] for r in kept] == ["u2"]
+
+    def test_requires_copy_mode(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="dedup_against"):
+            run_ingest_pipeline(
+                spark, pages_df(spark, 10, partitions=1), str(tmp_path / "z"),
+                "fp", cfg=ExtractConfig(n_buckets=2),
+                curated_mode="view", dedup_against_path="/nonexistent",
+            )
