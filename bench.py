@@ -176,6 +176,9 @@ def main() -> None:
         "benchmark_decontamination",
         "data_mixing",
         "sequence_packing",
+        "host_pagerank",
+        "bpe_train_encode",
+        "quality_classifier",
     ]
     qs = registry.queries()
 
@@ -236,8 +239,43 @@ def main() -> None:
             include_fingerprint=True,
         )
 
+    # round-5 additions get their own rows from day one so later rounds
+    # inherit a baseline: BPE = full train(16 merges, min_freq=2) + JVM
+    # encode of the corpus; classifier = LR train on a 10%-vs-20%
+    # hash-split + map-only scoring + pareto keep
+    def _bpe_train_encode(spark, sf_dir):
+        from document_automation_spark.operators.bpe import (
+            encode_documents,
+            learn_bpe,
+            segment_vocabulary,
+            word_frequencies,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        wf = word_frequencies(docs, min_freq=2)
+        vocab = segment_vocabulary(wf, learn_bpe(wf, 16))
+        return encode_documents(docs, vocab, broadcast_vocab=True)
+
+    def _quality_classifier(spark, sf_dir):
+        from document_automation_spark.operators.mixing import uniform_hash_col
+        from document_automation_spark.operators.quality_classifier import (
+            pareto_importance_filter,
+            score_quality,
+            train_quality_classifier,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        u = uniform_hash_col("doc_id")
+        model = train_quality_classifier(
+            docs.where(u < 0.1).select("text"),
+            docs.where((u >= 0.1) & (u < 0.3)).select("text"),
+        )
+        return pareto_importance_filter(score_quality(docs, model))
+
     qs = {
         **qs,
+        "bpe_train_encode": _bpe_train_encode,
+        "quality_classifier": _quality_classifier,
         "simhash_fingerprints": _simhash_fp_only,
         "exact_dedup": _exact_dedup_only,
         "duplicate_spans": _duplicate_spans_only,
