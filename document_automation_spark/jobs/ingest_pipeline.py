@@ -585,9 +585,9 @@ def _classifier_stage(
     model = train_quality_classifier(pos, neg.select("text"))
 
     # persist the model beside the corpus (the reusable artifact) AND
-    # reload it: a freshly-fit LR model drags its training summary — which
-    # holds the SparkSession — into the scoring task closure
-    # (NotSerializableException on the write); load() strips it
+    # reload it — belt-and-braces against the training-summary
+    # serialization hazard (train_quality_classifier now strips the
+    # summary at fit time, and load() never carries one)
     from pyspark.ml import PipelineModel
 
     model_path = os.path.join(output_path, "quality_classifier_model")

@@ -86,7 +86,16 @@ def train_quality_classifier(
             )
         ]
     )
-    return pipeline.fit(labelled)
+    model = pipeline.fit(labelled)
+    # A freshly-fit LR model carries its training summary, which holds
+    # the SparkSession — some downstream actions (e.g. a datasource
+    # write) then drag the whole session into the task closure and die
+    # with NotSerializableException.  Strip it here so EVERY consumer is
+    # safe, not just the save/reload path.
+    lr = model.stages[-1]
+    spark = labelled.sparkSession
+    lr._java_obj.setSummary(spark._jvm.scala.Option.empty())
+    return model
 
 
 def score_quality(

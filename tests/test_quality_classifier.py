@@ -55,8 +55,20 @@ class TestClassifier:
     def test_heldout_separation(self, corpora, model):
         pos = [r["quality_score"] for r in score_quality(corpora["pos_eval"], model).collect()]
         neg = [r["quality_score"] for r in score_quality(corpora["neg_eval"], model).collect()]
-        assert sum(s > 0.5 for s in pos) / len(pos) >= 0.9
-        assert sum(s < 0.5 for s in neg) / len(neg) >= 0.9
+        pos_acc = sum(s > 0.5 for s in pos) / len(pos)
+        neg_acc = sum(s < 0.5 for s in neg) / len(neg)
+        assert pos_acc >= 0.9, f"pos held-out acc {pos_acc:.3f} (n={len(pos)})"
+        assert neg_acc >= 0.9, f"neg held-out acc {neg_acc:.3f} (n={len(neg)})"
+
+    def test_freshly_fit_model_is_write_safe(self, corpora, model):
+        """A fresh (non-reloaded) model must survive a datasource write:
+        the LR training summary holds the SparkSession and, unless
+        stripped at fit time, breaks task serialization on exactly this
+        path (seen as a bench crash, not by count())."""
+        assert not model.stages[-1].hasSummary
+        score_quality(corpora["pos_eval"], model).write.mode("overwrite").format(
+            "noop"
+        ).save()
 
     def test_scores_deterministic(self, corpora, model):
         a = sorted(map(tuple, score_quality(corpora["pos_eval"], model).collect()))
