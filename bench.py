@@ -199,6 +199,16 @@ def main() -> None:
 
         return exact_dedup(_docs_with_dups(spark, sf_dir))
 
+    # comb_sum_fusion folded into the rrf_fusion seat in round 5 (1:1
+    # lossless join; slot freed for bpe_train_encode); keep the bare
+    # operator as its own bench row for cross-round comparability
+    def _comb_sum_only(spark, sf_dir):
+        from document_automation_spark.operators.derived import derived_scores
+        from document_automation_spark.operators.fusion import comb_sum
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return comb_sum(derived_scores(docs), {"bm25": 2, "dpr": 3}, 5)
+
     # duplicate_spans folded into the span_cut_corpus seat in round 5;
     # keep the bare span-finder as its own bench row for r3→r5 comparability
     def _duplicate_spans_only(spark, sf_dir):
@@ -278,6 +288,7 @@ def main() -> None:
         "quality_classifier": _quality_classifier,
         "simhash_fingerprints": _simhash_fp_only,
         "exact_dedup": _exact_dedup_only,
+        "comb_sum_fusion": _comb_sum_only,
         "duplicate_spans": _duplicate_spans_only,
         "hash_embeddings": _hash_embeddings_only,
         "token_stats": _token_stats_only,

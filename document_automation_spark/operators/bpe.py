@@ -39,9 +39,11 @@ Determinism contract: merge argmax ties break on (count DESC, a ASC,
 b ASC), so training is bit-reproducible across runs and parallelism
 levels.
 
-Not oracle-seated: the per-round argmax + array-rewrite loop is not
-replayable as a fixed SQL statement for a data-dependent number of
-rounds (same honest boundary as the InfoNCE trainer); the pytest gate
+Oracle-seated (`bpe_train_encode`, queries.py `_bpe_sql`): the ENTIRE
+path — training argmax sequence included — is replayed in DuckDB as
+generated SQL, with the greedy merge fold expressed as ``list_reduce``
+over a chr(31)-delimited accumulator string and each round's best pair
+cross-joined into the next round's lambda.  The pytest gate additionally
 pins training against an independent pure-Python Sennrich
 implementation, encode==training-state equality, determinism, and
 parallelism invariance.

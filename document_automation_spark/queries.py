@@ -234,23 +234,6 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 @register(
-    "comb_sum_fusion",
-    f"""
-    WITH scores AS ({SCORES_SQL})
-    SELECT query_id, doc_id,
-           CAST(SUM(score_num * CASE retriever WHEN 'bm25' THEN 2 ELSE 3 END) AS BIGINT)
-               / (1000003.0 * 5) AS fused_score
-    FROM scores GROUP BY query_id, doc_id
-    """,
-)
-def q_comb_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from document_automation_spark.operators.fusion import comb_sum
-
-    scores = derived_scores(_t(spark, sf_dir, "documents"))
-    return comb_sum(scores, {"bm25": 2, "dpr": 3}, 5)
-
-
-@register(
     "rrf_fusion",
     f"""
     WITH scores AS ({SCORES_SQL}),
@@ -275,22 +258,40 @@ def q_comb_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ) AS rn
             FROM scores
         ) WHERE rn = 1
+    ),
+    comb AS (
+        SELECT query_id, doc_id,
+               CAST(SUM(score_num * CASE retriever WHEN 'bm25' THEN 2 ELSE 3 END) AS BIGINT)
+                   / (1000003.0 * 5) AS fused_score
+        FROM scores GROUP BY query_id, doc_id
     )
-    SELECT r.query_id, r.doc_id, r.rrf_score, c.score_num, c.retriever
+    SELECT r.query_id, r.doc_id, r.rrf_score, c.score_num, c.retriever,
+           m.fused_score
     FROM rrf r JOIN concat_dedup c
       ON r.query_id = c.query_id AND r.doc_id = c.doc_id
+    JOIN comb m
+      ON r.query_id = m.query_id AND r.doc_id = m.doc_id
     """,
 )
 def q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RRF fusion + concatenate-dedup in one seat (concatenate_dedup
-    folded here round 5 session 3 — both operators emit exactly one row
-    per (query_id, doc_id) over the same scores, so the join is 1:1
-    lossless; slot freed for host_pagerank under the driver's 50-entry
-    cap)."""
-    from document_automation_spark.operators.fusion import concatenate_dedup, rrf
+    """RRF fusion + concatenate-dedup + weighted comb-sum in one seat
+    (concatenate_dedup folded round 5 session 3, comb_sum_fusion folded
+    round 5 session 5 — all three emit exactly one row per
+    (query_id, doc_id) over the same scores, so the joins are 1:1
+    lossless; slots freed for host_pagerank and bpe_train_encode under
+    the driver's 50-entry cap)."""
+    from document_automation_spark.operators.fusion import (
+        comb_sum,
+        concatenate_dedup,
+        rrf,
+    )
 
     scores = derived_scores(_t(spark, sf_dir, "documents"))
-    return rrf(scores).join(concatenate_dedup(scores), ["query_id", "doc_id"])
+    return (
+        rrf(scores)
+        .join(concatenate_dedup(scores), ["query_id", "doc_id"])
+        .join(comb_sum(scores, {"bm25": 2, "dpr": 3}, 5), ["query_id", "doc_id"])
+    )
 
 
 _HYBRID_SQL_BODY = f"""
@@ -3227,6 +3228,109 @@ def q_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hit_grams",
         "hit_frac",
         F.col("is_contaminated").cast("long").alias("is_contaminated"),
+    )
+
+
+def _bpe_sql(n_merges: int) -> str:
+    """DuckDB replay of the ENTIRE distributed BPE path
+    (operators/bpe.py): whitespace pre-tokenization → word frequencies →
+    ``n_merges`` training rounds (adjacent-pair count over freq>=2 words
+    → (count DESC, a, b) argmax → greedy non-overlapping merge) → full
+    corpus encode.  The greedy merge fold is replayed with
+    ``list_reduce`` over a chr(31)-delimited accumulator string (symbols
+    are \\S+ substrings plus the ▁ marker, so the delimiter can never
+    collide); each round's argmax parameterizes the next round's lambda
+    through a CROSS JOIN of the 1-row best-pair CTE.  When no pair
+    reaches count 2 the best-pair CTE degrades to a ('','') sentinel
+    that can never match — the SQL analogue of learn_bpe's
+    min_pair_count early stop (once no pair qualifies, the words stop
+    changing, so every later round re-derives the same sentinel)."""
+    sql = """
+    WITH words_pos AS (
+        SELECT doc_id, p['pos'] AS pos, p['word'] AS word FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(ws) + 1),
+                          i -> {'pos': i, 'word': ws[i]})) AS p
+            FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws
+                  FROM documents)
+        ) WHERE p['word'] <> ''
+    ),
+    wf AS (SELECT word, COUNT(*) AS freq FROM words_pos GROUP BY word),
+    w0 AS (
+        SELECT word, freq,
+               list_append(
+                 list_transform(range(1, length(word)),
+                                i -> substring(word, i, 1)),
+                 substring(word, length(word), 1) || '▁') AS syms
+        FROM wf
+    )"""
+    for i in range(n_merges):
+        sql += f""",
+    p{i} AS (
+        SELECT q['a'] AS a, q['b'] AS b, SUM(freq) AS n FROM (
+            SELECT unnest(list_transform(range(1, len(syms)),
+                          k -> {{'a': syms[k], 'b': syms[k + 1]}})) AS q,
+                   freq
+            FROM w{i} WHERE freq >= 2 AND len(syms) >= 2
+        ) GROUP BY 1, 2
+    ),
+    b{i} AS (
+        SELECT a, b FROM (
+            SELECT a, b, 0 AS pri FROM (
+                SELECT a, b FROM p{i} WHERE n >= 2
+                ORDER BY n DESC, a, b LIMIT 1)
+            UNION ALL SELECT '', '', 1
+        ) ORDER BY pri LIMIT 1
+    ),
+    w{i + 1} AS (
+        SELECT word, freq,
+               string_split(
+                 list_reduce(syms, (acc, x) ->
+                   CASE WHEN x = b{i}.b
+                         AND (acc = b{i}.a
+                              OR ends_with(acc, chr(31) || b{i}.a))
+                        THEN left(acc, length(acc) - length(b{i}.a))
+                             || b{i}.a || b{i}.b
+                        ELSE acc || chr(31) || x END),
+                 chr(31)) AS syms
+        FROM w{i}, b{i}
+    )"""
+    sql += f"""
+    SELECT wp.doc_id,
+           CAST(SUM(len(v.syms)) AS BIGINT) AS n_tokens,
+           string_agg(array_to_string(v.syms, ' '), ' ' ORDER BY wp.pos)
+               AS tokens
+    FROM words_pos wp JOIN w{n_merges} v ON wp.word = v.word
+    GROUP BY wp.doc_id
+    """
+    return sql
+
+
+@register("bpe_train_encode", lambda: _bpe_sql(8))
+def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full distributed BPE: train 8 merges on the freq>=2 word table,
+    segment every distinct word, encode the corpus (operators/bpe.py).
+    The oracle replays TRAINING too — argmax sequence included — so the
+    hash pins merge selection, tie-breaks, fold semantics, and the
+    encode join, not just the final token counts.  Merges applied to all
+    words (vocab = every distinct corpus word) so the open-vocabulary
+    fallback leg stays exercised by tests instead."""
+    from document_automation_spark.operators.bpe import (
+        encode_documents,
+        learn_bpe,
+        segment_vocabulary,
+        word_frequencies,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    wf = word_frequencies(docs)
+    merges = learn_bpe(wf.where(F.col("freq") >= 2), 8)
+    vocab = segment_vocabulary(wf, merges)
+    enc = encode_documents(docs, vocab, broadcast_vocab=True)
+    return enc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", "tokens").alias("tokens"),
     )
 
 
