@@ -199,6 +199,20 @@ def main() -> None:
 
         return exact_dedup(_docs_with_dups(spark, sf_dir))
 
+    # top_customers folded into the customer_order_semi_anti tagged
+    # union in round 5 (slot freed for dsir_selection); bare operator
+    # keeps its bench row
+    def _top_customers_only(spark, sf_dir):
+        from document_automation_spark.operators.relational import (
+            top_customers_by_revenue,
+        )
+
+        return top_customers_by_revenue(
+            spark.read.parquet(f"{sf_dir}/orders.parquet"),
+            spark.read.parquet(f"{sf_dir}/customer.parquet"),
+            k=10,
+        )
+
     # comb_sum_fusion folded into the rrf_fusion seat in round 5 (1:1
     # lossless join; slot freed for bpe_train_encode); keep the bare
     # operator as its own bench row for cross-round comparability
@@ -289,6 +303,7 @@ def main() -> None:
         "simhash_fingerprints": _simhash_fp_only,
         "exact_dedup": _exact_dedup_only,
         "comb_sum_fusion": _comb_sum_only,
+        "top_customers": _top_customers_only,
         "duplicate_spans": _duplicate_spans_only,
         "hash_embeddings": _hash_embeddings_only,
         "token_stats": _token_stats_only,

@@ -102,7 +102,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "top_customers",
+    "customer_order_semi_anti",
     """
     WITH revenue AS (
         SELECT o_custkey,
@@ -110,46 +110,54 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS num_orders
         FROM orders GROUP BY o_custkey
     )
-    SELECT c_custkey, c_name, c_mktsegment, revenue, num_orders
-    FROM revenue JOIN customer ON o_custkey = c_custkey
-    ORDER BY revenue DESC, c_custkey LIMIT 10
-    """,
-)
-def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from document_automation_spark.operators.relational import top_customers_by_revenue
-
-    return top_customers_by_revenue(
-        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer"), k=10
-    )
-
-
-@register(
-    "customer_order_semi_anti",
-    """
-    SELECT 'semi' AS relation, c_custkey, c_name FROM customer
+    SELECT 'semi' AS relation, c_custkey, c_name,
+           CAST(NULL AS VARCHAR) AS c_mktsegment,
+           CAST(NULL AS DOUBLE) AS revenue, CAST(NULL AS BIGINT) AS num_orders
+    FROM customer
     WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
     UNION ALL
-    SELECT 'anti' AS relation, c_custkey, c_name FROM customer
+    SELECT 'anti', c_custkey, c_name, NULL, NULL, NULL FROM customer
     WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'topk', c_custkey, c_name, c_mktsegment, revenue, num_orders
+    FROM (
+        SELECT c_custkey, c_name, c_mktsegment, revenue, num_orders
+        FROM revenue JOIN customer ON o_custkey = c_custkey
+        ORDER BY revenue DESC, c_custkey LIMIT 10
+    )
     """,
 )
 def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-join (F8: customers with open orders) and anti-join (F10/J8:
-    customers with no orders) in one tagged union — both relational
-    operators from operators/relational.py, one registry slot."""
+    """Semi-join (F8: customers with open orders), anti-join (F10/J8:
+    customers with no orders), and revenue top-k (T4, top_customers —
+    folded here round 5 session 5, slot freed for dsir_selection) in
+    one tagged union — all three relational operators from
+    operators/relational.py, one registry slot."""
     from document_automation_spark.operators.relational import (
         customers_with_open_orders,
         customers_without_orders,
+        top_customers_by_revenue,
     )
 
     cust, orders = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    null_str = F.lit(None).cast("string")
+    null_dbl = F.lit(None).cast("double")
+    null_lng = F.lit(None).cast("long")
     semi = customers_with_open_orders(cust, orders).select(
-        F.lit("semi").alias("relation"), "c_custkey", "c_name"
+        F.lit("semi").alias("relation"), "c_custkey", "c_name",
+        null_str.alias("c_mktsegment"), null_dbl.alias("revenue"),
+        null_lng.alias("num_orders"),
     )
     anti = customers_without_orders(cust, orders).select(
-        F.lit("anti").alias("relation"), "c_custkey", "c_name"
+        F.lit("anti").alias("relation"), "c_custkey", "c_name",
+        null_str.alias("c_mktsegment"), null_dbl.alias("revenue"),
+        null_lng.alias("num_orders"),
     )
-    return semi.unionAll(anti)
+    topk = top_customers_by_revenue(orders, cust, k=10).select(
+        F.lit("topk").alias("relation"), "c_custkey", "c_name",
+        "c_mktsegment", "revenue", "num_orders",
+    )
+    return semi.unionAll(anti).unionAll(topk)
 
 
 @register(
@@ -3229,6 +3237,80 @@ def q_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hit_frac",
         F.col("is_contaminated").cast("long").alias("is_contaminated"),
     )
+
+
+_DSIR_SQL = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           w -> w <> '') AS ws
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, unnest(ws) AS g FROM toks
+        UNION ALL
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws)),
+                      i -> ws[i] || ' ' || ws[i + 1])) AS g
+        FROM toks
+    ),
+    bg AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(g), 1, 15))::UBIGINT % 4096 AS BIGINT)
+                   AS bucket
+        FROM grams
+    ),
+    tc AS (SELECT bucket, COUNT(*) AS c FROM bg WHERE doc_id % 7 = 0 GROUP BY bucket),
+    rc AS (SELECT bucket, COUNT(*) AS c FROM bg WHERE doc_id % 7 <> 0 GROUP BY bucket),
+    tot AS (
+        SELECT CAST((SELECT COALESCE(SUM(c), 0) FROM tc) AS DOUBLE) AS nt,
+               CAST((SELECT COALESCE(SUM(c), 0) FROM rc) AS DOUBLE) AS nr
+    ),
+    spine AS (SELECT unnest(range(0, 4096)) AS bucket),
+    w AS (
+        SELECT spine.bucket,
+               ROUND(ln((COALESCE(tc.c, 0) + 1.0) / (tot.nt + 4096.0))
+                   - ln((COALESCE(rc.c, 0) + 1.0) / (tot.nr + 4096.0)), 9) AS lr
+        FROM spine
+        LEFT JOIN tc ON spine.bucket = tc.bucket
+        LEFT JOIN rc ON spine.bucket = rc.bucket
+        CROSS JOIN tot
+    ),
+    scores AS (
+        SELECT bg.doc_id, ROUND(SUM(w.lr), 6) AS dsir_score
+        FROM bg JOIN w ON bg.bucket = w.bucket
+        GROUP BY bg.doc_id
+    )
+    SELECT doc_id, dsir_score,
+           ROUND(dsir_score
+                 + ROUND(-ln(-ln(
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#dsir'),
+                                     1, 15))::UBIGINT / 1152921504606846976.0)),
+                         9), 6) AS select_key
+    FROM scores
+    ORDER BY select_key DESC, doc_id LIMIT 50
+    """
+
+
+@register("dsir_selection", _DSIR_SQL)
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling end to end (operators/dsir.py): fit
+    hashed-ngram bucket models to a target slice (doc_id % 7 == 0) vs
+    the rest, score every document by the per-bucket log-ratio sum, and
+    Gumbel-top-50.  The oracle replays training (bucket counts +
+    smoothed log-ratios on a full 4096-bucket spine), scoring, AND the
+    salted-md5 Gumbel draw."""
+    from document_automation_spark.operators.dsir import (
+        dsir_resample,
+        dsir_scores,
+        train_dsir_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("doc_id") % 7 == 0)
+    raw = docs.where(F.col("doc_id") % 7 != 0)
+    weights = train_dsir_weights(target, raw)
+    return dsir_resample(dsir_scores(docs, weights), k=50)
 
 
 def _bpe_sql(n_merges: int) -> str:
