@@ -80,6 +80,8 @@ def run_ingest_pipeline(
     classifier_alpha: float = 9.0,
     dedup_against_path: str | None = None,
     trust_existing_sha: bool = False,
+    dsir_target_path: str | None = None,
+    dsir_keep_frac: float = 0.5,
 ) -> dict:
     """Run the whole recipe; returns a summary dict (stage counters).
 
@@ -158,6 +160,16 @@ def run_ingest_pipeline(
     among the optional stages (right after curation) so carried-over
     rows never reach span surgery / quality / hygiene / classifier.
 
+    ``dsir_target_path`` appends DSIR importance resampling
+    (``operators.dsir``): fit hashed-ngram bucket models to the trusted
+    target parquet vs the curated corpus itself, score every doc by the
+    log-ratio sum, and Gumbel-top-k the best ``dsir_keep_frac`` of the
+    corpus — distribution matching where the classifier stage is quality
+    thresholding; they compose (classifier first, then DSIR).  Uses the
+    xxhash64 fast path (the oracle-parity md5 leg lives in the
+    ``dsir_selection`` seat).  Summary gains ``dsir_n_docs`` /
+    ``dsir_n_kept``.  Requires ``curated_mode='copy'``.
+
     ``pack_seqlen`` appends the LM-batcher stage: concat-chop sequence
     packing (``operators.packing.pack_sequences``) over the final curated
     passages, sharded by the durable ``bucket`` column (the output-file
@@ -206,6 +218,12 @@ def run_ingest_pipeline(
         raise ValueError(
             "dedup_against_path re-reads the corpus and needs curated_mode='copy'"
         )
+    if dsir_target_path and curated_mode != "copy":
+        raise ValueError(
+            "dsir_target_path re-reads the corpus and needs curated_mode='copy'"
+        )
+    if not 0.0 < dsir_keep_frac <= 1.0:
+        raise ValueError(f"dsir_keep_frac must be in (0, 1], got {dsir_keep_frac}")
 
     if from_text:
         from document_automation_spark.operators.extract import documents_from_text
@@ -535,6 +553,18 @@ def run_ingest_pipeline(
             )
             summary["curated_path"] = summary["classifier_path"]
 
+        if dsir_target_path:
+            summary.update(
+                _dsir_stage(
+                    spark,
+                    spark.read.parquet(summary["curated_path"]),
+                    output_path,
+                    dsir_target_path,
+                    dsir_keep_frac,
+                )
+            )
+            summary["curated_path"] = summary["dsir_path"]
+
         if embed:
             summary.update(
                 _embed_stage(
@@ -610,6 +640,54 @@ def _classifier_stage(
         "classifier_n_docs": int(n_docs),
         "classifier_n_kept": int(n_kept),
         "classifier_n_pos": int(n_pos),
+    }
+
+
+def _dsir_stage(
+    spark: SparkSession,
+    curated: DataFrame,
+    output_path: str,
+    target_path: str,
+    keep_frac: float,
+) -> dict:
+    """DSIR as a pipeline stage: target = the trusted parquet, raw = the
+    curated corpus itself; keep the Gumbel-top-``keep_frac`` fraction.
+    Production path uses xxhash64 bucketing (the md5 parity leg is the
+    oracle seat's job); k derives from an exact corpus count, which the
+    scoring pass needs anyway."""
+    from pyspark.sql import functions as F
+
+    from document_automation_spark.operators.dsir import (
+        dsir_resample,
+        dsir_scores,
+        train_dsir_weights,
+    )
+
+    target = spark.read.parquet(target_path).select("text")
+    corpus = curated.withColumnRenamed("content", "text")
+    weights = train_dsir_weights(target, corpus.select("text"), hash_impl="xxhash64")
+    # selection is DOC-level: passages of one doc share its doc_id, so
+    # dsir_scores' groupBy already concatenates a doc's grams; count docs
+    # off the scored table (one row per doc) rather than corpus rows
+    scored = dsir_scores(
+        corpus.select("doc_id", "text"), weights, hash_impl="xxhash64"
+    ).localCheckpoint()
+    n_docs = scored.count()
+    k = max(1, int(n_docs * keep_frac))
+    kept_ids = dsir_resample(scored, k=k).select("doc_id", "dsir_score")
+    dsir_path = os.path.join(output_path, "curated_dsir")
+    (
+        corpus.join(kept_ids, "doc_id")
+        .withColumnRenamed("text", "content")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .option("parquet.compression.codec.zstd.level", "1")
+        .parquet(dsir_path)
+    )
+    return {
+        "dsir_path": dsir_path,
+        "dsir_n_docs": int(n_docs),
+        "dsir_n_kept": int(min(k, n_docs)),
     }
 
 
@@ -790,6 +868,14 @@ def main(argv=None) -> None:
         "content_sha column (only for corpora written by this engine)",
     )
     parser.add_argument(
+        "--dsir-target",
+        metavar="TARGET_PARQUET",
+        help="append DSIR importance resampling: keep the corpus fraction "
+        "that best matches this trusted target corpus's hashed-ngram "
+        "distribution (Gumbel-top-k, doc-level)",
+    )
+    parser.add_argument("--dsir-keep-frac", type=float, default=0.5)
+    parser.add_argument(
         "--pack-seqlen",
         type=int,
         default=None,
@@ -862,6 +948,8 @@ def main(argv=None) -> None:
             classifier_alpha=args.classifier_alpha,
             dedup_against_path=args.dedup_against,
             trust_existing_sha=args.trust_existing_sha,
+            dsir_target_path=args.dsir_target,
+            dsir_keep_frac=args.dsir_keep_frac,
         )
         print(json.dumps(summary))
     finally:

@@ -719,6 +719,62 @@ class TestClassifierStage:
             )
 
 
+class TestDsirStage:
+    def test_dsir_stage_selects_doc_level_fraction(self, spark, tmp_path):
+        """--dsir-target: the corpus is resampled toward the target
+        distribution at DOC granularity — kept docs arrive with ALL
+        their passages, dsir_score rides along, and the kept-doc count
+        is exactly floor(frac * n_docs)."""
+        pages = pages_df(spark, 60, partitions=4)
+        base = run_ingest_pipeline(
+            spark, pages, str(tmp_path / "seed"), "fp-seed",
+            cfg=ExtractConfig(n_buckets=4),
+        )
+        target_dir = str(tmp_path / "target")
+        (
+            spark.read.parquet(base["curated_path"])
+            .select(F.col("content").alias("text")).limit(100)
+            .write.parquet(target_dir)
+        )
+        out = str(tmp_path / "corpus_dsir")
+        summary = run_ingest_pipeline(
+            spark, pages, out, "fp-dsir",
+            cfg=ExtractConfig(n_buckets=4),
+            dsir_target_path=target_dir,
+            dsir_keep_frac=0.5,
+        )
+        kept = spark.read.parquet(summary["curated_path"])
+        assert "dsir_score" in kept.columns
+        full = spark.read.parquet(base["curated_path"])
+        n_docs = full.select("doc_id").distinct().count()
+        assert summary["dsir_n_docs"] == n_docs
+        assert summary["dsir_n_kept"] == max(1, int(n_docs * 0.5))
+        assert kept.select("doc_id").distinct().count() == summary["dsir_n_kept"]
+        # doc-level selection: a kept doc keeps every one of its passages
+        per_doc_full = {
+            r["doc_id"]: r["n"]
+            for r in full.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+        }
+        for r in kept.groupBy("doc_id").agg(F.count("*").alias("n")).collect():
+            assert r["n"] == per_doc_full[r["doc_id"]]
+
+    def test_requires_copy_mode(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="dsir_target"):
+            run_ingest_pipeline(
+                spark, pages_df(spark, 10, partitions=1), str(tmp_path / "z"),
+                "fp", cfg=ExtractConfig(n_buckets=2),
+                curated_mode="view", dsir_target_path="/nonexistent",
+            )
+
+    def test_rejects_bad_fraction(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="dsir_keep_frac"):
+            run_ingest_pipeline(
+                spark, pages_df(spark, 10, partitions=1), str(tmp_path / "z"),
+                "fp", cfg=ExtractConfig(n_buckets=2),
+                dsir_target_path="/nonexistent", dsir_keep_frac=1.5,
+            )
+
+
 class TestIncrementalStage:
     def test_dedup_against_previous_snapshot(self, spark, tmp_path):
         """--dedup-against: snapshot 2 (a superset crawl) keeps exactly
