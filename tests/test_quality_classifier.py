@@ -46,8 +46,13 @@ def corpora(spark, sf_dir):
 
 @pytest.fixture(scope="module")
 def model(corpora):
+    # max_iter=60: one full-suite run saw held-out separation dip below
+    # the 0.9 bar under heavy host load (L-BFGS treeAggregate folds in
+    # task-completion order, so a loaded box can walk a different
+    # convergence path); the larger budget converges past the
+    # order-sensitivity.  Isolated runs pass at 30 every time.
     return train_quality_classifier(
-        corpora["pos_train"], corpora["neg_train"], n_features=1 << 14, max_iter=30
+        corpora["pos_train"], corpora["neg_train"], n_features=1 << 14, max_iter=60
     )
 
 
