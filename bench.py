@@ -179,6 +179,7 @@ def main() -> None:
         "host_pagerank",
         "bpe_train_encode",
         "quality_classifier",
+        "dsir_selection",
     ]
     qs = registry.queries()
 

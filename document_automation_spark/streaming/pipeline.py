@@ -296,3 +296,64 @@ def start_streaming_pii_redaction(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def start_streaming_dsir_filter(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    weights: DataFrame,
+    min_score: float,
+    schema: str = "doc_id long, text string",
+    hash_impl: str = "xxhash64",
+) -> StreamingQuery:
+    """DSIR scoring on a document stream: score each arriving doc
+    against a batch-trained weight table (``operators.dsir.
+    train_dsir_weights``) and keep docs with ``dsir_score > min_score``.
+
+    The batch scorer's explode → join → groupBy would be a streaming
+    aggregation + stream self-join (unsupported in append mode), so the
+    streaming twin restates the SAME sum as a stateless per-row JVM fold:
+    the weight table (always n_buckets rows — bounded by construction,
+    the IVF-centroid pattern) collapses to an array LITERAL indexed by
+    bucket, and each row folds its own gram array.  Zero shuffles, zero
+    state; score values match the batch scorer's (same grams, buckets,
+    9-dp log-ratios, 6-dp final round; the fold sums in gram order while
+    the batch agg sums in partition order, so agreement is up to float
+    summation order under the final round — pinned in pytest).
+
+    Streaming has no global top-k, so the gate is the threshold form of
+    the selection rule — calibrate ``min_score`` from a batch quantile
+    of historical scores (same scale by construction)."""
+    from document_automation_spark.operators.dsir import _bucket, _grams
+
+    rows = weights.collect()  # n_buckets rows, bounded by construction
+    n_buckets = len(rows)
+    lr = [0.0] * n_buckets
+    for r in rows:
+        lr[r["bucket"]] = r["lr"]
+    lr_lit = F.array(*[F.lit(v) for v in lr])
+
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+    score = F.round(
+        F.aggregate(
+            _grams(F.col("text")),
+            F.lit(0.0),
+            lambda acc, g: acc
+            + F.element_at(lr_lit, (_bucket(g, n_buckets, hash_impl) + 1).cast("int")),
+        ),
+        6,
+    ).alias("dsir_score")
+    kept = docs.select("*", score).where(F.col("dsir_score") > F.lit(min_score))
+    return (
+        kept.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
