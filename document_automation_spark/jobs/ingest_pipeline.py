@@ -82,6 +82,8 @@ def run_ingest_pipeline(
     trust_existing_sha: bool = False,
     dsir_target_path: str | None = None,
     dsir_keep_frac: float = 0.5,
+    train_bpe_merges: int | None = None,
+    bpe_min_freq: int = 2,
 ) -> dict:
     """Run the whole recipe; returns a summary dict (stage counters).
 
@@ -170,6 +172,18 @@ def run_ingest_pipeline(
     ``dsir_selection`` seat).  Summary gains ``dsir_n_docs`` /
     ``dsir_n_kept``.  Requires ``curated_mode='copy'``.
 
+    ``train_bpe_merges`` appends the tokenizer stage (``operators.bpe``):
+    train a BPE merge table on the final curated corpus (one corpus pass
+    for word frequencies, ``bpe_min_freq`` hapax prune, then merge rounds
+    on the word table alone), persist it as the reusable
+    ``bpe_merges/`` artifact, and annotate every corpus row with its BPE
+    token count (``n_tokens_bpe`` — counts only; token streams are the
+    loader's job via ``encode_documents``).  When ``pack_seqlen`` also
+    runs, packing sizes chunks by BPE tokens instead of whitespace
+    tokens — the tokenizer→budget→pack chain a real LM data pipeline
+    runs.  Summary gains ``bpe_n_merges`` / ``bpe_vocab_words`` /
+    ``bpe_total_tokens``.  Requires ``curated_mode='copy'``.
+
     ``pack_seqlen`` appends the LM-batcher stage: concat-chop sequence
     packing (``operators.packing.pack_sequences``) over the final curated
     passages, sharded by the durable ``bucket`` column (the output-file
@@ -224,6 +238,10 @@ def run_ingest_pipeline(
         )
     if not 0.0 < dsir_keep_frac <= 1.0:
         raise ValueError(f"dsir_keep_frac must be in (0, 1], got {dsir_keep_frac}")
+    if train_bpe_merges is not None and curated_mode != "copy":
+        raise ValueError(
+            "train_bpe_merges re-reads the corpus and needs curated_mode='copy'"
+        )
 
     if from_text:
         from document_automation_spark.operators.extract import documents_from_text
@@ -565,6 +583,18 @@ def run_ingest_pipeline(
             )
             summary["curated_path"] = summary["dsir_path"]
 
+        if train_bpe_merges is not None:
+            summary.update(
+                _bpe_stage(
+                    spark,
+                    spark.read.parquet(summary["curated_path"]),
+                    output_path,
+                    train_bpe_merges,
+                    bpe_min_freq,
+                )
+            )
+            summary["curated_path"] = summary["bpe_path"]
+
         if embed:
             summary.update(
                 _embed_stage(
@@ -579,6 +609,9 @@ def run_ingest_pipeline(
                     spark.read.parquet(summary["curated_path"]),
                     output_path,
                     pack_seqlen,
+                    tokens_col=(
+                        "n_tokens_bpe" if train_bpe_merges is not None else None
+                    ),
                 )
             )
 
@@ -691,15 +724,85 @@ def _dsir_stage(
     }
 
 
+def _bpe_stage(
+    spark: SparkSession,
+    curated: DataFrame,
+    output_path: str,
+    n_merges: int,
+    min_freq: int,
+) -> dict:
+    """Tokenizer stage: train BPE on the curated corpus, persist the
+    merge table (the reusable tokenizer artifact — rank order IS the
+    tokenizer), annotate every row with its BPE token count.  Counts
+    only: the packer sizes chunks from budgets; loaders that need token
+    STREAMS replay ``encode_documents`` with the persisted merges."""
+    from pyspark.sql import functions as F
+
+    from document_automation_spark.operators.bpe import (
+        count_tokens,
+        learn_bpe,
+        segment_vocabulary,
+        word_frequencies,
+    )
+
+    corpus = curated.withColumnRenamed("content", "text")
+    wf = word_frequencies(corpus, min_freq=min_freq).localCheckpoint()
+    merges = learn_bpe(wf, n_merges)
+    merges_path = os.path.join(output_path, "bpe_merges")
+    spark.createDataFrame(
+        [(i, a, b, m, int(n)) for i, (a, b, m, n) in enumerate(merges)],
+        "rank int, a string, b string, merged string, pair_count long",
+    ).coalesce(1).write.mode("overwrite").parquet(merges_path)
+
+    vocab = segment_vocabulary(wf, merges)
+    row_key = F.concat_ws(
+        "#", "url", F.lpad(F.col("passage_idx").cast("string"), 6, "0")
+    )
+    counts = count_tokens(
+        corpus.select(row_key.alias("_rk"), "text"),
+        vocab,
+        id_col="_rk",
+        broadcast_vocab=True,
+    )
+    bpe_path = os.path.join(output_path, "curated_bpe")
+    (
+        corpus.withColumn("_rk", row_key)
+        .join(counts, "_rk", "left")
+        .drop("_rk")
+        .withColumn("n_tokens_bpe", F.coalesce("n_tokens_bpe", F.lit(0)))
+        .withColumnRenamed("text", "content")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .option("parquet.compression.codec.zstd.level", "1")
+        .parquet(bpe_path)
+    )
+    stats = spark.read.parquet(bpe_path).agg(
+        F.sum("n_tokens_bpe").alias("tot")
+    ).first()
+    return {
+        "bpe_path": bpe_path,
+        "bpe_merges_path": merges_path,
+        "bpe_n_merges": int(len(merges)),
+        "bpe_vocab_words": int(wf.count()),
+        "bpe_total_tokens": int(stats["tot"] or 0),
+    }
+
+
 def _pack_stage(
-    spark: SparkSession, curated: DataFrame, output_path: str, seq_len: int
+    spark: SparkSession,
+    curated: DataFrame,
+    output_path: str,
+    seq_len: int,
+    tokens_col: str | None = None,
 ) -> dict:
     """The LM-batcher stage: pack the curated passages into
     fixed-``seq_len``-token chunks, sharded by the durable ``bucket``
     column (each shard's cumulative window is bucket-bounded — never
     corpus-global) with the deterministic (doc_id, passage_idx) order
     key.  Writes the segment map (the loader's join table) partitioned
-    by bucket like the corpus itself."""
+    by bucket like the corpus itself.  ``tokens_col`` switches the chunk
+    budget from whitespace counts to a precomputed column (the BPE
+    stage's ``n_tokens_bpe``)."""
     from pyspark.sql import functions as F
 
     from document_automation_spark.operators.packing import chunk_stats, pack_sequences
@@ -711,9 +814,14 @@ def _pack_stage(
             "#", "doc_id", F.lpad(F.col("passage_idx").cast("string"), 6, "0")
         ).alias("pack_id"),
         F.col("content").alias("text"),
+        *([F.col(tokens_col)] if tokens_col else []),
     )
     segments = pack_sequences(
-        packed_in, seq_len=seq_len, shard_col="shard", id_col="pack_id"
+        packed_in,
+        seq_len=seq_len,
+        shard_col="shard",
+        id_col="pack_id",
+        tokens_col=tokens_col,
     )
     pack_path = os.path.join(output_path, "chunk_map")
     (
@@ -876,6 +984,16 @@ def main(argv=None) -> None:
     )
     parser.add_argument("--dsir-keep-frac", type=float, default=0.5)
     parser.add_argument(
+        "--train-bpe",
+        type=int,
+        metavar="N_MERGES",
+        help="append the tokenizer stage: train a BPE merge table on the "
+        "final curated corpus, persist bpe_merges/, annotate every row "
+        "with n_tokens_bpe (with --pack-seqlen, chunks are sized in BPE "
+        "tokens)",
+    )
+    parser.add_argument("--bpe-min-freq", type=int, default=2)
+    parser.add_argument(
         "--pack-seqlen",
         type=int,
         default=None,
@@ -950,6 +1068,8 @@ def main(argv=None) -> None:
             trust_existing_sha=args.trust_existing_sha,
             dsir_target_path=args.dsir_target,
             dsir_keep_frac=args.dsir_keep_frac,
+            train_bpe_merges=args.train_bpe,
+            bpe_min_freq=args.bpe_min_freq,
         )
         print(json.dumps(summary))
     finally:

@@ -174,6 +174,39 @@ def segment_vocabulary(
     return out
 
 
+def count_tokens(
+    documents: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = False,
+) -> DataFrame:
+    """``(id_col, n_tokens_bpe)`` — the counting-only half of
+    :func:`encode_documents`, for consumers that need token BUDGETS, not
+    token streams (the sequence packer sizes chunks from counts alone).
+    The vocab side collapses to ``(word, token count)`` before the join,
+    so neither token arrays nor document text ever shuffle — only
+    ``(id, word)`` pairs into one map-side-combinable sum.  Words absent
+    from ``vocab`` count as their character symbols (``length(word)`` —
+    the marker fuses into the last char), matching the encode fallback.
+    """
+    sizes = vocab.select("word", F.size("tokens").alias("_wt"))
+    if broadcast_vocab:
+        sizes = F.broadcast(sizes)
+    words = documents.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("word")
+    ).where(F.col("word") != "")
+    return (
+        words.join(sizes, "word", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.coalesce(F.col("_wt"), F.length("word")))
+            .cast("long")
+            .alias("n_tokens_bpe")
+        )
+    )
+
+
 def decode_documents(
     encoded: DataFrame,
     tokens_col: str = "tokens",

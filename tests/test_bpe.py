@@ -160,6 +160,23 @@ class TestEncodeDocuments:
             rejoined = "".join(tokens).replace(END_OF_WORD, " ").strip()
             assert rejoined == " ".join(text.split())
 
+    def test_count_tokens_matches_encode(self, spark, docs):
+        """The counting-only half must equal size(encode().tokens) for
+        every doc — including the OOV char-count fallback leg."""
+        from document_automation_spark.operators.bpe import count_tokens
+
+        wf = word_frequencies(docs, min_freq=2)  # prunes hapax → OOV words exist
+        vocab = segment_vocabulary(wf, learn_bpe(wf, 12))
+        via_encode = {
+            r["doc_id"]: r["n_tokens"]
+            for r in encode_documents(docs, vocab).collect()
+        }
+        via_count = {
+            r["doc_id"]: r["n_tokens_bpe"]
+            for r in count_tokens(docs, vocab, broadcast_vocab=True).collect()
+        }
+        assert via_count == via_encode
+
     def test_decode_roundtrip(self, spark, docs):
         """decode(encode(text)) == whitespace-normalized text, as a
         zero-shuffle Project over the encoded table."""

@@ -775,6 +775,63 @@ class TestDsirStage:
             )
 
 
+class TestBpeStage:
+    def test_bpe_stage_trains_counts_and_sizes_packing(self, spark, tmp_path):
+        """--train-bpe: the merge artifact lands, every row gains
+        n_tokens_bpe (== an independent count_tokens replay), and
+        --pack-seqlen sizes chunks in BPE tokens (total packed tokens ==
+        the corpus BPE total, not the whitespace total)."""
+        pages = pages_df(spark, 50, partitions=4)
+        out = str(tmp_path / "corpus_bpe")
+        summary = run_ingest_pipeline(
+            spark, pages, out, "fp-bpe",
+            cfg=ExtractConfig(n_buckets=4),
+            train_bpe_merges=12,
+            pack_seqlen=64,
+        )
+        corpus = spark.read.parquet(summary["bpe_path"])
+        assert "n_tokens_bpe" in corpus.columns
+        merges = spark.read.parquet(summary["bpe_merges_path"])
+        assert merges.count() == summary["bpe_n_merges"] <= 12
+        assert set(merges.columns) == {"rank", "a", "b", "merged", "pair_count"}
+        # merge table is rank-ordered and counts decrease weakly
+        rows = [tuple(r) for r in merges.orderBy("rank").collect()]
+        assert [r[0] for r in rows] == list(range(len(rows)))
+        # independent replay: rebuild the vocab from the persisted merges
+        # and recount one row
+        from document_automation_spark.operators.bpe import (
+            count_tokens,
+            segment_vocabulary,
+            word_frequencies,
+        )
+
+        wf = word_frequencies(
+            corpus.withColumnRenamed("content", "text"), min_freq=2
+        )
+        vocab = segment_vocabulary(wf, [(r[1], r[2], r[3], r[4]) for r in rows])
+        replay = count_tokens(
+            corpus.selectExpr("url AS doc_id", "content AS text"), vocab
+        )
+        got = {r["doc_id"]: r["n_tokens_bpe"] for r in replay.collect()}
+        via_stage = {
+            r["url"]: r["n_tokens_bpe"]
+            for r in corpus.groupBy("url")
+            .agg(F.sum("n_tokens_bpe").alias("n_tokens_bpe"))
+            .collect()
+        }
+        assert got == via_stage
+        # packing consumed the BPE budgets
+        assert summary["pack_n_tokens"] == summary["bpe_total_tokens"] > 0
+
+    def test_requires_copy_mode(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="train_bpe"):
+            run_ingest_pipeline(
+                spark, pages_df(spark, 10, partitions=1), str(tmp_path / "z"),
+                "fp", cfg=ExtractConfig(n_buckets=2),
+                curated_mode="view", train_bpe_merges=4,
+            )
+
+
 class TestIncrementalStage:
     def test_dedup_against_previous_snapshot(self, spark, tmp_path):
         """--dedup-against: snapshot 2 (a superset crawl) keeps exactly
