@@ -433,8 +433,13 @@ def run_ingest_pipeline(
             fresh = dedup_against_corpus(
                 spark.read.parquet(curated_path),
                 existing,
-                # THIS run just wrote curated_path with the current writer
-                new_sha_complete=True,
+                # curated_path was just written, but a RESUMED extraction
+                # can carry pre-content_sha buckets through untouched
+                # (buckets_skipped > 0) — null shas would silently bypass
+                # the anti-join, so only trust the pruned path when this
+                # run materialized every bucket itself (the same
+                # invariant curation trusts, round-4 advisory)
+                new_sha_complete=sha_complete,
                 existing_sha_complete=trust_existing_sha,
             )
             obs_x = Observation("xsnap")
