@@ -142,6 +142,71 @@ def dsir_scores(
     )
 
 
+def dsir_select(
+    docs: DataFrame,
+    is_target,
+    k: int,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    hash_impl: str = "md5",
+    salt: str = "#dsir",
+) -> DataFrame:
+    """Composed train→score→resample when the target is a SLICE of the
+    corpus (``is_target`` = boolean Column over ``docs``), e.g. a
+    trusted-domain or hash-slice target.  Identical math to the granular
+    operators, but the expensive part — hashing every gram — runs ONCE:
+    the (id, is_target, bucket) projection is persisted and reused for
+    both class counts AND scoring, and the two per-class counts collapse
+    into a single conditional aggregation (one shuffle where the
+    granular path pays three hash passes + two count shuffles).  The
+    persisted table is 12 bytes/gram — materializing it beats re-hashing
+    even at corpus scale; it is freed with the session cache
+    (``spark.catalog.clearCache()``) or an explicit unpersist."""
+    bg = docs.select(
+        F.col(id_col),
+        is_target.alias("_t"),
+        F.explode(_grams(F.col(text_col))).alias("g"),
+    ).select(id_col, "_t", _bucket(F.col("g"), n_buckets, hash_impl))
+    bg = bg.persist()
+
+    spark = docs.sparkSession
+    spine = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    counts = (
+        spine.join(
+            bg.groupBy("bucket").agg(
+                F.sum(F.col("_t").cast("long")).alias("ct"),
+                F.sum((~F.col("_t")).cast("long")).alias("cr"),
+            ),
+            "bucket",
+            "left",
+        ).select(
+            "bucket",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("ct").cast("double").alias("nt"), F.sum("cr").cast("double").alias("nr")
+    )
+    a, b = F.lit(float(alpha)), F.lit(float(alpha * n_buckets))
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            F.log((F.col("ct") + a) / (F.col("nt") + b))
+            - F.log((F.col("cr") + a) / (F.col("nr") + b)),
+            9,
+        ).alias("lr"),
+    )
+    scored = (
+        bg.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(F.round(F.sum("lr"), 6).alias("dsir_score"))
+    )
+    return dsir_resample(scored, k=k, id_col=id_col, salt=salt)
+
+
 def dsir_resample(
     scored: DataFrame,
     k: int,

@@ -3300,17 +3300,10 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gumbel-top-50.  The oracle replays training (bucket counts +
     smoothed log-ratios on a full 4096-bucket spine), scoring, AND the
     salted-md5 Gumbel draw."""
-    from document_automation_spark.operators.dsir import (
-        dsir_resample,
-        dsir_scores,
-        train_dsir_weights,
-    )
+    from document_automation_spark.operators.dsir import dsir_select
 
     docs = _t(spark, sf_dir, "documents")
-    target = docs.where(F.col("doc_id") % 7 == 0)
-    raw = docs.where(F.col("doc_id") % 7 != 0)
-    weights = train_dsir_weights(target, raw)
-    return dsir_resample(dsir_scores(docs, weights), k=50)
+    return dsir_select(docs, F.col("doc_id") % 7 == 0, k=50)
 
 
 def _bpe_sql(n_merges: int) -> str:

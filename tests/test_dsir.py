@@ -185,3 +185,18 @@ class TestStreamingDsir:
         want = {i: s for i, s in batch.items() if s > min_score}
         assert set(got) == set(want)
         assert got == pytest.approx(want, abs=2e-6)
+
+
+class TestComposedSelect:
+    def test_matches_granular_composition(self, spark, corpora):
+        """dsir_select (one hash pass, one count shuffle) must be
+        row-identical to train→score→resample over the same slice."""
+        from document_automation_spark.operators.dsir import dsir_select
+
+        t, r = corpora
+        docs = t.unionByName(r)
+        granular = dsir_resample(
+            dsir_scores(docs, train_dsir_weights(t, r)), k=5
+        ).collect()
+        composed = dsir_select(docs, F.col("doc_id") < 100, k=5).collect()
+        assert sorted(map(tuple, granular)) == sorted(map(tuple, composed))
