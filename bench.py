@@ -171,6 +171,7 @@ def main() -> None:
         "duplicate_spans",
         "hash_embeddings",
         "repetition_features",
+        "paragraph_dedup",
         "lm_perplexity",
         "pii_redaction",
         "benchmark_decontamination",

@@ -589,3 +589,95 @@ def cut_spans(documents: DataFrame, spans: DataFrame) -> DataFrame:
         F.lit(0).cast("long"),
     )
     return joined.select(*out_cols, cut_chars.alias("n_cut_chars"))
+
+
+def dedup_paragraphs(
+    documents: DataFrame,
+    mode: str = "first",
+    min_docs: int = 2,
+    sep: str = "\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document PARAGRAPH-level dedup — the CCNet curation stage
+    (Wenzek et al. 2020) that document-level dedup cannot express: cookie
+    banners, navigation stubs and boilerplate paragraphs repeat across
+    millions of pages whose full texts are all distinct.
+
+    Two policies:
+
+    * ``mode='first'`` — CCNet semantics: every later occurrence of a
+      duplicated paragraph is removed, the globally-first one (lowest
+      ``(doc_id, position)``) survives.
+    * ``mode='common'`` — boilerplate cut: a paragraph appearing in
+      ``>= min_docs`` DISTINCT documents is removed everywhere (no copy
+      survives — a paragraph shared that widely is template text, not
+      content).
+
+    Paragraphs are the ``sep``-separated segments of ``text_col`` (``sep``
+    is treated literally); whitespace-only segments are structural, never
+    dedup candidates, and always survive.  Matching is on the TRIMMED
+    segment, surgery preserves the original bytes of survivors.
+
+    Scale shape (the reason this isn't a groupBy on exploded text): the
+    winner/hot computation runs on a narrow ``(doc_id, pos, sha2-key)``
+    projection — paragraph TEXT never enters the dedup shuffle, the
+    32-byte content key does (same design as :func:`exact_dedup`).  Loser
+    positions fold to ONE small per-doc int array, and the only wide
+    shuffle is the single ``doc_id`` join of that array back to the
+    corpus (AQE broadcasts it when duplication is rare); the rewrite
+    itself is a row-local indexed ``F.filter`` — no Python anywhere.
+
+    Returns the input columns with ``text_col`` rewritten plus
+    ``n_dropped_paragraphs`` (docs with no drops pass through their
+    original text unchanged, fast-path expression).
+    """
+    if mode not in ("first", "common"):
+        raise ValueError(f"mode must be 'first' or 'common', got {mode!r}")
+    lit_sep = "\\Q" + sep + "\\E"  # literal separator under Java regex split
+    segs = F.split(F.col(text_col), lit_sep)
+    cand = (
+        documents.select(F.col(id_col), F.posexplode(segs).alias("pos", "_para"))
+        .where(F.trim("_para") != "")
+        .select(
+            id_col, "pos", F.sha2(F.trim(F.col("_para")), 256).alias("_pkey")
+        )
+    )
+    if mode == "first":
+        winners = cand.groupBy("_pkey").agg(
+            F.min(F.struct(id_col, "pos")).alias("_w"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        losers = (
+            cand.join(winners.where(F.col("_n") > 1), "_pkey")
+            .where(
+                (F.col(id_col) != F.col("_w")[id_col])
+                | (F.col("pos") != F.col("_w")["pos"])
+            )
+            .select(id_col, "pos")
+        )
+    else:
+        hot = (
+            cand.groupBy("_pkey")
+            .agg(F.countDistinct(id_col).alias("_nd"))
+            .where(F.col("_nd") >= min_docs)
+            .select("_pkey")
+        )
+        losers = cand.join(hot, "_pkey", "left_semi").select(id_col, "pos")
+    drops = losers.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("_drop_pos")
+    )
+    joined = documents.join(drops, id_col, "left")
+    rebuilt = F.array_join(
+        F.filter(segs, lambda x, i: ~F.array_contains(F.col("_drop_pos"), i)),
+        sep,
+    )
+    out_cols = [
+        F.col(c) if c != text_col else
+        F.when(F.col("_drop_pos").isNull(), F.col(text_col))
+        .otherwise(rebuilt)
+        .alias(text_col)
+        for c in documents.columns
+    ]
+    n_dropped = F.coalesce(F.size("_drop_pos"), F.lit(0)).cast("long")
+    return joined.select(*out_cols, n_dropped.alias("n_dropped_paragraphs"))

@@ -160,17 +160,11 @@ def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semi.unionAll(anti).unionAll(topk)
 
 
-@register(
-    "max_value_per_user",
-    """
-    SELECT user_id, ROUND(MAX(value), 6) AS max_value, COUNT(*) AS num_events
-    FROM events GROUP BY user_id
-    """,
-)
-def q_max_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from document_automation_spark.operators.relational import max_value_per_user
-
-    return max_value_per_user(_t(spark, sf_dir, "events"))
+# (max_value_per_user no longer has its own registry seat: the per-user
+# MAX/COUNT aggregation rides the sessionize_events seat as joined
+# user_max_value / user_num_events columns — lossless, every value still
+# hash-checked — slot freed for paragraph_dedup under the driver's
+# 50-entry cap.  The operator relational.max_value_per_user is unchanged.)
 
 
 # (distinct_sources no longer has its own registry entry: the DISTINCT
@@ -2373,6 +2367,77 @@ def q_repetition_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "paragraph_dedup",
+    f"""
+    WITH {_DOCS_MULTILINE_SQL},
+    segs AS (
+        SELECT doc_id, i - 1 AS pos, s[i] AS para FROM (
+            SELECT doc_id, s, unnest(generate_series(1, len(s))) AS i
+            FROM (SELECT doc_id, string_split(text, chr(10)) AS s FROM ml))
+    ),
+    cand AS (
+        SELECT doc_id, pos, trim(para) AS pkey FROM segs WHERE trim(para) <> ''
+    ),
+    first_losers AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   ROW_NUMBER() OVER (PARTITION BY pkey ORDER BY doc_id, pos) AS rn
+            FROM cand) WHERE rn > 1
+    ),
+    common_losers AS (
+        SELECT doc_id, pos FROM cand WHERE pkey IN (
+            SELECT pkey FROM cand GROUP BY pkey
+            HAVING COUNT(DISTINCT doc_id) >= 3)
+    ),
+    agg_first AS (
+        SELECT s.doc_id, string_agg(s.para, chr(10) ORDER BY s.pos) AS text
+        FROM segs s LEFT JOIN first_losers l
+          ON l.doc_id = s.doc_id AND l.pos = s.pos
+        WHERE l.doc_id IS NULL GROUP BY s.doc_id
+    ),
+    agg_common AS (
+        SELECT s.doc_id, string_agg(s.para, chr(10) ORDER BY s.pos) AS text
+        FROM segs s LEFT JOIN common_losers l
+          ON l.doc_id = s.doc_id AND l.pos = s.pos
+        WHERE l.doc_id IS NULL GROUP BY s.doc_id
+    ),
+    nf AS (SELECT doc_id, COUNT(*) AS n FROM first_losers GROUP BY doc_id),
+    nc AS (SELECT doc_id, COUNT(*) AS n FROM common_losers GROUP BY doc_id)
+    SELECT 'first' AS mode, m.doc_id, md5(COALESCE(a.text, '')) AS text_md5,
+           CAST(COALESCE(nf.n, 0) AS BIGINT) AS n_dropped_paragraphs
+    FROM ml m LEFT JOIN agg_first a USING (doc_id) LEFT JOIN nf USING (doc_id)
+    UNION ALL
+    SELECT 'common' AS mode, m.doc_id, md5(COALESCE(a.text, '')) AS text_md5,
+           CAST(COALESCE(nc.n, 0) AS BIGINT) AS n_dropped_paragraphs
+    FROM ml m LEFT JOIN agg_common a USING (doc_id) LEFT JOIN nc USING (doc_id)
+    """,
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document paragraph dedup (operators/dedup.dedup_paragraphs) —
+    the CCNet curation stage — over the derived multiline corpus, both
+    policies as a tagged union: mode='first' keeps the globally-first copy
+    of every duplicated paragraph (CCNet semantics, within-doc repeats
+    included), mode='common' cuts every paragraph shared by >= 3 distinct
+    docs (boilerplate removal).  The DuckDB oracle replays winner selection
+    (ROW_NUMBER over (paragraph, doc_id, pos)), the hot-paragraph cut, and
+    the byte-exact text surgery on the identically derived corpus; per-doc
+    rewritten text compared by md5."""
+    from document_automation_spark.operators.dedup import dedup_paragraphs
+
+    ml = _docs_multiline(spark, sf_dir)
+
+    def leg(mode: str, **kw) -> DataFrame:
+        return dedup_paragraphs(ml, mode=mode, **kw).select(
+            F.lit(mode).alias("mode"),
+            "doc_id",
+            F.md5(F.col("text")).alias("text_md5"),
+            "n_dropped_paragraphs",
+        )
+
+    return leg("first").unionByName(leg("common", min_docs=3))
+
+
+@register(
     "lm_perplexity",
     """
     WITH tok AS (
@@ -2504,17 +2569,40 @@ def _event_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             PARTITION BY user_id ORDER BY ts, event_id
             ROWS UNBOUNDED PRECEDING) AS session_seq
         FROM flagged
+    ),
+    sessions AS (
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+        FROM sess GROUP BY user_id, session_seq
+    ),
+    per_user AS (
+        SELECT user_id, ROUND(MAX(value), 6) AS user_max_value,
+               COUNT(*) AS user_num_events
+        FROM events GROUP BY user_id
     )
-    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
-           MIN(ts) AS session_start, MAX(ts) AS session_end,
-           COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
-    FROM sess GROUP BY user_id, session_seq
+    SELECT s.*, u.user_max_value, u.user_num_events
+    FROM sessions s JOIN per_user u USING (user_id)
     """,
 )
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from document_automation_spark.operators.relational import sessionize_events
+    """Gap-based sessionization, with max_value_per_user folded in as a
+    lossless user_id join (user_max_value / user_num_events): the per-user
+    MAX/COUNT aggregation still runs in full and every value stays
+    hash-checked — slot freed for paragraph_dedup under the driver's
+    50-entry cap."""
+    from document_automation_spark.operators.relational import (
+        max_value_per_user,
+        sessionize_events,
+    )
 
-    return sessionize_events(_t(spark, sf_dir, "events"), gap_minutes=30)
+    events = _t(spark, sf_dir, "events")
+    per_user = max_value_per_user(events).select(
+        "user_id",
+        F.col("max_value").alias("user_max_value"),
+        F.col("num_events").alias("user_num_events"),
+    )
+    return sessionize_events(events, gap_minutes=30).join(per_user, "user_id")
 
 
 # =====================================================================
