@@ -167,6 +167,7 @@ def main() -> None:
         "ngram_jaccard_pairs",
         "similarity_topk",
         "embedding_near_dup",
+        "semantic_dedup",
         "token_stats",
         "duplicate_spans",
         "hash_embeddings",
@@ -254,6 +255,30 @@ def main() -> None:
         )
         return out.select("doc_id", "vector_id", serialize.alias("emb_micro"))
 
+    # similarity_topk's seat folded into embedding_near_dup in round 5
+    # session 5 (tagged union); bench both bare operators so the rows stay
+    # comparable r3->r4->r5
+    def _similarity_topk_only(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from document_automation_spark.operators.similarity import brute_force_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries_df = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_vec_id"),
+            F.col("embedding").alias("query_embedding"),
+        )
+        return brute_force_topk(emb, queries_df, k=10)
+
+    def _embedding_near_dup_only(spark, sf_dir):
+        from document_automation_spark.operators.similarity import (
+            embedding_near_dup_pairs,
+        )
+
+        return embedding_near_dup_pairs(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.3
+        )
+
     # token_stats' seat gained the quality_features join in round 5
     # session 3; bench the bare token/fingerprint pass for comparability
     def _token_stats_only(spark, sf_dir):
@@ -303,6 +328,8 @@ def main() -> None:
         "bpe_train_encode": _bpe_train_encode,
         "quality_classifier": _quality_classifier,
         "simhash_fingerprints": _simhash_fp_only,
+        "similarity_topk": _similarity_topk_only,
+        "embedding_near_dup": _embedding_near_dup_only,
         "exact_dedup": _exact_dedup_only,
         "comb_sum_fusion": _comb_sum_only,
         "top_customers": _top_customers_only,

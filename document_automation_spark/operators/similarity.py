@@ -258,3 +258,95 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+    sample_size: int = 4096,
+    seed: int = 42,
+    quantize_dp: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup via
+    embedding clusters — the near-dup method that catches *paraphrases*
+    exact/MinHash/SimHash text fingerprints cannot (same content, fully
+    rewritten surface).
+
+    Pipeline: seeded k-means clusters the corpus (``ivf.train_centroids``
+    on a deterministic bounded sample — the same centroids every run, any
+    parallelism); cosine pairs form ONLY within a cluster; of every pair
+    ≥ ``threshold`` the member with the LOWER ``(centroid_sim, vec_id)``
+    key survives — the paper's keep-the-farthest-from-centroid rule (most
+    marginal member of each semantic group is kept for diversity), made
+    single-pass: a vector is dropped iff ANY above-threshold neighbour has
+    a smaller key (greedy-rank canonicalization, same family as
+    ``dedup.near_dup_dedup(greedy)`` — for clique-shaped groups it equals
+    the paper exactly, for chains it drops transitively).
+
+    Scale shape: no all-pairs join anywhere — pairing is an equi-join on
+    the cluster id, O(Σ|cluster|²) like the paper's own per-cluster
+    pairwise pass; norms and centroid sims are computed once per VECTOR,
+    not per pair; cluster assignment is one numpy matmul per Arrow batch
+    (``ivf.assign_buckets``); the loser set distincts on vec_id alone.
+    ``quantize_dp`` truncates centroid distances before the argmin — the
+    cross-engine parity knob the IVF oracle uses.
+
+    Returns ALL input rows with ``bucket``, ``centroid_sim`` (rounded 6)
+    and ``kept`` — filter ``kept`` for the dedup corpus, aggregate for
+    accounting.
+    """
+    import numpy as np
+
+    from document_automation_spark.operators.ivf import assign_buckets, train_centroids
+
+    C = train_centroids(
+        embeddings, n_centroids=n_clusters, sample_size=sample_size, seed=seed
+    )
+    assigned = assign_buckets(embeddings, C, quantize_dp=quantize_dp)
+
+    cnorm = np.sqrt((C * C).sum(axis=1))
+    cent_arr = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in C])
+    cnorm_arr = F.array(*[F.lit(float(v)) for v in cnorm])
+    cvec = F.element_at(cent_arr, F.col("bucket") + 1)
+    emb_d = F.col("embedding").cast("array<double>")
+    sim = F.round(
+        _dot(emb_d, cvec) / (_norm(emb_d) * F.element_at(cnorm_arr, F.col("bucket") + 1)),
+        6,
+    )
+    scored = assigned.withColumn("centroid_sim", sim)
+
+    # pair ONLY within a cluster; carry each side's (centroid_sim, vec_id)
+    # priority key so the loser is decided pair-locally — no window, no
+    # iteration.  Norms once per vector, not per pair.
+    narrow = scored.select(
+        "vec_id",
+        "bucket",
+        "centroid_sim",
+        emb_d.alias("_e"),
+        _norm(emb_d).alias("_n"),
+    )
+    a, b = narrow.alias("a"), narrow.alias("b")
+    pairs = (
+        a.join(b, "bucket")
+        .where(F.col("a.vec_id") != F.col("b.vec_id"))
+        .where(
+            F.round(
+                _dot(F.col("a._e"), F.col("b._e")) / (F.col("a._n") * F.col("b._n")), 6
+            )
+            >= threshold
+        )
+    )
+    losers = (
+        pairs.where(
+            F.struct(F.col("b.centroid_sim"), F.col("b.vec_id"))
+            < F.struct(F.col("a.centroid_sim"), F.col("a.vec_id"))
+        )
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        scored.join(losers.withColumn("_lost", F.lit(True)), "vec_id", "left")
+        .withColumn("kept", F.col("_lost").isNull())
+        .drop("_lost")
+    )

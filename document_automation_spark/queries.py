@@ -1337,37 +1337,20 @@ _COSINE_PAIR_SQL = """
 """
 
 
-@register(
-    "similarity_topk",
-    f"""
-    WITH scored AS ({_COSINE_PAIR_SQL})
-    SELECT query_vec_id, vec_id, cosine, rank FROM (
-        SELECT query_vec_id, vec_id, cosine,
-               ROW_NUMBER() OVER (
-                   PARTITION BY query_vec_id ORDER BY cosine DESC, vec_id
-               ) AS rank
-        FROM scored
-    ) WHERE rank <= 10
-    """,
-)
-def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from document_automation_spark.operators.similarity import brute_force_topk
-
-    emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_vec_id"),
-        F.col("embedding").alias("query_embedding"),
-    )
-    out = brute_force_topk(emb, queries_df, k=10)
-    return out.select(
-        "query_vec_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
-    )
+# (similarity_topk no longer has its own registry seat: the brute-force
+# cosine top-k rides the embedding_near_dup seat as kind='topk' tagged-union
+# rows — the operator runs in full and every (query, doc, cosine, rank)
+# value stays hash-checked — slot freed for semantic_dedup under the
+# driver's 50-entry cap.  bench.py keeps a bare similarity_topk row.)
 
 
 @register(
     "embedding_near_dup",
-    """
-    SELECT * FROM (
+    f"""
+    WITH scored AS ({_COSINE_PAIR_SQL})
+    SELECT 'near_dup' AS kind, vec_a AS id_a, vec_b AS id_b, cosine,
+           CAST(NULL AS BIGINT) AS rank
+    FROM (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND(
                list_reduce(list_prepend(0.0,
@@ -1386,12 +1369,47 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM embeddings a JOIN embeddings b
       ON a.label = b.label AND a.vec_id < b.vec_id
     ) WHERE cosine >= 0.3
+    UNION ALL
+    SELECT 'topk' AS kind, query_vec_id AS id_a, vec_id AS id_b, cosine, rank
+    FROM (
+        SELECT query_vec_id, vec_id, cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_vec_id ORDER BY cosine DESC, vec_id
+               ) AS rank
+        FROM scored
+    ) WHERE rank <= 10
     """,
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from document_automation_spark.operators.similarity import embedding_near_dup_pairs
+    """Tagged union of the two exact-cosine surfaces: kind='near_dup' =
+    label-blocked near-duplicate pairs (threshold 0.3), kind='topk' =
+    brute-force top-10 for the first 5 query vectors (similarity_topk's
+    former seat, folded in losslessly — both operators run in full)."""
+    from document_automation_spark.operators.similarity import (
+        brute_force_topk,
+        embedding_near_dup_pairs,
+    )
 
-    return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+    emb = _t(spark, sf_dir, "embeddings")
+    nd = embedding_near_dup_pairs(emb, threshold=0.3).select(
+        F.lit("near_dup").alias("kind"),
+        F.col("vec_a").alias("id_a"),
+        F.col("vec_b").alias("id_b"),
+        "cosine",
+        F.lit(None).cast("long").alias("rank"),
+    )
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_vec_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    tk = brute_force_topk(emb, queries_df, k=10).select(
+        F.lit("topk").alias("kind"),
+        F.col("query_vec_id").alias("id_a"),
+        F.col("vec_id").alias("id_b"),
+        "cosine",
+        F.col("rank").cast("long").alias("rank"),
+    )
+    return nd.unionByName(tk)
 
 
 def _lsh_oracle_sql(
@@ -1543,6 +1561,96 @@ def _ivf_oracle_sql(
                ) AS rank
         FROM scored) WHERE rank <= {k}'''}
     """
+
+
+def _semantic_dedup_oracle_sql(
+    n_clusters: int = 8, threshold: float = 0.3, dim: int = 64
+) -> Optional[str]:
+    """DuckDB twin of SemDeDup: the seeded-kmeans centroids (and their
+    norms) are embedded as literals from golden.ivf_centroids — the same
+    bytes ivf.train_centroids produces — cluster assignment replays the
+    d = |c|² − 2x·c trunc-6 argmin with centroid-index tie-break (the
+    proven IVF-oracle pattern), centroid similarity and pair cosines are
+    ROUND(…, 6) in both engines, and the keep rule is the same pair-local
+    (centroid_sim, vec_id) comparison the Spark side evaluates."""
+    import numpy as np
+
+    from document_automation_spark.golden import ivf_centroids
+
+    C = ivf_centroids(n_centroids=n_clusters)
+    if C is None:
+        return None
+    c2 = (C * C).sum(axis=1)
+    cn = np.sqrt(c2)
+    cent_vals = ",\n        ".join(
+        f"({i}, {float(c2[i])!r}, {float(cn[i])!r},"
+        f" [{', '.join(repr(float(v)) for v in C[i])}])"
+        for i in range(n_clusters)
+    )
+
+    def fold(x: str, y: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {dim}),"
+            f" i -> CAST({x}[i] AS DOUBLE) * {y}[i])), (a, b) -> a + b)"
+        )
+
+    dot_c = fold("e.embedding", "c.cvec")
+    pair_cos = (
+        f"{fold('x.embedding', 'CAST(y.embedding AS DOUBLE[])')}"
+        f" / (sqrt({fold('x.embedding', 'CAST(x.embedding AS DOUBLE[])')})"
+        f" * sqrt({fold('y.embedding', 'CAST(y.embedding AS DOUBLE[])')}))"
+    )
+    return f"""
+    WITH cent AS (SELECT * FROM (VALUES {cent_vals}) AS c0(cid, c2, cnorm, cvec)),
+    dists AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               trunc((c.c2 - 2 * {dot_c}) * 1000000) / 1000000 AS d
+        FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cid AS bucket FROM (
+            SELECT vec_id, embedding, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+            FROM dists) WHERE rn = 1
+    ),
+    scored AS (
+        SELECT a.vec_id, a.embedding, a.bucket,
+               ROUND({fold('a.embedding', 'c.cvec')}
+                     / (sqrt({fold('a.embedding', 'CAST(a.embedding AS DOUBLE[])')})
+                        * c.cnorm), 6) AS centroid_sim
+        FROM assigned a JOIN cent c ON c.cid = a.bucket
+    ),
+    losers AS (
+        SELECT DISTINCT x.vec_id
+        FROM scored x JOIN scored y
+          ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+        WHERE ROUND({pair_cos}, 6) >= {threshold}
+          AND (y.centroid_sim < x.centroid_sim
+               OR (y.centroid_sim = x.centroid_sim AND y.vec_id < x.vec_id))
+    )
+    SELECT s.vec_id, CAST(s.bucket AS INTEGER) AS bucket, s.centroid_sim,
+           l.vec_id IS NULL AS kept
+    FROM scored s LEFT JOIN losers l ON l.vec_id = s.vec_id
+    """
+
+
+@register("semantic_dedup", lambda: _semantic_dedup_oracle_sql())
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.semantic_dedup): embedding-cluster
+    semantic dedup — seeded k-means clusters, within-cluster cosine pairs,
+    keep-the-farthest-from-centroid greedy rule.  threshold 0.3 on the
+    synthetic embeddings drops ~190 of 500 vectors, so the keep rule is
+    exercised on real collisions; trunc-6 assignment quantization is the
+    same cross-engine parity knob the IVF oracle uses."""
+    from document_automation_spark.operators.similarity import semantic_dedup
+
+    out = semantic_dedup(
+        _t(spark, sf_dir, "embeddings"),
+        n_clusters=8,
+        threshold=0.3,
+        quantize_dp=6,
+    )
+    return out.select("vec_id", "bucket", "centroid_sim", "kept")
 
 
 def _ann_recall_sql() -> Optional[str]:
