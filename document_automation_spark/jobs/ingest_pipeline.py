@@ -8,6 +8,7 @@
                                      quarantine drop, gates, exact dedup —
                                      physical copy or tombstone view)
       → [--cut-dup-spans]           exact-substring span surgery
+      → [--dedup-paragraphs]        CCNet cross-document paragraph dedup
       → [--embed]                   hash-embed + dense vector ids →
                                      embeddings table (the ANN/serving input)
       → curated passages table + per-stage stats
@@ -67,6 +68,7 @@ def run_ingest_pipeline(
     from_text: bool = False,
     cut_dup_spans: bool = False,
     span_k: int = 32,
+    dedup_paragraphs_mode: str | None = None,
     quality_filter: bool = False,
     quality_rules=None,
     curated_mode: str = "copy",
@@ -120,6 +122,16 @@ def run_ingest_pipeline(
     rows; the summary gains ``cut_chars`` /
     ``spanned_passages`` and ``curated_path`` points at the surgered
     table.
+
+    ``dedup_paragraphs_mode`` appends CCNet-style cross-document
+    PARAGRAPH dedup (``operators.dedup.dedup_paragraphs``) over the
+    curated passages: ``'first'`` keeps the globally-first copy of every
+    duplicated paragraph, ``'common[:MIN_DOCS]'`` cuts paragraphs shared
+    by ≥ MIN_DOCS distinct passages everywhere (template boilerplate —
+    cookie banners, navigation stubs).  Passages emptied by the cut are
+    dropped; identities re-derived as in the span stage.  Summary gains
+    ``dropped_paragraphs`` / ``para_deduped_passages`` /
+    ``para_emptied_passages``.  Requires ``curated_mode='copy'``.
 
     ``quality_filter=True`` appends the Gopher/C4 repetition gate
     (``operators.webtext_quality.filter_by_quality``; thresholds from
@@ -216,6 +228,17 @@ def run_ingest_pipeline(
         )
     if cut_dup_spans and curated_mode != "copy":
         raise ValueError("cut_dup_spans rewrites text and needs curated_mode='copy'")
+    if dedup_paragraphs_mode is not None:
+        if curated_mode != "copy":
+            raise ValueError(
+                "dedup_paragraphs rewrites text and needs curated_mode='copy'"
+            )
+        _para_mode, _, _para_k = dedup_paragraphs_mode.partition(":")
+        if _para_mode not in ("first", "common"):
+            raise ValueError(
+                "dedup_paragraphs_mode must be 'first' or 'common[:MIN_DOCS]', "
+                f"got {dedup_paragraphs_mode!r}"
+            )
     if quality_filter and curated_mode != "copy":
         raise ValueError("quality_filter re-reads text and needs curated_mode='copy'")
     if (decontaminate_path or pii_redact) and curated_mode != "copy":
@@ -500,6 +523,65 @@ def run_ingest_pipeline(
             summary["cut_chars"] = int(obs_cut.get["cut_chars"] or 0)
             summary["spanned_passages"] = int(obs_cut.get["spanned_passages"] or 0)
             summary["curated_path"] = cut_path
+
+        if dedup_paragraphs_mode is not None:
+            # CCNet-style cross-document paragraph dedup over the curated
+            # passages: 'first' keeps the globally-first copy of every
+            # duplicated paragraph, 'common[:K]' cuts paragraphs shared by
+            # >= K distinct passages everywhere (template boilerplate).
+            from document_automation_spark.operators.dedup import dedup_paragraphs
+
+            mode, _, k_str = dedup_paragraphs_mode.partition(":")
+            corpus = spark.read.parquet(summary["curated_path"])
+            as_docs = corpus.withColumnRenamed("content", "text").withColumn(
+                # passages share doc_id — the dedup row key must be unique
+                # (and deterministically ordered for 'first' mode)
+                "_row_key",
+                F.concat_ws(":", "doc_id", "passage_idx"),
+            )
+            out = dedup_paragraphs(
+                as_docs, mode=mode, min_docs=int(k_str or 2), id_col="_row_key"
+            )
+            obs_para = Observation("para_dedup")
+            surgered = (
+                out.observe(
+                    obs_para,
+                    F.sum("n_dropped_paragraphs").alias("dropped_paragraphs"),
+                    F.sum((F.col("n_dropped_paragraphs") > 0).cast("long")).alias(
+                        "para_deduped_passages"
+                    ),
+                    F.sum((F.trim("text") == "").cast("long")).alias(
+                        "para_emptied_passages"
+                    ),
+                )
+                # a passage whose every paragraph was boilerplate is gone
+                .where(F.trim("text") != "")
+                .drop("_row_key", "n_dropped_paragraphs")
+                .withColumnRenamed("text", "content")
+                # text rewritten -> re-derive both content-derived identities
+                # (same invariants as the span-surgery stage above)
+                .withColumn(
+                    "doc_id", F.sha2(F.concat(F.col("url"), F.col("content")), 256)
+                )
+                .withColumn("content_sha", F.unhex(F.sha2(F.col("content"), 256)))
+            )
+            para_path = os.path.join(output_path, "curated_paradedup")
+            (
+                surgered.write.mode("overwrite")
+                .option("compression", "zstd")
+                .option("parquet.compression.codec.zstd.level", "1")
+                .parquet(para_path)
+            )
+            summary["dropped_paragraphs"] = int(
+                obs_para.get["dropped_paragraphs"] or 0
+            )
+            summary["para_deduped_passages"] = int(
+                obs_para.get["para_deduped_passages"] or 0
+            )
+            summary["para_emptied_passages"] = int(
+                obs_para.get["para_emptied_passages"] or 0
+            )
+            summary["curated_path"] = para_path
 
         if quality_filter:
             from document_automation_spark.operators.webtext_quality import (
@@ -936,6 +1018,14 @@ def main(argv=None) -> None:
     )
     parser.add_argument("--span-k", type=int, default=32)
     parser.add_argument(
+        "--dedup-paragraphs",
+        metavar="MODE",
+        help="append CCNet-style cross-document paragraph dedup over the "
+        "curated passages: 'first' (globally-first copy survives) or "
+        "'common[:MIN_DOCS]' (paragraph in >= MIN_DOCS distinct passages "
+        "cut everywhere; default 2)",
+    )
+    parser.add_argument(
         "--quality-filter",
         action="store_true",
         help="append the Gopher/C4 repetition-rule gate over the curated "
@@ -1059,6 +1149,7 @@ def main(argv=None) -> None:
             from_text=from_text,
             cut_dup_spans=args.cut_dup_spans,
             span_k=args.span_k,
+            dedup_paragraphs_mode=args.dedup_paragraphs,
             quality_filter=args.quality_filter,
             curated_mode=args.curated_mode,
             decontaminate_path=args.decontaminate,

@@ -907,3 +907,90 @@ class TestIncrementalStage:
                 "fp", cfg=ExtractConfig(n_buckets=2),
                 curated_mode="view", dedup_against_path="/nonexistent",
             )
+
+
+class TestParagraphDedupStage:
+    @staticmethod
+    def _text_pages(spark, n=30):
+        """WET-style pre-extracted text pages (the path that preserves
+        newlines — the parity-exact HTML kernel joins lines with no
+        separator, so paragraph structure only exists on text ingests)."""
+        import datetime
+
+        boiler = "cookie notice please accept our terms and continue browsing"
+        rows = [
+            (
+                f"http://site{i}.example.com/page",
+                datetime.datetime(2024, 1, 1, i % 24),
+                boiler
+                + "\n"
+                + f"unique body {i} with enough characters to clear every "
+                  f"curation gate in the pipeline, repeated talk about topic {i} "
+                  f"and some more prose about subject {i} to pad the passage"
+                + "\n"
+                + f"second unique line {i} also long enough to survive trimming "
+                  f"and long enough to matter for the length gates downstream"
+                + "\n"
+                + boiler,
+            )
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, text string"
+        )
+
+    def test_common_mode_cuts_boilerplate(self, spark, tmp_path):
+        """--dedup-paragraphs common:2 on the WET text path — every page
+        shares a boilerplate line; after the stage no non-blank paragraph
+        occurs in >= 2 distinct surviving passages, counters report the cut,
+        and both content-derived identities are re-derived."""
+        base = self._text_pages(spark)
+        out = str(tmp_path / "corpus_para")
+        summary = run_ingest_pipeline(
+            spark, base, out, "test-para",
+            cfg=ExtractConfig(n_buckets=4),
+            from_text=True, url_dedup=False,
+            dedup_paragraphs_mode="common:2",
+        )
+        assert summary["curated_path"].endswith("curated_paradedup")
+        assert summary["dropped_paragraphs"] > 0
+        assert summary["para_deduped_passages"] > 0
+        corpus = spark.read.parquet(summary["curated_path"])
+        # post-condition: no trimmed non-blank paragraph remains in >= 2
+        # distinct passages
+        segs = corpus.select(
+            F.concat_ws(":", "doc_id", "passage_idx").alias("rk"),
+            F.explode(F.split("content", "\n")).alias("para"),
+        ).where(F.trim("para") != "")
+        hot = (
+            segs.groupBy(F.trim("para"))
+            .agg(F.countDistinct("rk").alias("nd"))
+            .where(F.col("nd") >= 2)
+            .count()
+        )
+        assert hot == 0
+        # no emptied passages survive; identities re-derived
+        assert corpus.where(F.trim("content") == "").count() == 0
+        assert corpus.filter(
+            F.col("content_sha") != F.unhex(F.sha2(F.col("content"), 256))
+        ).count() == 0
+        from document_automation_spark.kernels.page import doc_id_for
+
+        for r in corpus.limit(5).collect():
+            assert r.doc_id == doc_id_for(r.url, r.content)
+
+    def test_mode_validation(self, spark, tmp_path):
+        base = pages_df(spark, 8, partitions=1)
+        with pytest.raises(ValueError, match="first.*common"):
+            run_ingest_pipeline(
+                spark, base, str(tmp_path / "x"), "t",
+                cfg=ExtractConfig(n_buckets=2),
+                dedup_paragraphs_mode="nope",
+            )
+        with pytest.raises(ValueError, match="copy"):
+            run_ingest_pipeline(
+                spark, base, str(tmp_path / "y"), "t",
+                cfg=ExtractConfig(n_buckets=2),
+                dedup_paragraphs_mode="first",
+                curated_mode="view",
+            )
