@@ -11,6 +11,8 @@
       → [--dedup-paragraphs]        CCNet cross-document paragraph dedup
       → [--embed]                   hash-embed + dense vector ids →
                                      embeddings table (the ANN/serving input)
+      → [--semantic-dedup T]        SemDeDup over those embeddings (corpus
+                                     + embeddings both cut)
       → curated passages table + per-stage stats
 
 This is the composition a reference user runs end to end (the reference's
@@ -77,6 +79,8 @@ def run_ingest_pipeline(
     pii_redact: bool = False,
     embed: bool = False,
     embed_dim: int = 16,
+    semantic_dedup_threshold: float | None = None,
+    semantic_clusters: int = 16,
     pack_seqlen: int | None = None,
     classifier_good_path: str | None = None,
     classifier_alpha: float = 9.0,
@@ -132,6 +136,18 @@ def run_ingest_pipeline(
     dropped; identities re-derived as in the span stage.  Summary gains
     ``dropped_paragraphs`` / ``para_deduped_passages`` /
     ``para_emptied_passages``.  Requires ``curated_mode='copy'``.
+
+    ``semantic_dedup_threshold`` appends SemDeDup
+    (``operators.similarity.semantic_dedup``) over the embeddings the
+    ``embed`` stage just wrote: k-means clusters
+    (``semantic_clusters``), within-cluster cosine pairs ≥ threshold,
+    keep the farthest-from-centroid member of every semantic group.
+    Loser PASSAGES are anti-joined out of the corpus AND the embeddings
+    table (vector ids keep their values — gaps mark dedup losers), so
+    the ANN/serving input never serves dropped content.  Runs before
+    ``pack_seqlen`` so chunk maps are built over the deduped corpus.
+    Summary gains ``semdedup_dropped`` and ``n_vectors`` shrinks to the
+    survivors.  Requires ``embed=True`` and ``curated_mode='copy'``.
 
     ``quality_filter=True`` appends the Gopher/C4 repetition gate
     (``operators.webtext_quality.filter_by_quality``; thresholds from
@@ -238,6 +254,15 @@ def run_ingest_pipeline(
             raise ValueError(
                 "dedup_paragraphs_mode must be 'first' or 'common[:MIN_DOCS]', "
                 f"got {dedup_paragraphs_mode!r}"
+            )
+    if semantic_dedup_threshold is not None:
+        if not embed:
+            raise ValueError(
+                "semantic_dedup needs the embeddings the --embed stage writes"
+            )
+        if curated_mode != "copy":
+            raise ValueError(
+                "semantic_dedup rewrites the corpus and needs curated_mode='copy'"
             )
     if quality_filter and curated_mode != "copy":
         raise ValueError("quality_filter re-reads text and needs curated_mode='copy'")
@@ -689,6 +714,59 @@ def run_ingest_pipeline(
                 )
             )
 
+        if semantic_dedup_threshold is not None:
+            # SemDeDup over the embeddings the --embed stage just wrote:
+            # cluster, pair within cluster, keep the farthest-from-centroid
+            # member of every semantic group; drop the loser PASSAGES from
+            # both the corpus and the embeddings table (doc_id is a
+            # content-derived per-passage key, so the anti-join is row-exact)
+            from document_automation_spark.operators.similarity import semantic_dedup
+
+            emb = spark.read.parquet(summary["embeddings_path"]).withColumnRenamed(
+                "vector_id", "vec_id"
+            )
+            sem_cache: list = []
+            flags = semantic_dedup(
+                emb,
+                n_clusters=semantic_clusters,
+                threshold=semantic_dedup_threshold,
+                cache_registry=sem_cache,
+            )
+            losers = flags.where(~F.col("kept")).select("doc_id")
+            corpus = spark.read.parquet(summary["curated_path"])
+            sem_path = os.path.join(output_path, "curated_semdedup")
+            obs_sem = Observation("semantic_dedup")
+            (
+                corpus.join(losers, "doc_id", "left_anti")
+                .observe(obs_sem, F.count(F.lit(1)).alias("kept_rows"))
+                .write.mode("overwrite")
+                .option("compression", "zstd")
+                .option("parquet.compression.codec.zstd.level", "1")
+                .parquet(sem_path)
+            )
+            kept_rows = int(obs_sem.get["kept_rows"] or 0)
+            # embeddings table follows the corpus (the ANN/serving input
+            # must not serve dropped passages); original dense vector_ids
+            # are kept — gaps mark dedup losers, order is untouched
+            emb_sem_path = os.path.join(output_path, "embeddings_semdedup")
+            try:
+                (
+                    flags.where(F.col("kept"))
+                    .withColumnRenamed("vec_id", "vector_id")
+                    .drop("bucket", "centroid_sim", "kept")
+                    .write.mode("overwrite")
+                    .option("compression", "zstd")
+                    .option("parquet.compression.codec.zstd.level", "1")
+                    .parquet(emb_sem_path)
+                )
+            finally:
+                for handle in sem_cache:  # targeted: never clearCache()
+                    handle.unpersist()
+            summary["semdedup_dropped"] = summary["n_vectors"] - kept_rows
+            summary["n_vectors"] = kept_rows
+            summary["curated_path"] = sem_path
+            summary["embeddings_path"] = emb_sem_path
+
         if pack_seqlen is not None:
             summary.update(
                 _pack_stage(
@@ -1099,6 +1177,15 @@ def main(argv=None) -> None:
     )
     parser.add_argument("--embed-dim", type=int, default=16)
     parser.add_argument(
+        "--semantic-dedup",
+        type=float,
+        metavar="THRESHOLD",
+        help="append SemDeDup over the --embed stage's embeddings: drop the "
+        "closer-to-centroid member of every within-cluster cosine pair >= "
+        "THRESHOLD from the corpus AND the embeddings table",
+    )
+    parser.add_argument("--semantic-clusters", type=int, default=16)
+    parser.add_argument(
         "--curated-mode",
         choices=("copy", "view", "fused"),
         default="copy",
@@ -1157,6 +1244,8 @@ def main(argv=None) -> None:
             pii_redact=args.redact_pii,
             embed=args.embed,
             embed_dim=args.embed_dim,
+            semantic_dedup_threshold=args.semantic_dedup,
+            semantic_clusters=args.semantic_clusters,
             pack_seqlen=args.pack_seqlen,
             classifier_good_path=args.quality_classifier,
             classifier_alpha=args.classifier_alpha,

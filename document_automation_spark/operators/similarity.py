@@ -267,6 +267,7 @@ def semantic_dedup(
     sample_size: int = 4096,
     seed: int = 42,
     quantize_dp: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup via
     embedding clusters — the near-dup method that catches *paraphrases*
@@ -292,6 +293,12 @@ def semantic_dedup(
     ``quantize_dp`` truncates centroid distances before the argmin — the
     cross-engine parity knob the IVF oracle uses.
 
+    The scored projection feeds THREE plan branches (both pair sides and
+    the final join); pass ``cache_registry=[]`` to persist it once —
+    otherwise the cluster assignment recomputes per branch (three corpus
+    scans at scale).  Caller owns the lifecycle: unpersist each handle in
+    the registry after the terminal action (dedup_by_url's contract).
+
     Returns ALL input rows with ``bucket``, ``centroid_sim`` (rounded 6)
     and ``kept`` — filter ``kept`` for the dedup corpus, aggregate for
     accounting.
@@ -315,6 +322,9 @@ def semantic_dedup(
         6,
     )
     scored = assigned.withColumn("centroid_sim", sim)
+    if cache_registry is not None:
+        scored = scored.persist()
+        cache_registry.append(scored)
 
     # pair ONLY within a cluster; carry each side's (centroid_sim, vec_id)
     # priority key so the loser is decided pair-locally — no window, no

@@ -994,3 +994,36 @@ class TestParagraphDedupStage:
                 dedup_paragraphs_mode="first",
                 curated_mode="view",
             )
+
+
+class TestSemanticDedupStage:
+    def test_corpus_and_embeddings_both_cut(self, spark, tmp_path):
+        """--semantic-dedup: the loser passages leave BOTH tables, counters
+        agree, and surviving vector_ids keep their original values."""
+        base = pages_df(spark, 40, partitions=2)
+        out = str(tmp_path / "corpus_sem")
+        summary = run_ingest_pipeline(
+            spark, base, out, "test-sem",
+            cfg=ExtractConfig(n_buckets=4),
+            embed=True, embed_dim=16,
+            semantic_dedup_threshold=0.0,  # hash embeddings are weakly
+            semantic_clusters=4,           # correlated: 0.0 forces drops
+        )
+        assert summary["curated_path"].endswith("curated_semdedup")
+        assert summary["semdedup_dropped"] > 0
+        corpus = spark.read.parquet(summary["curated_path"])
+        emb = spark.read.parquet(summary["embeddings_path"])
+        assert corpus.count() == summary["n_vectors"]
+        assert emb.count() == summary["n_vectors"]
+        # the two tables agree row-for-row on the surviving passages
+        assert corpus.join(emb, "doc_id", "left_anti").count() == 0
+        assert emb.join(corpus, "doc_id", "left_anti").count() == 0
+
+    def test_requires_embed(self, spark, tmp_path):
+        base = pages_df(spark, 8, partitions=1)
+        with pytest.raises(ValueError, match="embed"):
+            run_ingest_pipeline(
+                spark, base, str(tmp_path / "x"), "t",
+                cfg=ExtractConfig(n_buckets=2),
+                semantic_dedup_threshold=0.9,
+            )
