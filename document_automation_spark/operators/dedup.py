@@ -634,6 +634,10 @@ def dedup_paragraphs(
     """
     if mode not in ("first", "common"):
         raise ValueError(f"mode must be 'first' or 'common', got {mode!r}")
+    if not sep or "\\E" in sep:
+        # \Q…\E quoting cannot represent a literal \E; empty sep would
+        # split between every character
+        raise ValueError(f"sep must be a non-empty literal without '\\E', got {sep!r}")
     lit_sep = "\\Q" + sep + "\\E"  # literal separator under Java regex split
     segs = F.split(F.col(text_col), lit_sep)
     cand = (

@@ -108,3 +108,71 @@ class TestPlanShape:
         b = {(r.doc_id, r.text) for r in
              dedup_paragraphs(corpus.repartition(7), mode="first").collect()}
         assert a == b
+
+
+class TestRandomizedReplay:
+    """Operator vs an independent pure-Python CCNet replay on a randomized
+    corpus (seeded): 200 docs, paragraphs drawn from a 30-string vocab with
+    random padding — high cross-doc collision rate, blanks, empty docs."""
+
+    @staticmethod
+    def _corpus(seed=7, n_docs=200):
+        import random
+
+        rng = random.Random(seed)
+        vocab = [f"para {i} body text" for i in range(30)]
+        rows = []
+        for d in range(n_docs):
+            n = rng.randint(0, 6)
+            segs = []
+            for _ in range(n):
+                choice = rng.random()
+                if choice < 0.1:
+                    segs.append("")            # blank structural segment
+                elif choice < 0.2:
+                    segs.append("   ")         # whitespace-only
+                else:
+                    pad = " " * rng.randint(0, 2)
+                    segs.append(pad + rng.choice(vocab) + pad)
+            rows.append((d, "\n".join(segs)))
+        return rows
+
+    @staticmethod
+    def _replay(rows, mode, min_docs=2):
+        first_seen = {}
+        doc_count = {}
+        for d, text in rows:
+            for p, seg in enumerate(text.split("\n")):
+                key = seg.strip()
+                if not key:
+                    continue
+                first_seen.setdefault(key, (d, p))
+                doc_count.setdefault(key, set()).add(d)
+        out = {}
+        for d, text in rows:
+            kept, dropped = [], 0
+            for p, seg in enumerate(text.split("\n")):
+                key = seg.strip()
+                if not key:
+                    kept.append(seg)
+                    continue
+                if mode == "first":
+                    lose = first_seen[key] != (d, p)
+                else:
+                    lose = len(doc_count[key]) >= min_docs
+                if lose:
+                    dropped += 1
+                else:
+                    kept.append(seg)
+            out[d] = ("\n".join(kept), dropped)
+        return out
+
+    @pytest.mark.parametrize("mode,kw", [("first", {}), ("common", {"min_docs": 3})])
+    def test_matches_python_replay(self, spark, mode, kw):
+        rows = self._corpus()
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.text, r.n_dropped_paragraphs)
+            for r in dedup_paragraphs(df, mode=mode, **kw).collect()
+        }
+        assert got == self._replay(rows, mode, kw.get("min_docs", 2))
