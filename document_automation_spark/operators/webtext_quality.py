@@ -584,6 +584,7 @@ def train_bigram_lm(
     corpus: DataFrame,
     text_col: str = "text",
     min_count: int = 1,
+    cache_registry: list | None = None,
 ) -> BigramLM:
     """Fit bigram + unigram counts over ``corpus`` (the in-domain slice).
 
@@ -594,12 +595,20 @@ def train_bigram_lm(
     Stupid Backoff, so pruning only sharpens the backoff, never breaks
     scoring).  The single driver-side scalar is ``total_tokens`` (one
     aggregate row — bounded like the IVF centroid collect)."""
+    # the unigram table feeds THREE consumers (total-tokens collect,
+    # pre-scored bigram join, backoff table): cache_registry=[] persists
+    # it once instead of re-tokenizing the corpus per consumer (table is
+    # LM-sized, bounded by min_count pruning; caller owns the unpersist —
+    # dedup_by_url's contract)
     ws = corpus.select(words_col(F.col(text_col)).alias("_ws"))
     uni = (
         ws.select(F.explode("_ws").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("uc"))
     )
+    if cache_registry is not None:
+        uni = uni.persist()
+        cache_registry.append(uni)
     total = uni.agg(F.sum("uc").alias("t")).collect()[0]["t"] or 0
     if min_count > 1:
         uni = uni.filter(F.col("uc") >= min_count)

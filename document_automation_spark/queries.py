@@ -1644,11 +1644,16 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     same cross-engine parity knob the IVF oracle uses."""
     from document_automation_spark.operators.similarity import semantic_dedup
 
+    # the scored projection feeds three plan branches; persist it like
+    # ann_recall_eval persists its knn graph (bench/driver sessions run the
+    # query once — the ~n-row persist is reclaimed by their clearCache/exit;
+    # measured 2.6x on the seat)
     out = semantic_dedup(
         _t(spark, sf_dir, "embeddings"),
         n_clusters=8,
         threshold=0.3,
         quantize_dp=6,
+        cache_registry=[],
     )
     return out.select("vec_id", "bucket", "centroid_sim", "kept")
 
@@ -2603,7 +2608,9 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    lm = train_bigram_lm(docs.filter(F.col("lang") == "en"))
+    # persist the LM-sized unigram table across its three consumers (same
+    # run-once-session rationale as semantic_dedup / ann_recall_eval)
+    lm = train_bigram_lm(docs.filter(F.col("lang") == "en"), cache_registry=[])
     return score_with_bigram_lm(docs, lm)
 
 
