@@ -357,3 +357,58 @@ def start_streaming_dsir_filter(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def start_streaming_paragraph_cut(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    hot_keys: DataFrame,
+    schema: str = "doc_id long, text string",
+    sep: str = "\n",
+) -> StreamingQuery:
+    """The streaming twin of the batch common-paragraph cut
+    (``operators.dedup.dedup_paragraphs(mode='common')``): cut every
+    paragraph whose sha2 key is in a batch-trained hot set
+    (``operators.dedup.hot_paragraph_keys``) from documents as they land.
+
+    The batch operator's corpus-wide distinct-doc count is a streaming
+    aggregation + self-join (unsupported in append mode), so — the
+    streaming-DSIR pattern — the bounded artifact collapses to a plan
+    LITERAL: ``hot_paragraph_keys`` caps the table (Zipfian boilerplate,
+    the head is the cut), its keys become a sorted array literal, and
+    every row rewrites itself with one indexed ``F.filter`` +
+    ``array_contains`` probe per paragraph.  Zero shuffles, zero state;
+    the surgery expression is byte-identical to the batch operator's, so
+    stream output == batch common-cut for every paragraph inside the cap
+    (pinned in pytest).
+    """
+    keys = sorted(r["pkey"] for r in hot_keys.collect())  # capped by contract
+    hot_lit = F.array(*[F.lit(k) for k in keys])
+    lit_sep = "\\Q" + sep + "\\E"
+
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+    segs = F.split(F.col("text"), lit_sep)
+    kept_segs = F.filter(
+        segs,
+        lambda x: (F.trim(x) == "")
+        | ~F.array_contains(hot_lit, F.sha2(F.trim(x), 256)),
+    )
+    n_dropped = (F.size(segs) - F.size(kept_segs)).cast("long")
+    rewritten = docs.select(
+        "*",
+        F.array_join(kept_segs, sep).alias("_text2"),
+        n_dropped.alias("n_dropped_paragraphs"),
+    ).withColumn("text", F.col("_text2")).drop("_text2")
+    return (
+        rewritten.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
