@@ -179,6 +179,7 @@ def main() -> None:
         "data_mixing",
         "sequence_packing",
         "host_pagerank",
+        "anchor_text_terms",
         "bpe_train_encode",
         "quality_classifier",
         "dsir_selection",
@@ -270,6 +271,13 @@ def main() -> None:
         )
         return brute_force_topk(emb, queries_df, k=10)
 
+    # hourly_event_rollup's seat folded into salted_event_type_stats in
+    # round 5 session 5 (tagged union); keep the bare-operator row
+    def _hourly_rollup_only(spark, sf_dir):
+        from document_automation_spark.operators.relational import hourly_event_rollup
+
+        return hourly_event_rollup(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
     def _embedding_near_dup_only(spark, sf_dir):
         from document_automation_spark.operators.similarity import (
             embedding_near_dup_pairs,
@@ -330,6 +338,7 @@ def main() -> None:
         "simhash_fingerprints": _simhash_fp_only,
         "similarity_topk": _similarity_topk_only,
         "embedding_near_dup": _embedding_near_dup_only,
+        "hourly_event_rollup": _hourly_rollup_only,
         "exact_dedup": _exact_dedup_only,
         "comb_sum_fusion": _comb_sum_only,
         "top_customers": _top_customers_only,

@@ -151,3 +151,94 @@ def host_link_edges(
         .where((F.col("src") != NO_HOST) & (F.col("dst") != NO_HOST))
         .distinct()
     )
+
+
+ANCHOR_RE = '<a [^>]*href="([^"]+)"[^>]*>([^<]*)</a>'
+"""Anchor regex, deliberately in the Java∩RE2-identical subset (the PII
+discipline) so the DuckDB oracle extracts the SAME (href, text) pairs:
+no alternation, no backtracking ambiguity, negated classes only.  Anchors
+with nested markup inside the text are skipped by design — [^<]* is the
+honest boundary a regex can defend; a DOM pass is the kernel's job."""
+
+
+def anchor_text_terms(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    html_is_binary: bool = True,
+    min_refs: int = 1,
+) -> DataFrame:
+    """Per-host ANCHOR-TEXT term aggregation — the description other pages
+    give a host (the classic search/quality signal: anchor text is
+    off-page evidence of what a destination is about, robust to the
+    destination's own boilerplate; web corpora ship it as a first-class
+    artifact).
+
+    Entirely JVM-side: one ``regexp_extract_all`` pass per capture group
+    over the lossy-decoded payload, positionally zipped into (href, text)
+    pairs (both groups come from the SAME pattern, so the match lists
+    align by construction), href resolved to a destination host exactly
+    like :func:`host_link_edges` (relative → the page's own host,
+    protocol-relative → https, scheme'd → parsed; unparseable dropped),
+    anchor text lowercased and whitespace-tokenized, then ONE
+    map-side-combined count by (dst, term).
+
+    Self-references are kept (a site's own nav anchors describe it too);
+    filter ``dst != src`` upstream for the off-page-only variant.
+
+    Returns ``(dst, term, n_refs)`` — ``n_refs`` = anchor occurrences of
+    the term pointing at the host, ``min_refs`` prunes the hapax tail
+    (the same bounded-artifact lever as the LM's min_count).
+
+    Scale shape: scan-stage Project + two explodes (anchors, then terms);
+    the single shuffle is the final count, keyed by (host, term) — far
+    below page cardinality, map-side combined.  The pages payload never
+    shuffles.
+    """
+    from document_automation_spark.operators.domains import NO_HOST, host_col
+
+    html_str = (
+        F.expr(f"make_valid_utf8(cast({html_col} as string))")
+        if html_is_binary
+        else F.col(html_col).cast("string")
+    )
+    pairs = pages.select(
+        host_col(url_col).alias("src"),
+        F.explode(
+            F.zip_with(
+                F.regexp_extract_all(html_str, F.lit(ANCHOR_RE), 1),
+                F.regexp_extract_all(html_str, F.lit(ANCHOR_RE), 2),
+                lambda h, t: F.struct(h.alias("href"), t.alias("atext")),
+            )
+        ).alias("a"),
+    ).select("src", F.col("a.href").alias("href"), F.col("a.atext").alias("atext"))
+    parsed_host = F.coalesce(
+        F.lower(F.try_parse_url(F.col("href"), F.lit("HOST"))), F.lit(NO_HOST)
+    )
+    proto_rel_host = F.coalesce(
+        F.lower(
+            F.try_parse_url(F.concat(F.lit("https:"), F.col("href")), F.lit("HOST"))
+        ),
+        F.lit(NO_HOST),
+    )
+    dst = (
+        F.when(F.col("href").startswith("//"), proto_rel_host)
+        .when(F.col("href").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:"), parsed_host)
+        .otherwise(F.col("src"))
+    )
+    terms = (
+        pairs.select(dst.alias("dst"), "atext", "src")
+        .where((F.col("src") != NO_HOST) & (F.col("dst") != NO_HOST))
+        .select(
+            "dst",
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("atext")), r"\s+"), lambda w: w != ""
+                )
+            ).alias("term"),
+        )
+    )
+    out = terms.groupBy("dst", "term").agg(F.count(F.lit(1)).alias("n_refs"))
+    if min_refs > 1:
+        out = out.where(F.col("n_refs") >= min_refs)
+    return out

@@ -173,18 +173,12 @@ def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # relational.distinct_sources remains available.)
 
 
-@register(
-    "hourly_event_rollup",
-    """
-    SELECT date_trunc('hour', ts) AS hour, event_type,
-           COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
-    FROM events GROUP BY 1, 2
-    """,
-)
-def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from document_automation_spark.operators.relational import hourly_event_rollup
-
-    return hourly_event_rollup(_t(spark, sf_dir, "events"))
+# (hourly_event_rollup no longer has its own registry seat: the hourly
+# rollup rides the salted_event_type_stats seat as kind='hourly' tagged-
+# union rows — the operator runs in full and every (hour, type, count,
+# sum) value stays hash-checked — slot freed for anchor_text_terms under
+# the driver's 50-entry cap.  relational.hourly_event_rollup is unchanged
+# and bench.py keeps its bare row.)
 
 
 @register(
@@ -2261,6 +2255,99 @@ def _pagerank_sql(n_iters: int = 5) -> str:
     """
 
 
+_ANCHOR_RE_SQL = '<a [^>]*href="([^"]+)"[^>]*>([^<]*)</a>'
+_HOST_RE_SQL = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)"
+
+
+@register(
+    "anchor_text_terms",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           w -> w <> '') AS ws0
+        FROM documents
+    ),
+    corpus AS (
+        SELECT 'http://s' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/page'
+                   AS url,
+               '<a class="x" href="http://h' || CAST(doc_id % 7 AS VARCHAR)
+               || '.example.com/p">' || array_to_string(ws0[1:3], ' ')
+               || '</a> filler <a href="/nav">Home Nav</a>'
+               || CASE WHEN doc_id % 3 = 0
+                  THEN '<a href="//h' || CAST((doc_id + 1) % 7 AS VARCHAR)
+                       || '.example.com/q">Proto Rel</a>'
+                  ELSE '<a href="mailto:x@y.example">Mail Me</a>' END AS html
+        FROM toks
+    ),
+    anchors AS (
+        SELECT lower(regexp_extract(url, '{_HOST_RE_SQL}', 1)) AS src,
+               unnest(list_zip(
+                   regexp_extract_all(html, '{_ANCHOR_RE_SQL}', 1),
+                   regexp_extract_all(html, '{_ANCHOR_RE_SQL}', 2))) AS z
+        FROM corpus
+    ),
+    resolved AS (
+        SELECT CASE
+                 WHEN starts_with(z[1], '//')
+                 THEN lower(regexp_extract('https:' || z[1],
+                                           '{_HOST_RE_SQL}', 1))
+                 WHEN regexp_matches(z[1], '^[a-zA-Z][a-zA-Z0-9+.-]*:')
+                 THEN lower(regexp_extract(z[1], '{_HOST_RE_SQL}', 1))
+                 ELSE src END AS dst,
+               z[2] AS atext
+        FROM anchors WHERE src <> ''
+    ),
+    terms AS (
+        SELECT dst, unnest(list_filter(
+                   string_split_regex(lower(atext), '\\s+'), w -> w <> ''))
+                   AS term
+        FROM resolved WHERE dst <> ''
+    )
+    SELECT dst, term, CAST(COUNT(*) AS BIGINT) AS n_refs
+    FROM terms GROUP BY dst, term
+    """,
+)
+def q_anchor_text_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host anchor-text term aggregation
+    (operators/linkgraph.anchor_text_terms — the off-page description
+    signal web search and corpus-quality pipelines mine from the crawl's
+    own hyperlinks) over a deterministic doc-derived HTML corpus covering
+    every href-resolution branch: absolute http, relative (self-host),
+    protocol-relative, and authority-less schemes (mailto — dropped).
+    The DuckDB oracle rebuilds the identical corpus, replays the SAME
+    anchor regex (Java∩RE2-identical subset, positional group zip) and
+    re-derives host resolution with an authority regex that matches
+    try_parse_url on exactly the href shapes the corpus contains."""
+    from document_automation_spark.operators.linkgraph import anchor_text_terms
+    from document_automation_spark.operators.webtext_quality import words_col
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id")
+    html = F.concat(
+        F.lit('<a class="x" href="http://h'),
+        (m % 7).cast("string"),
+        F.lit('.example.com/p">'),
+        F.concat_ws(" ", F.slice(words_col(F.col("text")), 1, 3)),
+        F.lit('</a> filler <a href="/nav">Home Nav</a>'),
+        F.when(
+            m % 3 == 0,
+            F.concat(
+                F.lit('<a href="//h'),
+                ((m + 1) % 7).cast("string"),
+                F.lit('.example.com/q">Proto Rel</a>'),
+            ),
+        ).otherwise(F.lit('<a href="mailto:x@y.example">Mail Me</a>')),
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("http://s"), (m % 5).cast("string"), F.lit(".example.com/page")
+        ).alias("url"),
+        html.alias("html"),
+    )
+    return anchor_text_terms(pages, html_is_binary=False)
+
+
 @register("host_pagerank", lambda: _pagerank_sql(5))
 def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level PageRank (operators/linkgraph.py — the web-curation
@@ -2727,7 +2814,8 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "salted_event_type_stats",
     """
-    SELECT event_type, COUNT(*) AS n_events,
+    SELECT 'stats' AS kind, event_type,
+           CAST(NULL AS TIMESTAMP) AS hour, COUNT(*) AS n_events,
            ROUND(SUM(value), 6) AS sum_value,
            ROUND(MAX(value), 6) AS max_value,
            ROUND(quantile_cont(value, 0.5), 6) AS p50,
@@ -2736,6 +2824,14 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT string_agg(DISTINCT source, '|' ORDER BY source)
             FROM documents) AS distinct_sources
     FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'hourly' AS kind, event_type,
+           date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
+           ROUND(SUM(value), 6) AS sum_value,
+           CAST(NULL AS DOUBLE) AS max_value, CAST(NULL AS DOUBLE) AS p50,
+           CAST(NULL AS DOUBLE) AS p95, CAST(NULL AS DOUBLE) AS min_value,
+           CAST(NULL AS VARCHAR) AS distinct_sources
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
     """,
 )
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2764,7 +2860,7 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source")
         .agg(F.array_join(F.sort_array(F.collect_set("source")), "|").alias("distinct_sources"))
     )
-    return (
+    stats = (
         out.select(
             "event_type",
             "n_events",
@@ -2775,7 +2871,36 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exact-percentile agg still runs in full; see comment above)
         .join(_event_quantiles(spark, sf_dir), "event_type")
         .crossJoin(F.broadcast(sources))
+        .select(
+            F.lit("stats").alias("kind"),
+            "event_type",
+            F.lit(None).cast("timestamp").alias("hour"),
+            "n_events",
+            "sum_value",
+            "max_value",
+            "p50",
+            "p95",
+            "min_value",
+            "distinct_sources",
+        )
     )
+    # hourly_event_rollup folded in as kind='hourly' rows (lossless —
+    # the full rollup runs and every value stays hash-checked)
+    from document_automation_spark.operators.relational import hourly_event_rollup
+
+    hourly = hourly_event_rollup(events).select(
+        F.lit("hourly").alias("kind"),
+        "event_type",
+        "hour",
+        "n_events",
+        "sum_value",
+        F.lit(None).cast("double").alias("max_value"),
+        F.lit(None).cast("double").alias("p50"),
+        F.lit(None).cast("double").alias("p95"),
+        F.lit(None).cast("double").alias("min_value"),
+        F.lit(None).cast("string").alias("distinct_sources"),
+    )
+    return stats.unionByName(hourly)
 
 
 # =====================================================================

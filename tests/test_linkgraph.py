@@ -103,3 +103,66 @@ class TestHostLinkEdges:
         # a.com: absolute → b.com, relative → a.com itself; mailto has no
         # host → dropped; unparseable page url dropped; PDF yields nothing
         assert rows == [("a.com", "a.com"), ("a.com", "b.com")]
+
+
+class TestAnchorTextTerms:
+    def test_resolution_branches_and_counts(self, spark):
+        from document_automation_spark.operators.linkgraph import anchor_text_terms
+
+        rows = [
+            ("http://a.com/x",
+             b'<p><a class="z" href="http://b.com/p">Great Site</a> and '
+             b'<a href="/local">Home Page</a></p>'),
+            ("http://c.com/y",
+             b'<a href="//b.com/q">great\nresource</a>'
+             b'<a href="mailto:z@z.example">mail me</a>'),
+            ("http://d.com/z", b"no anchors here"),
+        ]
+        df = spark.createDataFrame(rows, "url string, html binary")
+        got = {
+            (r.dst, r.term): r.n_refs for r in anchor_text_terms(df).collect()
+        }
+        assert got == {
+            # absolute href -> its own host; text lowercased + tokenized
+            ("b.com", "great"): 2,   # once absolute, once protocol-relative
+            ("b.com", "site"): 1,
+            ("b.com", "resource"): 1,  # newline inside anchor text tokenizes
+            # relative href -> the page's own host
+            ("a.com", "home"): 1,
+            ("a.com", "page"): 1,
+            # mailto has no authority -> dropped entirely (no 'mail'/'me')
+        }
+
+    def test_min_refs_prunes(self, spark):
+        from document_automation_spark.operators.linkgraph import anchor_text_terms
+
+        rows = [
+            ("http://a.com/1", b'<a href="http://t.com/">hot word</a>'),
+            ("http://a.com/2", b'<a href="http://t.com/">hot</a>'),
+        ]
+        df = spark.createDataFrame(rows, "url string, html binary")
+        got = {r.term for r in anchor_text_terms(df, min_refs=2).collect()}
+        assert got == {"hot"}
+
+    def test_binary_junk_yields_nothing(self, spark):
+        from document_automation_spark.operators.linkgraph import anchor_text_terms
+
+        df = spark.createDataFrame(
+            [("http://a.com/x", bytes([0xFF, 0xFE, 0x00, 0x80]) * 10)],
+            "url string, html binary",
+        )
+        assert anchor_text_terms(df).count() == 0
+
+    def test_payload_never_shuffles(self, spark):
+        """The one Exchange is the (dst, term) count — html stays in the
+        scan stage."""
+        from document_automation_spark.operators.linkgraph import anchor_text_terms
+
+        df = spark.createDataFrame(
+            [("http://a.com/x", b'<a href="/y">t</a>')], "url string, html binary"
+        )
+        plan = anchor_text_terms(df)._jdf.queryExecution().toString()
+        import re
+
+        for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+            assert "html" not in m.group(1)
