@@ -180,6 +180,8 @@ def main() -> None:
         "sequence_packing",
         "host_pagerank",
         "anchor_text_terms",
+        "robots_exclusion",
+        "bm25_topk",
         "bpe_train_encode",
         "quality_classifier",
         "dsir_selection",
@@ -271,6 +273,15 @@ def main() -> None:
         )
         return brute_force_topk(emb, queries_df, k=10)
 
+    # bm25_topk's seat folded into bm25_retrieval_eval in round 5 session 5
+    # (tagged union); keep the bare-operator row
+    def _bm25_topk_only(spark, sf_dir):
+        from document_automation_spark.operators.bm25 import bm25_topk
+        from document_automation_spark.queries import _bm25_query_terms
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return bm25_topk(docs.select("doc_id", "text"), _bm25_query_terms(docs), k=10)
+
     # hourly_event_rollup's seat folded into salted_event_type_stats in
     # round 5 session 5 (tagged union); keep the bare-operator row
     def _hourly_rollup_only(spark, sf_dir):
@@ -339,6 +350,7 @@ def main() -> None:
         "similarity_topk": _similarity_topk_only,
         "embedding_near_dup": _embedding_near_dup_only,
         "hourly_event_rollup": _hourly_rollup_only,
+        "bm25_topk": _bm25_topk_only,
         "exact_dedup": _exact_dedup_only,
         "comb_sum_fusion": _comb_sum_only,
         "top_customers": _top_customers_only,

@@ -571,23 +571,11 @@ _BM25_SCORED_SQL = rf"""
 """
 
 
-@register(
-    "bm25_topk",
-    f"""
-    WITH {_BM25_SCORED_SQL}
-    SELECT query_id, doc_id, bm25, rank FROM (
-        SELECT *, ROW_NUMBER() OVER (
-            PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rank
-        FROM scored
-    ) WHERE rank <= 10
-    """,
-)
-def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from document_automation_spark.operators.bm25 import bm25_topk
-
-    docs = _t(spark, sf_dir, "documents")
-    query_terms = _bm25_query_terms(docs)
-    return bm25_topk(docs.select("doc_id", "text"), query_terms, k=10)
+# (bm25_topk no longer has its own registry seat: the scored top-10 rides
+# the bm25_retrieval_eval seat as kind='topk' tagged-union rows — every
+# (query, doc, bm25, rank) value stays hash-checked — slot freed for
+# robots_exclusion under the driver's 50-entry cap.  operators/bm25.py is
+# unchanged and bench.py keeps the bare row.)
 
 
 
@@ -596,11 +584,12 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bm25_retrieval_eval",
     f"""
     WITH {_BM25_SCORED_SQL},
-    ranked AS (
-        SELECT query_id, doc_id,
+    ranked2 AS (
+        SELECT query_id, doc_id, bm25,
                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rank
         FROM scored
     ),
+    ranked AS (SELECT query_id, doc_id, rank FROM ranked2),
     found AS (
         SELECT query_id, MIN(rank) AS found_rank FROM ranked
         WHERE doc_id = query_id * 41 AND rank <= 10
@@ -613,10 +602,18 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT DISTINCT query_id FROM qt) q
         LEFT JOIN found f ON q.query_id = f.query_id
     )
-    SELECT ROUND(AVG(CAST(hit AS DOUBLE)), 9) AS recall,
+    SELECT 'eval' AS kind, CAST(NULL AS BIGINT) AS query_id,
+           CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS bm25,
+           CAST(NULL AS BIGINT) AS rank,
+           ROUND(AVG(CAST(hit AS DOUBLE)), 9) AS recall,
            ROUND(AVG(1.0 / rank), 9) AS mrr,
            COUNT(*) AS num_queries
     FROM per_query
+    UNION ALL
+    SELECT 'topk' AS kind, query_id, doc_id, bm25, CAST(rank AS BIGINT),
+           CAST(NULL AS DOUBLE) AS recall, CAST(NULL AS DOUBLE) AS mrr,
+           CAST(NULL AS BIGINT) AS num_queries
+    FROM ranked2 WHERE rank <= 10
     """,
 )
 def q_bm25_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -629,7 +626,8 @@ def q_bm25_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     query_terms = _bm25_query_terms(docs)
-    ranked = bm25_topk(docs.select("doc_id", "text"), query_terms, k=10).select(
+    topk = bm25_topk(docs.select("doc_id", "text"), query_terms, k=10)
+    ranked = topk.select(
         "query_id", F.col("doc_id").alias("image_id"), F.col("rank").cast("int").alias("img_rank")
     )
     # gold from a fresh range (same ids as the qt derivation: 0..9) —
@@ -637,7 +635,30 @@ def q_bm25_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     gold = spark.range(10).select(
         F.col("id").alias("query_id"), (F.col("id") * 41).alias("gold_image_id")
     )
-    return recall_and_mrr(hits_and_ranks(ranked, gold, topk=10))
+    ev = recall_and_mrr(hits_and_ranks(ranked, gold, topk=10)).select(
+        F.lit("eval").alias("kind"),
+        F.lit(None).cast("long").alias("query_id"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("double").alias("bm25"),
+        F.lit(None).cast("long").alias("rank"),
+        "recall",
+        "mrr",
+        "num_queries",
+    )
+    # bm25_topk folded in as kind='topk' rows (lossless — the full scored
+    # top-10 stays hash-checked; its former standalone seat freed for
+    # robots_exclusion)
+    tk = topk.select(
+        F.lit("topk").alias("kind"),
+        "query_id",
+        "doc_id",
+        "bm25",
+        F.col("rank").cast("long").alias("rank"),
+        F.lit(None).cast("double").alias("recall"),
+        F.lit(None).cast("double").alias("mrr"),
+        F.lit(None).cast("long").alias("num_queries"),
+    )
+    return ev.unionByName(tk)
 
 
 def _emb_list_cte(src: str, p: str) -> str:
@@ -2253,6 +2274,153 @@ def _pagerank_sql(n_iters: int = 5) -> str:
     {','.join(iters)}
     SELECT CAST(node AS BIGINT) AS node, ROUND(rank, 9) AS rank FROM r{n_iters}
     """
+
+
+@register(
+    "robots_exclusion",
+    """
+    WITH hosts AS (
+        SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example.com' AS host,
+               CASE WHEN doc_id % 3 = 0 THEN
+                 'User-agent: *' || chr(10) || 'Disallow: /g'
+                 || CAST(doc_id AS VARCHAR)
+               WHEN doc_id % 4 = 1 THEN
+                 'User-agent: otherbot' || chr(10) || 'Disallow: /'
+               ELSE
+                 '# snapshot' || chr(10) || 'User-agent: CCBot' || chr(10)
+                 || 'User-agent: extrabot' || chr(10)
+                 || 'Disallow: /p' || CAST(doc_id AS VARCHAR) || chr(10)
+                 || 'Allow: /p' || CAST(doc_id AS VARCHAR) || '/open'
+                 || chr(10) || 'Disallow:' || chr(10) || chr(10)
+                 || 'User-agent: *' || chr(10) || 'Disallow: /g'
+                 || CAST(doc_id AS VARCHAR)
+               END AS txt
+        FROM documents WHERE doc_id < 11
+    ),
+    lines0 AS (
+        SELECT host, i, trim(regexp_replace(s[i], '#.*$', '')) AS line FROM (
+            SELECT host, string_split(txt, chr(10)) AS s,
+                   unnest(generate_series(1, len(string_split(txt, chr(10))))) AS i
+            FROM hosts)
+    ),
+    lines AS (
+        SELECT host, i,
+               lower(trim(split_part(line, ':', 1))) AS key,
+               trim(substr(line, strpos(line, ':') + 1)) AS val
+        FROM lines0 WHERE strpos(line, ':') > 0
+    ),
+    ua AS (
+        SELECT host, i, lower(val) AS agent,
+               i - ROW_NUMBER() OVER (PARTITION BY host ORDER BY i) AS isl
+        FROM lines WHERE key = 'user-agent'
+    ),
+    rl AS (
+        SELECT host, i, CASE WHEN key = 'allow' THEN 'A' ELSE 'D' END AS rule,
+               val AS path_prefix
+        FROM lines WHERE key IN ('allow', 'disallow') AND val <> ''
+    ),
+    gov AS (
+        SELECT r.host, r.i, r.rule, r.path_prefix, MAX(u.i) AS last_ua
+        FROM rl r JOIN ua u ON u.host = r.host AND u.i < r.i
+        GROUP BY r.host, r.i, r.rule, r.path_prefix
+    ),
+    rules AS (
+        SELECT DISTINCT g.host, a.agent, g.rule, g.path_prefix
+        FROM gov g
+        JOIN ua u ON u.host = g.host AND u.i = g.last_ua
+        JOIN ua a ON a.host = g.host AND a.isl = u.isl
+    ),
+    mine AS (SELECT * FROM rules WHERE agent IN ('ccbot', '*')),
+    sel AS (
+        SELECT host,
+               CASE WHEN bool_or(agent = 'ccbot') THEN 'ccbot' ELSE '*' END
+                   AS chosen
+        FROM mine GROUP BY host
+    ),
+    eff AS (
+        SELECT m.host, m.rule, m.path_prefix
+        FROM mine m JOIN sel s ON m.host = s.host AND m.agent = s.chosen
+    ),
+    pages AS (
+        SELECT DISTINCT
+               'h' || CAST(doc_id % 11 AS VARCHAR) || '.example.com' AS phost,
+               CASE doc_id % 5
+                 WHEN 0 THEN '/p' || CAST(doc_id % 11 AS VARCHAR)
+                 WHEN 1 THEN '/p' || CAST(doc_id % 11 AS VARCHAR) || '/open/x'
+                 WHEN 2 THEN '/g' || CAST(doc_id % 11 AS VARCHAR)
+                 WHEN 3 THEN '/free'
+                 ELSE '/p' || CAST(doc_id % 11 AS VARCHAR) || 'x' END AS path
+        FROM documents
+    ),
+    best AS (
+        SELECT p.phost, p.path, e.rule,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.phost, p.path
+                   ORDER BY length(e.path_prefix) DESC, e.rule ASC
+               ) AS rn
+        FROM pages p
+        LEFT JOIN eff e
+          ON e.host = p.phost AND starts_with(p.path, e.path_prefix)
+    )
+    SELECT 'http://' || phost || path AS url,
+           (rule IS NULL OR rule = 'A') AS allowed
+    FROM best WHERE rn = 1
+    """,
+)
+def q_robots_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-exclusion parse + retroactive opt-out gate
+    (operators/robots.py) for agent CCBot over a deterministic
+    doc-derived robots snapshot covering every REP branch: consecutive
+    multi-agent groups, comments, empty Disallow (allow-all), exact
+    group REPLACING '*', longest-prefix precedence, Allow-wins ties,
+    group-less and rule-less hosts.  The DuckDB oracle re-parses the
+    SAME snapshot (gaps-and-islands for the sequential User-agent
+    grouping the Spark side does with one JVM fold) and replays the
+    gate's precedence with a window."""
+    from document_automation_spark.operators.robots import parse_robots, robots_gate
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    nl = F.lit("\n")
+    txt = (
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit("User-agent: *"), nl, F.lit("Disallow: /g"), d.cast("string")),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(F.lit("User-agent: otherbot"), nl, F.lit("Disallow: /")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("# snapshot"), nl,
+                F.lit("User-agent: CCBot"), nl,
+                F.lit("User-agent: extrabot"), nl,
+                F.lit("Disallow: /p"), d.cast("string"), nl,
+                F.lit("Allow: /p"), d.cast("string"), F.lit("/open"), nl,
+                F.lit("Disallow:"), nl, nl,
+                F.lit("User-agent: *"), nl,
+                F.lit("Disallow: /g"), d.cast("string"),
+            )
+        )
+    )
+    robots = docs.where(d < 11).select(
+        F.concat(F.lit("h"), d.cast("string"), F.lit(".example.com")).alias("host"),
+        txt.alias("robots_txt"),
+    )
+    hid = (d % 11).cast("string")
+    path = (
+        F.when(d % 5 == 0, F.concat(F.lit("/p"), hid))
+        .when(d % 5 == 1, F.concat(F.lit("/p"), hid, F.lit("/open/x")))
+        .when(d % 5 == 2, F.concat(F.lit("/g"), hid))
+        .when(d % 5 == 3, F.lit("/free"))
+        .otherwise(F.concat(F.lit("/p"), hid, F.lit("x")))
+    )
+    pages = docs.select(
+        F.concat(F.lit("http://h"), hid, F.lit(".example.com"), path).alias("url")
+    ).distinct()
+    out = robots_gate(pages, parse_robots(robots), agent="CCBot")
+    return out.select("url", "allowed")
 
 
 _ANCHOR_RE_SQL = '<a [^>]*href="([^"]+)"[^>]*>([^<]*)</a>'
