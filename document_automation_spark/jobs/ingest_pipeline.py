@@ -1,6 +1,8 @@
 """The full crawl-ingest recipe, one spark-submit entry point:
 
     pages (parquet | WARC | WET | synthesized)
+      → [--robots SNAPSHOT]         REP opt-out gate (blocked pages never
+                                     reach extraction)
       → url-level dedup            (operators/urls.dedup_by_url, newest wins)
       → durable extraction          (plans/checkpoint.run_extraction_job:
                                      bucketed write + resume manifests)
@@ -82,6 +84,8 @@ def run_ingest_pipeline(
     semantic_dedup_threshold: float | None = None,
     semantic_clusters: int = 16,
     pack_seqlen: int | None = None,
+    robots_path: str | None = None,
+    robots_agent: str = "CCBot",
     classifier_good_path: str | None = None,
     classifier_alpha: float = 9.0,
     dedup_against_path: str | None = None,
@@ -136,6 +140,13 @@ def run_ingest_pipeline(
     dropped; identities re-derived as in the span stage.  Summary gains
     ``dropped_paragraphs`` / ``para_deduped_passages`` /
     ``para_emptied_passages``.  Requires ``curated_mode='copy'``.
+
+    ``robots_path`` prepends the robots-exclusion opt-out gate
+    (``operators.robots``): pages whose host's robots.txt disallows
+    ``robots_agent`` (Google-REP precedence) are dropped BEFORE url dedup
+    and extraction — the retroactive opt-out pass a responsible LLM
+    pipeline runs against a robots snapshot table ``(host, robots_txt)``.
+    Summary gains ``robots_blocked``.
 
     ``semantic_dedup_threshold`` appends SemDeDup
     (``operators.similarity.semantic_dedup``) over the embeddings the
@@ -228,6 +239,21 @@ def run_ingest_pipeline(
     from document_automation_spark.plans.checkpoint import read_output, run_extraction_job
 
     cfg = cfg or ExtractConfig()
+    robots_blocked = None
+    if robots_path:
+        # robots opt-out gate FIRST: blocked pages must never reach url
+        # dedup / extraction.  The blocked count is one extra pass over the
+        # pruned (url) projection — the html payload is untouched by both
+        # the count and the gate filter (row-local after the host join).
+        from document_automation_spark.operators.robots import parse_robots, robots_gate
+
+        rules = parse_robots(spark.read.parquet(robots_path))
+        gated = robots_gate(pages, rules, agent=robots_agent)
+        robots_blocked = (
+            gated.where(~F.col("allowed")).select(F.lit(1)).count()
+        )
+        pages = gated.where(F.col("allowed")).drop("allowed")
+
     url_cache: list = []
     if url_dedup:
         # payload-light path: ranking runs on a narrow projection and only
@@ -346,6 +372,8 @@ def run_ingest_pipeline(
             handle.unpersist()
         for handle in fused_cache:
             handle.unpersist()
+    if robots_blocked is not None:
+        extract_summary["robots_blocked"] = robots_blocked
 
     if curated_mode == "fused":
         stats = fused_stats["collect"]()
@@ -1096,6 +1124,13 @@ def main(argv=None) -> None:
     )
     parser.add_argument("--span-k", type=int, default=32)
     parser.add_argument(
+        "--robots",
+        metavar="SNAPSHOT_PARQUET",
+        help="robots.txt snapshot table (host, robots_txt): gate pages for "
+        "--robots-agent under Google-REP precedence BEFORE extraction",
+    )
+    parser.add_argument("--robots-agent", default="CCBot")
+    parser.add_argument(
         "--dedup-paragraphs",
         metavar="MODE",
         help="append CCNet-style cross-document paragraph dedup over the "
@@ -1237,6 +1272,8 @@ def main(argv=None) -> None:
             cut_dup_spans=args.cut_dup_spans,
             span_k=args.span_k,
             dedup_paragraphs_mode=args.dedup_paragraphs,
+            robots_path=args.robots,
+            robots_agent=args.robots_agent,
             quality_filter=args.quality_filter,
             curated_mode=args.curated_mode,
             decontaminate_path=args.decontaminate,

@@ -1027,3 +1027,37 @@ class TestSemanticDedupStage:
                 cfg=ExtractConfig(n_buckets=2),
                 semantic_dedup_threshold=0.9,
             )
+
+
+class TestRobotsStage:
+    def test_blocked_pages_never_reach_extraction(self, spark, tmp_path):
+        """--robots: pages under a Disallow prefix for the agent are gated
+        out before extraction; the rest flow through unchanged."""
+        base = pages_df(spark, 30, partitions=2)
+        hosts = [r.h for r in base.select(
+            F.expr("parse_url(url, 'HOST')").alias("h")).distinct().collect()]
+        # block ALL paths on the first host for CCBot, nothing elsewhere
+        blocked_host = sorted(hosts)[0]
+        robots = spark.createDataFrame(
+            [(blocked_host, "User-agent: CCBot\nDisallow: /")],
+            "host string, robots_txt string",
+        )
+        robots_path = str(tmp_path / "robots")
+        robots.write.parquet(robots_path)
+
+        out = str(tmp_path / "corpus_robots")
+        summary = run_ingest_pipeline(
+            spark, base, out, "test-robots",
+            cfg=ExtractConfig(n_buckets=4),
+            robots_path=robots_path,
+        )
+        n_on_host = base.where(
+            F.expr("parse_url(url, 'HOST')") == blocked_host
+        ).count()
+        assert summary["robots_blocked"] == n_on_host > 0
+        curated = spark.read.parquet(summary["curated_path"])
+        assert curated.where(
+            F.expr("parse_url(url, 'HOST')") == blocked_host
+        ).count() == 0
+        # other hosts unaffected
+        assert curated.count() > 0
