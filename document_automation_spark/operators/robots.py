@@ -139,9 +139,14 @@ def robots_gate(
         .alias("_best")
     ).select("host", F.col("_best.r").alias("_rules"))
 
-    path = F.coalesce(
-        F.try_parse_url(F.col(url_col), F.lit("PATH")), F.lit("/")
-    )
+    # REP: a bare URL ('http://h.com', no slash) addresses the root path.
+    # Spark's parser returns '' there (and NULL on unparseable input) —
+    # both must normalize to '/' or a host-wide 'Disallow: /' would fail
+    # to block its own homepage ('' does not start with '/').
+    raw_path = F.try_parse_url(F.col(url_col), F.lit("PATH"))
+    path = F.when(
+        raw_path.isNull() | (raw_path == ""), F.lit("/")
+    ).otherwise(raw_path)
     joined = pages.join(
         per_host, _host_of(url_col) == F.col("host"), "left"
     ).drop("host")

@@ -36,12 +36,13 @@ _TRACKING = r"^(utm_[a-z]+|fbclid|gclid|msclkid)="
 
 
 #: already-canonical fast path: lowercase scheme, lowercase un-ported host,
-#: optional path, NO query/fragment — for such urls every canonicalization
+#: non-empty path, NO query/fragment — for such urls every canonicalization
 #: rule is the identity (scheme/host already lowercase, no port to strip,
 #: nothing after the path to drop/sort), so the heavy parse is skipped.
 #: Anything outside this shape (uppercase, ports, ?, #, IPv6 colons,
-#: spaces, hostless schemes) falls through to the full expression.
-_ALREADY_CANONICAL = r"^[a-z][a-z0-9+.\-]*://[a-z0-9._~%\-]+(/[^?#]*)?$"
+#: spaces, hostless schemes, bare hosts — whose empty path normalizes to
+#: '/', RFC 3986 §6.2.3) falls through to the full expression.
+_ALREADY_CANONICAL = r"^[a-z][a-z0-9+.\-]*://[a-z0-9._~%\-]+/[^?#]*$"
 
 
 def canonical_url(url: Column) -> Column:
@@ -72,7 +73,12 @@ def _canonical_url_full(url: Column) -> Column:
         | ((scheme == "https") & (port == "443"))
         | (port == "")
     )
-    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
+    # RFC 3986 §6.2.3: an empty path on a host-ful URL normalizes to '/'
+    # — 'http://h.com' and 'http://h.com/' are the same resource and must
+    # dedup together (host-less urls never reach this: null host nulls the
+    # concat below and the verbatim fallback wins)
+    raw_path = F.try_parse_url(url, F.lit("PATH"))
+    path = F.when(raw_path.isNull() | (raw_path == ""), F.lit("/")).otherwise(raw_path)
     query = F.try_parse_url(url, F.lit("QUERY"))
     kept_params = F.filter(
         F.split(F.coalesce(query, F.lit("")), "&"),

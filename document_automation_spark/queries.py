@@ -2286,6 +2286,8 @@ def _pagerank_sql(n_iters: int = 5) -> str:
                  || CAST(doc_id AS VARCHAR)
                WHEN doc_id % 4 = 1 THEN
                  'User-agent: otherbot' || chr(10) || 'Disallow: /'
+               WHEN doc_id = 4 THEN
+                 'User-agent: *' || chr(10) || 'Disallow: /'
                ELSE
                  '# snapshot' || chr(10) || 'User-agent: CCBot' || chr(10)
                  || 'User-agent: extrabot' || chr(10)
@@ -2348,7 +2350,7 @@ def _pagerank_sql(n_iters: int = 5) -> str:
                  WHEN 0 THEN '/p' || CAST(doc_id % 11 AS VARCHAR)
                  WHEN 1 THEN '/p' || CAST(doc_id % 11 AS VARCHAR) || '/open/x'
                  WHEN 2 THEN '/g' || CAST(doc_id % 11 AS VARCHAR)
-                 WHEN 3 THEN '/free'
+                 WHEN 3 THEN ''
                  ELSE '/p' || CAST(doc_id % 11 AS VARCHAR) || 'x' END AS path
         FROM documents
     ),
@@ -2360,7 +2362,9 @@ def _pagerank_sql(n_iters: int = 5) -> str:
                ) AS rn
         FROM pages p
         LEFT JOIN eff e
-          ON e.host = p.phost AND starts_with(p.path, e.path_prefix)
+          ON e.host = p.phost
+         AND starts_with(CASE WHEN p.path = '' THEN '/' ELSE p.path END,
+                         e.path_prefix)
     )
     SELECT 'http://' || phost || path AS url,
            (rule IS NULL OR rule = 'A') AS allowed
@@ -2373,7 +2377,9 @@ def q_robots_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-derived robots snapshot covering every REP branch: consecutive
     multi-agent groups, comments, empty Disallow (allow-all), exact
     group REPLACING '*', longest-prefix precedence, Allow-wins ties,
-    group-less and rule-less hosts.  The DuckDB oracle re-parses the
+    group-less and rule-less hosts, a host-wide ``Disallow: /`` opt-out,
+    and bare URLs (no path — REP root, normalized to ``/`` so the
+    opt-out blocks the homepage too).  The DuckDB oracle re-parses the
     SAME snapshot (gaps-and-islands for the sequential User-agent
     grouping the Spark side does with one JVM fold) and replays the
     gate's precedence with a window."""
@@ -2391,6 +2397,7 @@ def q_robots_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             d % 4 == 1,
             F.concat(F.lit("User-agent: otherbot"), nl, F.lit("Disallow: /")),
         )
+        .when(d == 4, F.concat(F.lit("User-agent: *"), nl, F.lit("Disallow: /")))
         .otherwise(
             F.concat(
                 F.lit("# snapshot"), nl,
@@ -2413,7 +2420,7 @@ def q_robots_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(d % 5 == 0, F.concat(F.lit("/p"), hid))
         .when(d % 5 == 1, F.concat(F.lit("/p"), hid, F.lit("/open/x")))
         .when(d % 5 == 2, F.concat(F.lit("/g"), hid))
-        .when(d % 5 == 3, F.lit("/free"))
+        .when(d % 5 == 3, F.lit(""))  # bare URL — REP root, must equal '/'
         .otherwise(F.concat(F.lit("/p"), hid, F.lit("x")))
     )
     pages = docs.select(

@@ -60,6 +60,8 @@ class TestGate:
                 ("http://a.com/public", True),          # no rule matches
                 ("http://a.com/all", True),             # exact group REPLACES '*'
                 ("http://b.com/anything", False),       # '*' Disallow /
+                ("http://b.com", False),                # bare URL = root path
+                ("http://v.com", True),                 # bare URL, rule-less host
                 ("http://c.com/x", True),               # no group for this agent
                 ("http://d.com/x", True),               # host absent from snapshot
                 ("http://t.com/dir/x", True),           # tie -> Allow wins
@@ -115,7 +117,7 @@ class TestRandomizedReplay:
         for url in urls:
             rest = url.split("://", 1)[1]
             host, slash, path = rest.partition("/")
-            path = slash + path
+            path = (slash + path) or "/"  # bare URL = root path (REP)
             rules = per_host.get(host, [])
             group = (
                 [r for r in rules if r[0] == agent]
@@ -156,7 +158,7 @@ class TestRandomizedReplay:
             snapshots.append((h, "\n".join(lines)))
         urls = [
             f"http://{rng.choice(hosts + ['x.example.com'])}"
-            + rng.choice(["/a", "/a/b/c", "/b/x", "/c", "/"])
+            + rng.choice(["/a", "/a/b/c", "/b/x", "/c", "/", ""])
             for _ in range(80)
         ]
         rules = parse_robots(

@@ -40,6 +40,18 @@ class TestCanonicalUrl:
         assert got[0] == got[1] == got[2] == "https://h.com/p?a=1&b=2"
         assert got[3] == "https://h.com/p"
 
+    def test_bare_host_normalizes_to_root(self, spark):
+        """RFC 3986 §6.2.3: empty path on a host-ful url is '/' — the
+        homepage crawled as 'http://h.com' and 'http://h.com/' must merge."""
+        got = _canon(spark, [
+            "http://h.com",
+            "http://h.com/",
+            "HTTP://H.com:80",
+            "http://h.com?b=2&a=1",
+        ])
+        assert got[0] == got[1] == got[2] == "http://h.com/"
+        assert got[3] == "http://h.com/?a=1&b=2"
+
     def test_semantic_parts_not_merged(self, spark):
         got = _canon(spark, [
             "https://h.com/CaseSensitive",
@@ -178,10 +190,10 @@ class TestFastPathParity:
             # fast-shaped (guard should hit; full expr must agree)
             "https://example.com/a/b.html",
             "http://example.com/",
-            "http://example.com",
             "https://sub.host-name.org/path_with~tilde/%20enc",
             "ftp://files.example.com/pub/x",
             # NOT fast-shaped: every canonicalization rule exercised
+            "http://example.com",  # bare host: empty path normalizes to '/'
             "HTTPS://Example.COM:443/a?utm_source=x&b=2&a=1#frag",
             "http://example.com:80/x",
             "http://example.com:8080/x",
