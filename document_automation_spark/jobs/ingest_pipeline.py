@@ -853,14 +853,19 @@ def _classifier_stage(
     scored = score_quality(corpus, model, keep_all=True)
     kept = pareto_importance_filter(scored, alpha=alpha)
     classifier_path = os.path.join(output_path, "curated_classifier")
+    # the kept count rides the write as an Observation — no re-read job
+    from pyspark.sql import Observation
+
+    obs = Observation("classifier_stage")
     (
         kept.withColumnRenamed("text", "content")
+        .observe(obs, F.count(F.lit(1)).alias("n_kept"))
         .write.mode("overwrite")
         .option("compression", "zstd")
         .option("parquet.compression.codec.zstd.level", "1")
         .parquet(classifier_path)
     )
-    n_kept = spark.read.parquet(classifier_path).count()
+    n_kept = obs.get["n_kept"]
     return {
         "classifier_path": classifier_path,
         "classifier_n_docs": int(n_docs),
@@ -948,8 +953,10 @@ def _bpe_stage(
     ).coalesce(1).write.mode("overwrite").parquet(merges_path)
 
     vocab = segment_vocabulary(wf, merges)
+    # lpad TRUNCATES over-width input — pad to 10 digits (covers all of
+    # int32) so huge-document passage indexes can never collide row keys
     row_key = F.concat_ws(
-        "#", "url", F.lpad(F.col("passage_idx").cast("string"), 6, "0")
+        "#", "url", F.lpad(F.col("passage_idx").cast("string"), 10, "0")
     )
     counts = count_tokens(
         corpus.select(row_key.alias("_rk"), "text"),
@@ -958,20 +965,23 @@ def _bpe_stage(
         broadcast_vocab=True,
     )
     bpe_path = os.path.join(output_path, "curated_bpe")
+    # total-token counter rides the write as an Observation — no re-read
+    from pyspark.sql import Observation
+
+    obs = Observation("bpe_stage")
     (
         corpus.withColumn("_rk", row_key)
         .join(counts, "_rk", "left")
         .drop("_rk")
         .withColumn("n_tokens_bpe", F.coalesce("n_tokens_bpe", F.lit(0)))
         .withColumnRenamed("text", "content")
+        .observe(obs, F.sum("n_tokens_bpe").alias("tot"))
         .write.mode("overwrite")
         .option("compression", "zstd")
         .option("parquet.compression.codec.zstd.level", "1")
         .parquet(bpe_path)
     )
-    stats = spark.read.parquet(bpe_path).agg(
-        F.sum("n_tokens_bpe").alias("tot")
-    ).first()
+    stats = obs.get
     return {
         "bpe_path": bpe_path,
         "bpe_merges_path": merges_path,
@@ -1002,9 +1012,10 @@ def _pack_stage(
 
     packed_in = curated.select(
         F.col("bucket").alias("shard"),
-        # passage_idx < 10^6 always (500-char passages, <2^31-char docs)
+        # 10 digits covers all of int32 — lpad truncates over-width input,
+        # so a narrower pad could collide pack_ids on huge documents
         F.concat_ws(
-            "#", "doc_id", F.lpad(F.col("passage_idx").cast("string"), 6, "0")
+            "#", "doc_id", F.lpad(F.col("passage_idx").cast("string"), 10, "0")
         ).alias("pack_id"),
         F.col("content").alias("text"),
         *([F.col(tokens_col)] if tokens_col else []),
@@ -1025,7 +1036,7 @@ def _pack_stage(
         .parquet(pack_path)
     )
     stats = (
-        chunk_stats(spark.read.parquet(pack_path), shard_col="shard")
+        chunk_stats(spark.read.parquet(pack_path), shard_col="shard", id_col="pack_id")
         .agg(
             F.sum("n_chunks").alias("n_chunks"),
             F.sum("n_tokens").alias("n_tokens"),

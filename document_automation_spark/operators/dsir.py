@@ -75,6 +75,37 @@ def _bucket(gram: F.Column, n_buckets: int, hash_impl: str) -> F.Column:
     raise ValueError(f"unknown hash_impl {hash_impl!r}")
 
 
+def _weights_from_counts(counts: DataFrame, n_buckets: int, alpha: float) -> DataFrame:
+    """``(bucket, ct, cr)`` — one row per bucket — → ``(bucket, lr)``.
+
+    The ONE definition of the smoothed 9-dp DSIR log-ratio (the oracle
+    seat pins this rounding contract): both the granular trainer and the
+    composed slice-target path derive from it, so a smoothing or rounding
+    change cannot make them silently diverge."""
+    totals = counts.agg(
+        F.sum("ct").cast("double").alias("nt"), F.sum("cr").cast("double").alias("nr")
+    )
+    a, b = F.lit(float(alpha)), F.lit(float(alpha * n_buckets))
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            F.log((F.col("ct") + a) / (F.col("nt") + b))
+            - F.log((F.col("cr") + a) / (F.col("nr") + b)),
+            9,
+        ).alias("lr"),
+    )
+
+
+def _score_bucketed(bucketed, weights: DataFrame, id_col: str) -> DataFrame:
+    """(id, bucket) rows × broadcast weight table → ``(id, dsir_score)``
+    — the shared 6-dp scoring aggregation."""
+    return (
+        bucketed.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(F.round(F.sum("lr"), 6).alias("dsir_score"))
+    )
+
+
 def train_dsir_weights(
     target: DataFrame,
     raw: DataFrame,
@@ -107,18 +138,7 @@ def train_dsir_weights(
             F.coalesce("cr", F.lit(0)).alias("cr"),
         )
     )
-    totals = counts.agg(
-        F.sum("ct").cast("double").alias("nt"), F.sum("cr").cast("double").alias("nr")
-    )
-    a, b = F.lit(float(alpha)), F.lit(float(alpha * n_buckets))
-    return counts.crossJoin(F.broadcast(totals)).select(
-        "bucket",
-        F.round(
-            F.log((F.col("ct") + a) / (F.col("nt") + b))
-            - F.log((F.col("cr") + a) / (F.col("nr") + b)),
-            9,
-        ).alias("lr"),
-    )
+    return _weights_from_counts(counts, n_buckets, alpha)
 
 
 def dsir_scores(
@@ -135,11 +155,7 @@ def dsir_scores(
     grams = docs.select(
         F.col(id_col), F.explode(_grams(F.col(text_col))).alias("g")
     ).select(id_col, _bucket(F.col("g"), n_buckets, hash_impl))
-    return (
-        grams.join(F.broadcast(weights), "bucket")
-        .groupBy(id_col)
-        .agg(F.round(F.sum("lr"), 6).alias("dsir_score"))
-    )
+    return _score_bucketed(grams, weights, id_col)
 
 
 def dsir_select(
@@ -187,23 +203,8 @@ def dsir_select(
             F.coalesce("cr", F.lit(0)).alias("cr"),
         )
     )
-    totals = counts.agg(
-        F.sum("ct").cast("double").alias("nt"), F.sum("cr").cast("double").alias("nr")
-    )
-    a, b = F.lit(float(alpha)), F.lit(float(alpha * n_buckets))
-    weights = counts.crossJoin(F.broadcast(totals)).select(
-        "bucket",
-        F.round(
-            F.log((F.col("ct") + a) / (F.col("nt") + b))
-            - F.log((F.col("cr") + a) / (F.col("nr") + b)),
-            9,
-        ).alias("lr"),
-    )
-    scored = (
-        bg.join(F.broadcast(weights), "bucket")
-        .groupBy(id_col)
-        .agg(F.round(F.sum("lr"), 6).alias("dsir_score"))
-    )
+    weights = _weights_from_counts(counts, n_buckets, alpha)
+    scored = _score_bucketed(bg, weights, id_col)
     return dsir_resample(scored, k=k, id_col=id_col, salt=salt)
 
 

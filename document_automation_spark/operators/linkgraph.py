@@ -26,8 +26,46 @@ iterations into the 6-dp output grid.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _lossy_html_str(html_col: str, html_is_binary: bool) -> Column:
+    """Lossy payload decode: non-UTF-8 payloads (PDF bytes, junk) must
+    yield "no matches", never throw (``F.decode`` raises
+    MALFORMED_CHARACTER_CODING under ANSI; cast + ``make_valid_utf8``
+    substitutes U+FFFD instead)."""
+    return (
+        F.expr(f"make_valid_utf8(cast({html_col} as string))")
+        if html_is_binary
+        else F.col(html_col).cast("string")
+    )
+
+
+def _href_dst_host(href: Column, src_host: Column) -> Column:
+    """Resolve an href to its destination host — the ONE definition both
+    the edge list and the anchor-text signal share (a fix applied here
+    cannot make them diverge on where a link points).
+
+    scheme'd hrefs (http:, mailto:, javascript:, …) carry their own host —
+    parse it (hostless schemes parse to null → NO_HOST, dropped by
+    callers); protocol-relative ``//host/path`` inherits https;
+    everything else is a relative reference, whose host is the page's own.
+    """
+    from document_automation_spark.operators.domains import NO_HOST
+
+    parsed_host = F.coalesce(
+        F.lower(F.try_parse_url(href, F.lit("HOST"))), F.lit(NO_HOST)
+    )
+    proto_rel_host = F.coalesce(
+        F.lower(F.try_parse_url(F.concat(F.lit("https:"), href), F.lit("HOST"))),
+        F.lit(NO_HOST),
+    )
+    return (
+        F.when(href.startswith("//"), proto_rel_host)
+        .when(href.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:"), parsed_host)
+        .otherwise(src_host)
+    )
 
 
 def pagerank(
@@ -114,38 +152,14 @@ def host_link_edges(
     """
     from document_automation_spark.operators.domains import NO_HOST, host_col
 
-    # lossy decode: non-UTF-8 payloads (PDF bytes, junk) must yield "no
-    # hrefs", never throw (F.decode raises MALFORMED_CHARACTER_CODING
-    # under ANSI; cast + make_valid_utf8 substitutes U+FFFD instead)
-    html_str = (
-        F.expr(f"make_valid_utf8(cast({html_col} as string))")
-        if html_is_binary
-        else F.col(html_col).cast("string")
-    )
+    html_str = _lossy_html_str(html_col, html_is_binary)
     exploded = pages.select(
         host_col(url_col).alias("src"),
         F.explode(
             F.regexp_extract_all(html_str, F.lit('href="([^"]+)"'), 1)
         ).alias("href"),
     )
-    # scheme'd hrefs (http:, mailto:, javascript:, …) carry their own
-    # host — parse it (hostless schemes parse to null → dropped below);
-    # protocol-relative //host/path inherits https; everything else is a
-    # relative reference, whose host is the page's own
-    parsed_host = F.coalesce(
-        F.lower(F.try_parse_url(F.col("href"), F.lit("HOST"))), F.lit(NO_HOST)
-    )
-    proto_rel_host = F.coalesce(
-        F.lower(
-            F.try_parse_url(F.concat(F.lit("https:"), F.col("href")), F.lit("HOST"))
-        ),
-        F.lit(NO_HOST),
-    )
-    dst = (
-        F.when(F.col("href").startswith("//"), proto_rel_host)
-        .when(F.col("href").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:"), parsed_host)
-        .otherwise(F.col("src"))
-    )
+    dst = _href_dst_host(F.col("href"), F.col("src"))
     return (
         exploded.select("src", dst.alias("dst"))
         .where((F.col("src") != NO_HOST) & (F.col("dst") != NO_HOST))
@@ -197,11 +211,7 @@ def anchor_text_terms(
     """
     from document_automation_spark.operators.domains import NO_HOST, host_col
 
-    html_str = (
-        F.expr(f"make_valid_utf8(cast({html_col} as string))")
-        if html_is_binary
-        else F.col(html_col).cast("string")
-    )
+    html_str = _lossy_html_str(html_col, html_is_binary)
     pairs = pages.select(
         host_col(url_col).alias("src"),
         F.explode(
@@ -212,20 +222,7 @@ def anchor_text_terms(
             )
         ).alias("a"),
     ).select("src", F.col("a.href").alias("href"), F.col("a.atext").alias("atext"))
-    parsed_host = F.coalesce(
-        F.lower(F.try_parse_url(F.col("href"), F.lit("HOST"))), F.lit(NO_HOST)
-    )
-    proto_rel_host = F.coalesce(
-        F.lower(
-            F.try_parse_url(F.concat(F.lit("https:"), F.col("href")), F.lit("HOST"))
-        ),
-        F.lit(NO_HOST),
-    )
-    dst = (
-        F.when(F.col("href").startswith("//"), proto_rel_host)
-        .when(F.col("href").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:"), parsed_host)
-        .otherwise(F.col("src"))
-    )
+    dst = _href_dst_host(F.col("href"), F.col("src"))
     terms = (
         pairs.select(dst.alias("dst"), "atext", "src")
         .where((F.col("src") != NO_HOST) & (F.col("dst") != NO_HOST))

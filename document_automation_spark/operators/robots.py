@@ -48,10 +48,16 @@ def _fold_lines(lines: F.Column) -> F.Column:
         has_colon = F.instr(line, ":") > 0
         is_agent = has_colon & (key == F.lit("user-agent"))
         is_rule = has_colon & key.isin("allow", "disallow")
+        # RFC 9309: blank lines and comment-only lines are skippable
+        # whitespace — they must NOT split a run of consecutive
+        # User-agent lines (a comment between two User-agent lines would
+        # otherwise drop the first agent's rules and fail OPEN)
+        is_blank = line == ""
         agent_l = F.lower(val)
         # consecutive User-agent lines accumulate into ONE group; any
-        # directive in between closes the group (next User-agent starts
-        # a fresh one) — the REP grouping rule
+        # directive in between (rule or unknown, but not blank/comment)
+        # closes the group (next User-agent starts a fresh one) — the
+        # REP grouping rule
         new_agents = (
             F.when(is_agent & acc["fresh"], F.concat_ws(",", acc["agents"], agent_l))
             .when(is_agent, agent_l)
@@ -71,7 +77,7 @@ def _fold_lines(lines: F.Column) -> F.Column:
         ).otherwise(F.array().cast("array<string>"))
         return F.struct(
             new_agents.alias("agents"),
-            is_agent.alias("fresh"),
+            (is_agent | (is_blank & acc["fresh"])).alias("fresh"),
             F.concat(acc["rules"], rule_rows).alias("rules"),
         )
 
@@ -88,7 +94,10 @@ def parse_robots(
     lines (REP for "allow everything") emit no row: no rule matches ≡
     allowed, same semantics, no sentinel."""
     rules = robots.select(
-        F.col(host_col).alias("host"),
+        # hosts are case-insensitive; robots_gate joins on the page's
+        # LOWERCASED host, so normalize here or a 'Example.COM' snapshot
+        # row would silently never match (fail open)
+        F.lower(F.col(host_col)).alias("host"),
         F.explode(_fold_lines(F.split(F.col(txt_col), "\n"))).alias("_r"),
     )
     part = lambda i: F.split(F.col("_r"), "\t")[i]  # noqa: E731

@@ -2290,6 +2290,7 @@ def _pagerank_sql(n_iters: int = 5) -> str:
                  'User-agent: *' || chr(10) || 'Disallow: /'
                ELSE
                  '# snapshot' || chr(10) || 'User-agent: CCBot' || chr(10)
+                 || '# ai crawlers' || chr(10) || chr(10)
                  || 'User-agent: extrabot' || chr(10)
                  || 'Disallow: /p' || CAST(doc_id AS VARCHAR) || chr(10)
                  || 'Allow: /p' || CAST(doc_id AS VARCHAR) || '/open'
@@ -2305,11 +2306,18 @@ def _pagerank_sql(n_iters: int = 5) -> str:
                    unnest(generate_series(1, len(string_split(txt, chr(10))))) AS i
             FROM hosts)
     ),
+    -- RFC 9309: blank/comment-only lines are skippable whitespace; drop
+    -- them BEFORE indexing so they cannot split a User-agent island
+    lines1 AS (
+        SELECT host, line,
+               ROW_NUMBER() OVER (PARTITION BY host ORDER BY i) AS i
+        FROM lines0 WHERE line <> ''
+    ),
     lines AS (
         SELECT host, i,
                lower(trim(split_part(line, ':', 1))) AS key,
                trim(substr(line, strpos(line, ':') + 1)) AS val
-        FROM lines0 WHERE strpos(line, ':') > 0
+        FROM lines1 WHERE strpos(line, ':') > 0
     ),
     ua AS (
         SELECT host, i, lower(val) AS agent,
@@ -2378,8 +2386,10 @@ def q_robots_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-agent groups, comments, empty Disallow (allow-all), exact
     group REPLACING '*', longest-prefix precedence, Allow-wins ties,
     group-less and rule-less hosts, a host-wide ``Disallow: /`` opt-out,
-    and bare URLs (no path — REP root, normalized to ``/`` so the
-    opt-out blocks the homepage too).  The DuckDB oracle re-parses the
+    bare URLs (no path — REP root, normalized to ``/`` so the opt-out
+    blocks the homepage too), a comment + blank line inside a User-agent
+    run (RFC 9309 skippable whitespace, must not split the group), and
+    mixed-case snapshot hosts (normalized at parse time).  The DuckDB oracle re-parses the
     SAME snapshot (gaps-and-islands for the sequential User-agent
     grouping the Spark side does with one JVM fold) and replays the
     gate's precedence with a window."""
@@ -2402,6 +2412,9 @@ def q_robots_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(
                 F.lit("# snapshot"), nl,
                 F.lit("User-agent: CCBot"), nl,
+                # comment + blank line INSIDE the User-agent run — RFC 9309
+                # skippable whitespace, must not split the group
+                F.lit("# ai crawlers"), nl, nl,
                 F.lit("User-agent: extrabot"), nl,
                 F.lit("Disallow: /p"), d.cast("string"), nl,
                 F.lit("Allow: /p"), d.cast("string"), F.lit("/open"), nl,
@@ -2412,7 +2425,9 @@ def q_robots_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     robots = docs.where(d < 11).select(
-        F.concat(F.lit("h"), d.cast("string"), F.lit(".example.com")).alias("host"),
+        # mixed-case snapshot host: parse_robots must lowercase it or the
+        # gate join (on the page's lowercased host) silently fails open
+        F.concat(F.lit("H"), d.cast("string"), F.lit(".Example.COM")).alias("host"),
         txt.alias("robots_txt"),
     )
     hid = (d % 11).cast("string")

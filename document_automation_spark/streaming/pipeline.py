@@ -306,11 +306,17 @@ def start_streaming_dsir_filter(
     weights: DataFrame,
     min_score: float,
     schema: str = "doc_id long, text string",
-    hash_impl: str = "xxhash64",
+    hash_impl: str = "md5",
 ) -> StreamingQuery:
     """DSIR scoring on a document stream: score each arriving doc
     against a batch-trained weight table (``operators.dsir.
     train_dsir_weights``) and keep docs with ``dsir_score > min_score``.
+
+    ``hash_impl`` MUST equal the value the weight table was trained
+    with (both sides default to ``'md5'``; pass ``'xxhash64'`` to BOTH
+    for the 100-TB fast path) — grams hash to buckets at score time, so
+    a mismatched hash reads unrelated buckets' log-ratios and the gate
+    silently keeps/drops noise.
 
     The batch scorer's explode → join → groupBy would be a streaming
     aggregation + stream self-join (unsupported in append mode), so the

@@ -14,8 +14,11 @@ from document_automation_spark.operators.robots import parse_robots, robots_gate
 def snapshot(spark):
     rows = [
         (
-            "a.com",
-            "# comment\nUser-agent: GPTBot\nUser-agent: CCBot\n"
+            # mixed-case host (case-insensitive, must still gate a.com) and
+            # a comment + blank line INSIDE the User-agent run (RFC 9309
+            # skippable whitespace — GPTBot must keep the group's rules)
+            "A.com",
+            "# comment\nUser-agent: GPTBot\n# ai policy\n\nUser-agent: CCBot\n"
             "Disallow: /private\nAllow: /private/ok\nDisallow:\n\n"
             "User-agent: *\nDisallow: /all",
         ),
@@ -97,6 +100,8 @@ class TestRandomizedReplay:
             rules: list = []
             for raw in txt.split("\n"):
                 line = _re.sub(r"#.*$", "", raw).strip()
+                if not line:  # blank/comment: skippable, keeps the UA run
+                    continue
                 if ":" not in line:
                     fresh = False
                     continue
@@ -112,7 +117,7 @@ class TestRandomizedReplay:
                 if key in ("allow", "disallow") and val and agents:
                     for a in agents:
                         rules.append((a, "A" if key == "allow" else "D", val))
-            per_host[host] = rules
+            per_host[host.lower()] = rules
         out = {}
         for url in urls:
             rest = url.split("://", 1)[1]
@@ -149,6 +154,8 @@ class TestRandomizedReplay:
                     lines.append(
                         "User-agent: " + rng.choice(["ccbot", "*", "other", "CCBot"])
                     )
+                    if rng.random() < 0.3:  # comment/blank inside the UA run
+                        lines.append(rng.choice(["# inter-agent noise", ""]))
                 for _ in range(rng.randint(0, 3)):
                     kind = rng.choice(["Allow", "Disallow"])
                     prefix = rng.choice(["/a", "/a/b", "/b", "/", ""])
