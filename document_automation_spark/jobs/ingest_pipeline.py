@@ -136,7 +136,10 @@ def run_ingest_pipeline(
     curated passages: ``'first'`` keeps the globally-first copy of every
     duplicated paragraph, ``'common[:MIN_DOCS]'`` cuts paragraphs shared
     by ≥ MIN_DOCS distinct passages everywhere (template boilerplate —
-    cookie banners, navigation stubs).  Passages emptied by the cut are
+    cookie banners, navigation stubs); a ``'+norm'`` suffix on either
+    mode keys on the CCNet hash normalization (case / accents / digits /
+    unicode punctuation folded) so boilerplate VARIANTS dedup together.
+    Passages emptied by the cut are
     dropped; identities re-derived as in the span stage.  Summary gains
     ``dropped_paragraphs`` / ``para_deduped_passages`` /
     ``para_emptied_passages``.  Requires ``curated_mode='copy'``.
@@ -276,10 +279,11 @@ def run_ingest_pipeline(
                 "dedup_paragraphs rewrites text and needs curated_mode='copy'"
             )
         _para_mode, _, _para_k = dedup_paragraphs_mode.partition(":")
-        if _para_mode not in ("first", "common"):
+        _para_mode, _, _para_flag = _para_mode.partition("+")
+        if _para_mode not in ("first", "common") or _para_flag not in ("", "norm"):
             raise ValueError(
-                "dedup_paragraphs_mode must be 'first' or 'common[:MIN_DOCS]', "
-                f"got {dedup_paragraphs_mode!r}"
+                "dedup_paragraphs_mode must be 'first[+norm]' or "
+                f"'common[+norm][:MIN_DOCS]', got {dedup_paragraphs_mode!r}"
             )
     if semantic_dedup_threshold is not None:
         if not embed:
@@ -585,6 +589,7 @@ def run_ingest_pipeline(
             from document_automation_spark.operators.dedup import dedup_paragraphs
 
             mode, _, k_str = dedup_paragraphs_mode.partition(":")
+            mode, _, flag = mode.partition("+")  # '+norm' = CCNet key norm
             corpus = spark.read.parquet(summary["curated_path"])
             as_docs = corpus.withColumnRenamed("content", "text").withColumn(
                 # passages share doc_id — the dedup row key must be unique
@@ -593,7 +598,11 @@ def run_ingest_pipeline(
                 F.concat_ws(":", "doc_id", "passage_idx"),
             )
             out = dedup_paragraphs(
-                as_docs, mode=mode, min_docs=int(k_str or 2), id_col="_row_key"
+                as_docs,
+                mode=mode,
+                min_docs=int(k_str or 2),
+                id_col="_row_key",
+                normalize=flag == "norm",
             )
             obs_para = Observation("para_dedup")
             surgered = (
@@ -1147,7 +1156,9 @@ def main(argv=None) -> None:
         help="append CCNet-style cross-document paragraph dedup over the "
         "curated passages: 'first' (globally-first copy survives) or "
         "'common[:MIN_DOCS]' (paragraph in >= MIN_DOCS distinct passages "
-        "cut everywhere; default 2)",
+        "cut everywhere; default 2); '+norm' on either mode keys on the "
+        "CCNet hash normalization (case/accents/digits/punct folded), "
+        "e.g. 'first+norm' or 'common+norm:3'",
     )
     parser.add_argument(
         "--quality-filter",

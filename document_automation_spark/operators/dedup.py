@@ -591,6 +591,57 @@ def cut_spans(documents: DataFrame, spans: DataFrame) -> DataFrame:
     return joined.select(*out_cols, cut_chars.alias("n_cut_chars"))
 
 
+# CCNet-style paragraph-key normalization (Wenzek et al. 2020 hash text
+# normalization): the dedup KEY is computed on lowercased, accent-folded,
+# digit-zeroed, whitespace-collapsed text while the surgery keeps original
+# bytes — '3 Comments' / '5  comments' / 'à côté' vs 'a cote' boilerplate
+# variants hash together.  The fold is a 1:1 codepoint translate (the
+# precomposed Latin-1/Latin-Extended-A subset of NFD mark-stripping) plus
+# punctuation unification; SRC chars beyond len(DST) are DELETED (both
+# Spark and DuckDB translate share that contract, so the oracle replays
+# the identical map).  Regexes stay in the Java∩RE2-identical subset:
+# explicit [0-9] and [ \t\n\r\f] classes, no \d / \s.
+_CCNET_ACCENTS = {
+    "a": "àáâãäåāăą", "c": "çćĉċč", "d": "ďđ", "e": "èéêëēĕėęě",
+    "g": "ĝğġģ", "h": "ĥħ", "i": "ìíîïĩīĭįı", "j": "ĵ", "k": "ķ",
+    "l": "ĺļľŀł", "n": "ñńņňŉ", "o": "òóôõöøōŏő", "r": "ŕŗř",
+    "s": "śŝşš", "t": "ţťŧ", "u": "ùúûüũūŭůűų", "w": "ŵ",
+    "y": "ýÿŷ", "z": "źżž",
+}
+_CCNET_PUNCT = {"'": "’‘‚ʼ", '"': "“”„", "-": "‐‑–—‒―", ".": "…"}
+_CCNET_SPACES = (
+    "\u00a0\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007"
+    "\u2008\u2009\u200a\u202f\u3000"
+)
+_CCNET_DELETE = "\u200b\u200c\u200d\ufeff\u00ad"  # zero-width + soft hyphen
+
+CCNET_TR_SRC = (
+    "".join(v for v in _CCNET_ACCENTS.values())
+    + "".join(v for v in _CCNET_PUNCT.values())
+    + _CCNET_SPACES
+    + _CCNET_DELETE
+)
+CCNET_TR_DST = (
+    "".join(k * len(v) for k, v in _CCNET_ACCENTS.items())
+    + "".join(k * len(v) for k, v in _CCNET_PUNCT.items())
+    + " " * len(_CCNET_SPACES)
+)
+
+
+def ccnet_normalize(col) -> "F.Column":
+    """The CCNet hash-normalization as one JVM expression chain (see the
+    map above): lower → translate fold → digits→0 → collapse runs of
+    ASCII whitespace to one space → trim."""
+    x = F.translate(F.lower(col), CCNET_TR_SRC, CCNET_TR_DST)
+    x = F.regexp_replace(x, "[0-9]", "0")
+    return F.trim(F.regexp_replace(x, "[ \\t\\n\\r\\f]+", " "))
+
+
+def _paragraph_key(col, normalize: bool) -> "F.Column":
+    """The 32-byte dedup key of one trimmed paragraph segment."""
+    return F.sha2(ccnet_normalize(col) if normalize else col, 256)
+
+
 def dedup_paragraphs(
     documents: DataFrame,
     mode: str = "first",
@@ -598,6 +649,7 @@ def dedup_paragraphs(
     sep: str = "\n",
     text_col: str = "text",
     id_col: str = "doc_id",
+    normalize: bool = False,
 ) -> DataFrame:
     """Cross-document PARAGRAPH-level dedup — the CCNet curation stage
     (Wenzek et al. 2020) that document-level dedup cannot express: cookie
@@ -617,7 +669,10 @@ def dedup_paragraphs(
     Paragraphs are the ``sep``-separated segments of ``text_col`` (``sep``
     is treated literally); whitespace-only segments are structural, never
     dedup candidates, and always survive.  Matching is on the TRIMMED
-    segment, surgery preserves the original bytes of survivors.
+    segment — or, with ``normalize=True``, on its CCNet hash
+    normalization (:func:`ccnet_normalize`: case/accents/digits/unicode
+    punctuation folded, so '3 Comments' and '5  comments' variants dedup
+    together) — surgery always preserves the original bytes of survivors.
 
     Scale shape (the reason this isn't a groupBy on exploded text): the
     winner/hot computation runs on a narrow ``(doc_id, pos, sha2-key)``
@@ -644,7 +699,7 @@ def dedup_paragraphs(
         documents.select(F.col(id_col), F.posexplode(segs).alias("pos", "_para"))
         .where(F.trim("_para") != "")
         .select(
-            id_col, "pos", F.sha2(F.trim(F.col("_para")), 256).alias("_pkey")
+            id_col, "pos", _paragraph_key(F.trim(F.col("_para")), normalize).alias("_pkey")
         )
     )
     if mode == "first":
@@ -694,6 +749,7 @@ def hot_paragraph_keys(
     cap: int = 4096,
     text_col: str = "text",
     id_col: str = "doc_id",
+    normalize: bool = False,
 ) -> DataFrame:
     """The batch-trained artifact behind the STREAMING paragraph cut: the
     top-``cap`` boilerplate paragraphs by distinct-document count (every
@@ -715,7 +771,7 @@ def hot_paragraph_keys(
             F.explode(F.split(F.col(text_col), lit_sep)).alias("_para"),
         )
         .where(F.trim("_para") != "")
-        .select(id_col, F.sha2(F.trim(F.col("_para")), 256).alias("pkey"))
+        .select(id_col, _paragraph_key(F.trim(F.col("_para")), normalize).alias("pkey"))
     )
     return (
         cand.groupBy("pkey")

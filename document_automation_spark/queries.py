@@ -2756,6 +2756,31 @@ def q_repetition_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_features(_docs_multiline(spark, sf_dir))
 
 
+def _sql_quote(s: str) -> str:
+    """Single-quoted DuckDB string literal (handles embedded quotes)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _ccnet_norm_sql(x: str) -> str:
+    """DuckDB replay of operators.dedup.ccnet_normalize — the SAME
+    translate maps (imported, not copied) and dialect-identical regex
+    classes, so the normalized paragraph keys group identically."""
+    from document_automation_spark.operators.dedup import CCNET_TR_DST, CCNET_TR_SRC
+
+    return (
+        "trim(regexp_replace(regexp_replace(translate(lower(" + x + "), "
+        + _sql_quote(CCNET_TR_SRC) + ", " + _sql_quote(CCNET_TR_DST)
+        + "), '[0-9]', '0', 'g'), '[ \\t\\n\\r\\f]+', ' ', 'g'))"
+    )
+
+
+#: per-parity paragraph suffix for the normalized-dedup leg: the two
+#: variants differ in case, an accent, a curly quote, and digits — every
+#: fold of the CCNet normalization — and agree AFTER it ("cafe's 00").
+_NORM_SFX_EVEN = " Café’s 12"
+_NORM_SFX_ODD = " CAFE'S 34"
+
+
 @register(
     "paragraph_dedup",
     f"""
@@ -2792,7 +2817,38 @@ def q_repetition_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l.doc_id IS NULL GROUP BY s.doc_id
     ),
     nf AS (SELECT doc_id, COUNT(*) AS n FROM first_losers GROUP BY doc_id),
-    nc AS (SELECT doc_id, COUNT(*) AS n FROM common_losers GROUP BY doc_id)
+    nc AS (SELECT doc_id, COUNT(*) AS n FROM common_losers GROUP BY doc_id),
+    ml2 AS (
+        SELECT doc_id,
+               array_to_string(list_transform(string_split(text, chr(10)),
+                   x -> x || CASE WHEN doc_id % 2 = 0
+                             THEN {_sql_quote(_NORM_SFX_EVEN)}
+                             ELSE {_sql_quote(_NORM_SFX_ODD)} END), chr(10))
+                   AS text
+        FROM ml
+    ),
+    segs2 AS (
+        SELECT doc_id, i - 1 AS pos, s[i] AS para FROM (
+            SELECT doc_id, s, unnest(generate_series(1, len(s))) AS i
+            FROM (SELECT doc_id, string_split(text, chr(10)) AS s FROM ml2))
+    ),
+    cand2 AS (
+        SELECT doc_id, pos, {_ccnet_norm_sql('trim(para)')} AS pkey
+        FROM segs2 WHERE trim(para) <> ''
+    ),
+    norm_losers AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   ROW_NUMBER() OVER (PARTITION BY pkey ORDER BY doc_id, pos) AS rn
+            FROM cand2) WHERE rn > 1
+    ),
+    agg_norm AS (
+        SELECT s.doc_id, string_agg(s.para, chr(10) ORDER BY s.pos) AS text
+        FROM segs2 s LEFT JOIN norm_losers l
+          ON l.doc_id = s.doc_id AND l.pos = s.pos
+        WHERE l.doc_id IS NULL GROUP BY s.doc_id
+    ),
+    nn AS (SELECT doc_id, COUNT(*) AS n FROM norm_losers GROUP BY doc_id)
     SELECT 'first' AS mode, m.doc_id, md5(COALESCE(a.text, '')) AS text_md5,
            CAST(COALESCE(nf.n, 0) AS BIGINT) AS n_dropped_paragraphs
     FROM ml m LEFT JOIN agg_first a USING (doc_id) LEFT JOIN nf USING (doc_id)
@@ -2800,6 +2856,10 @@ def q_repetition_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'common' AS mode, m.doc_id, md5(COALESCE(a.text, '')) AS text_md5,
            CAST(COALESCE(nc.n, 0) AS BIGINT) AS n_dropped_paragraphs
     FROM ml m LEFT JOIN agg_common a USING (doc_id) LEFT JOIN nc USING (doc_id)
+    UNION ALL
+    SELECT 'first_norm' AS mode, m.doc_id, md5(COALESCE(a.text, '')) AS text_md5,
+           CAST(COALESCE(nn.n, 0) AS BIGINT) AS n_dropped_paragraphs
+    FROM ml2 m LEFT JOIN agg_norm a USING (doc_id) LEFT JOIN nn USING (doc_id)
     """,
 )
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2808,23 +2868,41 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     policies as a tagged union: mode='first' keeps the globally-first copy
     of every duplicated paragraph (CCNet semantics, within-doc repeats
     included), mode='common' cuts every paragraph shared by >= 3 distinct
-    docs (boilerplate removal).  The DuckDB oracle replays winner selection
-    (ROW_NUMBER over (paragraph, doc_id, pos)), the hot-paragraph cut, and
-    the byte-exact text surgery on the identically derived corpus; per-doc
-    rewritten text compared by md5."""
+    docs (boilerplate removal).  A third leg replays mode='first' with
+    ``normalize=True`` (the CCNet hash normalization) over a corpus whose
+    paragraphs carry per-parity case/accent/quote/digit suffix variants —
+    duplicates only the NORMALIZED key can see; the oracle recomputes the
+    normalization with the same translate maps.  The DuckDB oracle replays
+    winner selection (ROW_NUMBER over (paragraph, doc_id, pos)), the
+    hot-paragraph cut, and the byte-exact text surgery on the identically
+    derived corpus; per-doc rewritten text compared by md5."""
     from document_automation_spark.operators.dedup import dedup_paragraphs
 
     ml = _docs_multiline(spark, sf_dir)
+    sfx = F.when(
+        F.col("doc_id") % 2 == 0, F.lit(_NORM_SFX_EVEN)
+    ).otherwise(F.lit(_NORM_SFX_ODD))
+    ml2 = ml.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.split(F.col("text"), "\\Q\n\\E"), lambda x: F.concat(x, sfx)),
+            "\n",
+        ).alias("text"),
+    )
 
-    def leg(mode: str, **kw) -> DataFrame:
-        return dedup_paragraphs(ml, mode=mode, **kw).select(
-            F.lit(mode).alias("mode"),
+    def leg(src: DataFrame, tag: str, mode: str, **kw) -> DataFrame:
+        return dedup_paragraphs(src, mode=mode, **kw).select(
+            F.lit(tag).alias("mode"),
             "doc_id",
             F.md5(F.col("text")).alias("text_md5"),
             "n_dropped_paragraphs",
         )
 
-    return leg("first").unionByName(leg("common", min_docs=3))
+    return (
+        leg(ml, "first", "first")
+        .unionByName(leg(ml, "common", "common", min_docs=3))
+        .unionByName(leg(ml2, "first_norm", "first", normalize=True))
+    )
 
 
 @register(

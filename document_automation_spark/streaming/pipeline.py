@@ -373,6 +373,7 @@ def start_streaming_paragraph_cut(
     hot_keys: DataFrame,
     schema: str = "doc_id long, text string",
     sep: str = "\n",
+    normalize: bool = False,
 ) -> StreamingQuery:
     """The streaming twin of the batch common-paragraph cut
     (``operators.dedup.dedup_paragraphs(mode='common')``): cut every
@@ -389,7 +390,13 @@ def start_streaming_paragraph_cut(
     the surgery expression is byte-identical to the batch operator's, so
     stream output == batch common-cut for every paragraph inside the cap
     (pinned in pytest).
+
+    ``normalize`` MUST match the flag ``hot_paragraph_keys`` was trained
+    with (both default False) — the probe recomputes the key per segment,
+    so a mismatched normalization would never hit the hot set.
     """
+    from document_automation_spark.operators.dedup import _paragraph_key
+
     keys = sorted(r["pkey"] for r in hot_keys.collect())  # capped by contract
     hot_lit = F.array(*[F.lit(k) for k in keys])
     lit_sep = "\\Q" + sep + "\\E"
@@ -403,7 +410,7 @@ def start_streaming_paragraph_cut(
     kept_segs = F.filter(
         segs,
         lambda x: (F.trim(x) == "")
-        | ~F.array_contains(hot_lit, F.sha2(F.trim(x), 256)),
+        | ~F.array_contains(hot_lit, _paragraph_key(F.trim(x), normalize)),
     )
     n_dropped = (F.size(segs) - F.size(kept_segs)).cast("long")
     rewritten = docs.select(

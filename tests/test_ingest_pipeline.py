@@ -979,6 +979,41 @@ class TestParagraphDedupStage:
         for r in corpus.limit(5).collect():
             assert r.doc_id == doc_id_for(r.url, r.content)
 
+    def test_norm_mode_cuts_boilerplate_variants(self, spark, tmp_path):
+        """--dedup-paragraphs common+norm:2 — per-page boilerplate variants
+        (digit counters, case) are raw-unique but fold under the CCNet key
+        normalization; plain common:2 must cut nothing."""
+        import datetime
+
+        rows = [
+            (
+                f"http://site{i}.example.com/page",
+                datetime.datetime(2024, 1, 1, i % 24),
+                f"{10 + i} Comments · Cookie Notice for visitor {i}"
+                + "\n"
+                + f"unique body {i} with enough characters to clear every "
+                  f"curation gate in the pipeline, repeated talk about topic {i} "
+                  f"and some more prose about subject {i} to pad the passage",
+            )
+            for i in range(12)
+        ]
+        base = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, text string"
+        ).withColumn("html", F.lit(None).cast("binary")).withColumn(
+            "lang", F.lit("en")
+        )
+        for tag, mode, expect_cut in (
+            ("raw", "common:2", False),
+            ("norm", "common+norm:2", True),
+        ):
+            summary = run_ingest_pipeline(
+                spark, base, str(tmp_path / f"corpus_{tag}"), f"t-{tag}",
+                cfg=ExtractConfig(n_buckets=2),
+                from_text=True, url_dedup=False,
+                dedup_paragraphs_mode=mode,
+            )
+            assert (summary["dropped_paragraphs"] > 0) is expect_cut, tag
+
     def test_mode_validation(self, spark, tmp_path):
         base = pages_df(spark, 8, partitions=1)
         with pytest.raises(ValueError, match="first.*common"):

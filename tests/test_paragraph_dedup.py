@@ -110,17 +110,66 @@ class TestPlanShape:
         assert a == b
 
 
+class TestNormalizedKeys:
+    """CCNet hash normalization (normalize=True): case / accent / curly
+    quote / digit variants dedup together while survivors keep bytes."""
+
+    def test_variants_fold_together(self, spark):
+        rows = [
+            (1, "Café’s 3 Comments\nunique one"),
+            (2, "cafe's 7 comments\nunique two"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        raw = {r.doc_id: r.n_dropped_paragraphs
+               for r in dedup_paragraphs(df, mode="first").collect()}
+        assert raw == {1: 0, 2: 0}  # raw keys see two distinct paragraphs
+        out = {r.doc_id: (r.text, r.n_dropped_paragraphs)
+               for r in dedup_paragraphs(df, mode="first", normalize=True).collect()}
+        # doc 1's variant is the global first -> survives with ORIGINAL bytes
+        assert out[1] == ("Café’s 3 Comments\nunique one", 0)
+        assert out[2] == ("unique two", 1)
+
+    def test_hot_keys_merge_variants(self, spark):
+        from document_automation_spark.operators.dedup import hot_paragraph_keys
+
+        rows = [(1, "SIGN UP 12\nbody a"), (2, "sign  up 98\nbody b")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        assert hot_paragraph_keys(df, min_docs=2).count() == 0
+        hot = hot_paragraph_keys(df, min_docs=2, normalize=True).collect()
+        assert len(hot) == 1 and hot[0].n_docs == 2
+
+
 class TestRandomizedReplay:
     """Operator vs an independent pure-Python CCNet replay on a randomized
     corpus (seeded): 200 docs, paragraphs drawn from a 30-string vocab with
     random padding — high cross-doc collision rate, blanks, empty docs."""
 
     @staticmethod
-    def _corpus(seed=7, n_docs=200):
+    def _variant(rng, s):
+        """A normalization-invariant mutation of ``s``: random case flips,
+        accented vowels, re-drawn digits (same count), curly quotes."""
+        out = []
+        for ch in s:
+            if ch == "a" and rng.random() < 0.5:
+                out.append(rng.choice("aàáâä"))
+            elif ch == "e" and rng.random() < 0.5:
+                out.append(rng.choice("eèéê"))
+            elif ch == "'" and rng.random() < 0.5:
+                out.append("’")
+            elif ch.isdigit():
+                out.append(rng.choice("0123456789"))
+            elif ch.isalpha() and rng.random() < 0.3:
+                out.append(ch.upper())
+            else:
+                out.append(ch)
+        return "".join(out)
+
+    @classmethod
+    def _corpus(cls, seed=7, n_docs=200, variants=False):
         import random
 
         rng = random.Random(seed)
-        vocab = [f"para {i} body text" for i in range(30)]
+        vocab = [f"para {i} body's text" for i in range(30)]
         rows = []
         for d in range(n_docs):
             n = rng.randint(0, 6)
@@ -133,29 +182,50 @@ class TestRandomizedReplay:
                     segs.append("   ")         # whitespace-only
                 else:
                     pad = " " * rng.randint(0, 2)
-                    segs.append(pad + rng.choice(vocab) + pad)
+                    word = rng.choice(vocab)
+                    if variants and rng.random() < 0.4:
+                        word = cls._variant(rng, word)
+                    segs.append(pad + word + pad)
             rows.append((d, "\n".join(segs)))
         return rows
 
     @staticmethod
-    def _replay(rows, mode, min_docs=2):
+    def _py_norm(s):
+        """Pure-Python replay of ccnet_normalize from the SAME maps."""
+        import re as _re
+
+        from document_automation_spark.operators.dedup import (
+            CCNET_TR_DST,
+            CCNET_TR_SRC,
+        )
+
+        table = {
+            ord(c): (CCNET_TR_DST[i] if i < len(CCNET_TR_DST) else None)
+            for i, c in enumerate(CCNET_TR_SRC)
+        }
+        x = s.lower().translate(table)
+        x = _re.sub("[0-9]", "0", x)
+        return _re.sub("[ \t\n\r\f]+", " ", x).strip()
+
+    @staticmethod
+    def _replay(rows, mode, min_docs=2, key_fn=lambda s: s):
         first_seen = {}
         doc_count = {}
         for d, text in rows:
             for p, seg in enumerate(text.split("\n")):
-                key = seg.strip()
-                if not key:
+                if not seg.strip():
                     continue
+                key = key_fn(seg.strip())
                 first_seen.setdefault(key, (d, p))
                 doc_count.setdefault(key, set()).add(d)
         out = {}
         for d, text in rows:
             kept, dropped = [], 0
             for p, seg in enumerate(text.split("\n")):
-                key = seg.strip()
-                if not key:
+                if not seg.strip():
                     kept.append(seg)
                     continue
+                key = key_fn(seg.strip())
                 if mode == "first":
                     lose = first_seen[key] != (d, p)
                 else:
@@ -167,15 +237,25 @@ class TestRandomizedReplay:
             out[d] = ("\n".join(kept), dropped)
         return out
 
-    @pytest.mark.parametrize("mode,kw", [("first", {}), ("common", {"min_docs": 3})])
+    @pytest.mark.parametrize(
+        "mode,kw",
+        [
+            ("first", {}),
+            ("common", {"min_docs": 3}),
+            ("first", {"normalize": True}),
+            ("common", {"min_docs": 3, "normalize": True}),
+        ],
+    )
     def test_matches_python_replay(self, spark, mode, kw):
-        rows = self._corpus()
+        normalize = kw.get("normalize", False)
+        rows = self._corpus(variants=normalize)
+        key_fn = self._py_norm if normalize else (lambda s: s)
         df = spark.createDataFrame(rows, "doc_id long, text string")
         got = {
             r.doc_id: (r.text, r.n_dropped_paragraphs)
             for r in dedup_paragraphs(df, mode=mode, **kw).collect()
         }
-        assert got == self._replay(rows, mode, kw.get("min_docs", 2))
+        assert got == self._replay(rows, mode, kw.get("min_docs", 2), key_fn)
 
 
 class TestStreamingParagraphCut:
