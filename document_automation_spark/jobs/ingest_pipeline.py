@@ -248,6 +248,11 @@ def run_ingest_pipeline(
         # dedup / extraction.  The blocked count is one extra pass over the
         # pruned (url) projection — the html payload is untouched by both
         # the count and the gate filter (row-local after the host join).
+        # Deliberately NOT an Observation riding the extraction write: a
+        # CollectMetrics node between the gate and the downstream url-dedup
+        # would pin this subplan and block the allowed-filter/projection
+        # pushdown that keeps the payload-light dedup path narrow; the
+        # count pass costs one host join over urls, far below that risk.
         from document_automation_spark.operators.robots import parse_robots, robots_gate
 
         rules = parse_robots(spark.read.parquet(robots_path))
