@@ -365,6 +365,49 @@ def start_streaming_dsir_filter(
     )
 
 
+def start_streaming_robots_gate(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    rules: DataFrame,
+    agent: str,
+    schema: str = "url string, warc_ts timestamp, html binary, text string, lang string",
+) -> StreamingQuery:
+    """The ingest pipeline's robots-exclusion front gate
+    (``operators.robots.robots_gate``) on a page stream: pages whose host
+    has opted ``agent`` out are dropped as they land.
+
+    Unlike the DSIR/paragraph twins, no literal-collapse is needed:
+    Structured Streaming natively supports joining an append stream
+    against a STATIC DataFrame, and the gate is exactly that shape — the
+    per-host rules table on the static side (AQE/broadcast-sized: one row
+    per host), the REP longest-prefix decision a row-local fold after the
+    join.  The static side therefore scales to |hosts| far past what a
+    plan literal could hold.  ``rules`` is ``parse_robots(snapshot)``;
+    robots snapshots move on crawl cadence, not per micro-batch — restart
+    the query on a fresh snapshot to pick it up."""
+    from document_automation_spark.operators.robots import robots_gate
+
+    pages = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+    kept = (
+        robots_gate(pages, rules, agent=agent)
+        .where(F.col("allowed"))
+        .drop("allowed")
+    )
+    return (
+        kept.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def start_streaming_paragraph_cut(
     spark: SparkSession,
     input_dir: str,
