@@ -30,7 +30,13 @@ from typing import Optional, Sequence, Tuple
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-__all__ = ["host_col", "domain_stats", "filter_by_domain"]
+__all__ = [
+    "host_col",
+    "registrable_domain_col",
+    "domain_stats",
+    "filter_by_domain",
+    "TWO_LEVEL_SUFFIXES",
+]
 
 #: sentinel host for URLs try_parse_url cannot parse (schemeless strings,
 #: quarantine markers, mailto:) — kept as an explicit bucket so corpus
@@ -42,6 +48,47 @@ def host_col(url_col: str = "url") -> F.Column:
     """Lower-cased host of ``url_col``; ``(none)`` when unparseable."""
     return F.coalesce(
         F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST"))), F.lit(NO_HOST)
+    )
+
+
+#: 2-level effective-TLD suffixes for the registrable-domain fold — a
+#: bounded public-suffix-list SUBSET covering the dominant ccTLD
+#: second-level patterns.  Deliberately a heuristic, not the full PSL
+#: (which is 10k+ mutable rows and includes private registries like
+#: github.io): Common Crawl's own domain-level graph uses the same
+#: registrable-domain idea, and the fold must be ONE bounded JVM
+#: expression the DuckDB oracle can replay verbatim.
+TWO_LEVEL_SUFFIXES: Tuple[str, ...] = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+    "ac.jp", "com.au", "net.au", "org.au", "co.nz", "co.in", "co.za",
+    "co.kr", "com.br", "com.mx", "com.ar", "com.tr", "com.tw", "com.cn",
+    "com.hk", "com.sg", "com.my", "co.id", "co.th",
+)
+
+
+def registrable_domain_col(host) -> F.Column:
+    """Registrable domain of a lowercased ``host`` column: the last two
+    labels, or the last three when the trailing two are a known 2-level
+    public suffix (:data:`TWO_LEVEL_SUFFIXES`) — ``www.site.co.uk`` and
+    ``a.site.co.uk`` both fold to ``site.co.uk``; ``www.site.com`` folds
+    to ``site.com``.  IPv4 literals and dot-less hosts (including the
+    ``(none)`` sentinel) pass through verbatim.
+
+    One JVM expression (split + F.get + isin), no Python, replayed
+    exactly by the DuckDB oracle — the host→domain fold behind the
+    domain-level link graph (Common Crawl publishes host- AND
+    domain-level rankings of its crawl)."""
+    labels = F.split(host, "\\.")
+    n = F.size(labels)
+    # F.get is 0-based and NULL-safe out of bounds (element_at throws
+    # under ANSI for out-of-range indexes)
+    l1, l2, l3 = F.get(labels, n - 1), F.get(labels, n - 2), F.get(labels, n - 3)
+    last2 = F.concat_ws(".", l2, l1)
+    is_ipv4 = host.rlike(r"^[0-9]+(\.[0-9]+){3}$")
+    return (
+        F.when(is_ipv4 | (n <= 2), host)
+        .when(last2.isin(*TWO_LEVEL_SUFFIXES), F.concat_ws(".", l3, l2, l1))
+        .otherwise(last2)
     )
 
 

@@ -150,6 +150,15 @@ def host_link_edges(
     one shuffle — keyed by (src, dst) host pairs, i.e. already
     aggregated far below page cardinality.
     """
+    return _host_edges_raw(pages, url_col, html_col, html_is_binary).distinct()
+
+
+def _host_edges_raw(
+    pages: DataFrame, url_col: str, html_col: str, html_is_binary: bool
+) -> DataFrame:
+    """Pre-distinct (src, dst) host pairs — the scan-stage edge stream
+    shared by the host- and domain-level graphs (each applies its own
+    fold/distinct so only ONE shuffle runs per granularity)."""
     from document_automation_spark.operators.domains import NO_HOST, host_col
 
     html_str = _lossy_html_str(html_col, html_is_binary)
@@ -160,11 +169,36 @@ def host_link_edges(
         ).alias("href"),
     )
     dst = _href_dst_host(F.col("href"), F.col("src"))
-    return (
-        exploded.select("src", dst.alias("dst"))
-        .where((F.col("src") != NO_HOST) & (F.col("dst") != NO_HOST))
-        .distinct()
+    return exploded.select("src", dst.alias("dst")).where(
+        (F.col("src") != NO_HOST) & (F.col("dst") != NO_HOST)
     )
+
+
+def domain_link_edges(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    html_is_binary: bool = True,
+) -> DataFrame:
+    """Distinct registrable-DOMAIN→domain hyperlink edges — the
+    domain-level companion of :func:`host_link_edges` (Common Crawl
+    publishes both granularities of its crawl graph; domain-level is the
+    one that survives subdomain spam, where a link farm fans out over
+    thousands of throwaway subdomains of one registration).
+
+    Same scan-stage extraction; each endpoint folds through
+    ``operators.domains.registrable_domain_col`` BEFORE the distinct, so
+    the one shuffle is keyed on the (smaller) domain pair set.  www/host
+    aliases collapsing onto their registration turn into self-edges and
+    are kept — :func:`pagerank` treats self-loops as ordinary edges, the
+    same contract as the host graph."""
+    from document_automation_spark.operators.domains import registrable_domain_col
+
+    raw = _host_edges_raw(pages, url_col, html_col, html_is_binary)
+    return raw.select(
+        registrable_domain_col(F.col("src")).alias("src"),
+        registrable_domain_col(F.col("dst")).alias("dst"),
+    ).distinct()
 
 
 ANCHOR_RE = '<a [^>]*href="([^"]+)"[^>]*>([^<]*)</a>'

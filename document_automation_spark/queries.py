@@ -2233,11 +2233,12 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=256)
 
 
-def _pagerank_sql(n_iters: int = 5) -> str:
-    """Oracle twin of operators/linkgraph.pagerank over the seat's
-    deterministic doc_id-derived graph: the power iteration unrolled as
+def _pagerank_leg_sql(edges_sql: str, n_iters: int = 5) -> str:
+    """Oracle twin of operators/linkgraph.pagerank over an arbitrary
+    ``edges_sql`` (columns src, dst): the power iteration unrolled as
     chained CTEs (standard SQL forbids aggregates in a recursive term),
-    per-iteration ROUND(...,12) matching the Spark side exactly."""
+    per-iteration ROUND(...,12) matching the Spark side exactly.
+    Self-contained (own WITH) so two legs can union in one query."""
     iters = []
     for k in range(1, n_iters + 1):
         prev = f"r{k - 1}"
@@ -2258,11 +2259,7 @@ def _pagerank_sql(n_iters: int = 5) -> str:
         ) inb ON nodes.node = inb.node
     )""")
     return f"""
-    WITH edges AS (
-        SELECT DISTINCT (doc_id * 7 + 3) % 97 AS src,
-                        (doc_id * 31 + 11) % 97 AS dst
-        FROM documents
-    ),
+    WITH edges AS ({edges_sql}),
     nodes AS (
         SELECT DISTINCT node FROM (
             SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
@@ -2272,8 +2269,60 @@ def _pagerank_sql(n_iters: int = 5) -> str:
     nn AS (SELECT COUNT(*) AS n FROM nodes),
     r0 AS (SELECT node, ROUND(1.0 / (SELECT n FROM nn), 12) AS rank FROM nodes),
     {','.join(iters)}
-    SELECT CAST(node AS BIGINT) AS node, ROUND(rank, 9) AS rank FROM r{n_iters}
+    SELECT CAST(node AS VARCHAR) AS node, ROUND(rank, 9) AS rank FROM r{n_iters}
     """
+
+
+_PAGERANK_NUM_EDGES_SQL = """SELECT DISTINCT (doc_id * 7 + 3) % 97 AS src,
+                        (doc_id * 31 + 11) % 97 AS dst
+        FROM documents"""
+
+
+def _synth_host_sql(e: str) -> str:
+    """Deterministic synthetic host for the domain-PageRank leg — covers
+    every branch of the registrable-domain fold (www + bare on a 2-level
+    ccTLD suffix, deep + bare on .com, an IPv4 literal)."""
+    m13 = f"CAST(({e}) % 13 AS VARCHAR)"
+    return (
+        f"CASE ({e}) % 5 "
+        f"WHEN 0 THEN 'www.site' || {m13} || '.co.uk' "
+        f"WHEN 1 THEN 'site' || {m13} || '.co.uk' "
+        f"WHEN 2 THEN 'a' || CAST(({e}) % 7 AS VARCHAR) || '.site' || {m13} || '.com' "
+        f"WHEN 3 THEN 'site' || {m13} || '.com' "
+        f"ELSE '10.0.0.' || {m13} END"
+    )
+
+
+def _registrable_sql(h: str, s: str) -> str:
+    """DuckDB replay of operators.domains.registrable_domain_col over a
+    host column ``h`` with its pre-split label list ``s`` — SAME suffix
+    list (imported, not copied)."""
+    from document_automation_spark.operators.domains import TWO_LEVEL_SUFFIXES
+
+    suffixes = ", ".join(f"'{x}'" for x in TWO_LEVEL_SUFFIXES)
+    last2 = f"({s}[-2] || '.' || {s}[-1])"
+    return (
+        f"CASE WHEN regexp_matches({h}, '^[0-9]+(\\.[0-9]+){{3}}$') "
+        f"OR len({s}) <= 2 THEN {h} "
+        f"WHEN {last2} IN ({suffixes}) "
+        f"THEN {s}[-3] || '.' || {last2} "
+        f"ELSE {last2} END"
+    )
+
+
+def _pagerank_union_sql(n_iters: int = 5) -> str:
+    dom_edges = f"""SELECT DISTINCT {_registrable_sql('h1', 's1')} AS src,
+                        {_registrable_sql('h2', 's2')} AS dst
+        FROM (SELECT h1, h2, string_split(h1, '.') AS s1,
+                     string_split(h2, '.') AS s2
+              FROM (SELECT {_synth_host_sql('doc_id * 7 + 3')} AS h1,
+                           {_synth_host_sql('doc_id * 17 + 5')} AS h2
+                    FROM documents))"""
+    return (
+        f"SELECT 'graph' AS leg, * FROM ({_pagerank_leg_sql(_PAGERANK_NUM_EDGES_SQL, n_iters)})"
+        f" UNION ALL "
+        f"SELECT 'domain' AS leg, * FROM ({_pagerank_leg_sql(dom_edges, n_iters)})"
+    )
 
 
 @register(
@@ -2538,28 +2587,63 @@ def q_anchor_text_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anchor_text_terms(pages, html_is_binary=False)
 
 
-@register("host_pagerank", lambda: _pagerank_sql(5))
+def _synth_host_col(e: F.Column) -> F.Column:
+    """Spark twin of _synth_host_sql (identical branch-by-branch)."""
+    m13 = (e % 13).cast("string")
+    return (
+        F.when(e % 5 == 0, F.concat(F.lit("www.site"), m13, F.lit(".co.uk")))
+        .when(e % 5 == 1, F.concat(F.lit("site"), m13, F.lit(".co.uk")))
+        .when(
+            e % 5 == 2,
+            F.concat(
+                F.lit("a"), (e % 7).cast("string"), F.lit(".site"), m13, F.lit(".com")
+            ),
+        )
+        .when(e % 5 == 3, F.concat(F.lit("site"), m13, F.lit(".com")))
+        .otherwise(F.concat(F.lit("10.0.0."), m13))
+    )
+
+
+@register("host_pagerank", lambda: _pagerank_union_sql(5))
 def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Host-level PageRank (operators/linkgraph.py — the web-curation
-    authority signal; Common Crawl publishes this ranking for its host
-    graph) over a deterministic doc_id-derived 97-node graph, 5 damped
-    power iterations with uniform dangling-mass redistribution.  The
-    production edge source is :func:`linkgraph.host_link_edges` over the
-    extraction output's link column — pinned against numpy power
-    iteration in tests/test_linkgraph.py; this seat pins the distributed
-    iteration itself cross-engine (per-iteration 12-dp rounding makes the
-    doubles identical)."""
+    """Crawl-graph PageRank (operators/linkgraph.py — the web-curation
+    authority signal; Common Crawl publishes BOTH granularities of this
+    ranking) as a tagged union: leg 'graph' runs 5 damped power
+    iterations with uniform dangling-mass redistribution over a
+    deterministic doc_id-derived 97-node graph (the round-5 original);
+    leg 'domain' first folds synthetic hosts through
+    ``operators.domains.registrable_domain_col`` (www/subdomain aliases
+    onto their registration, 2-level ccTLD suffixes kept, IPv4 literals
+    verbatim) and ranks the DOMAIN graph — the fold and the iteration
+    both replayed by the DuckDB oracle with the same suffix list.  The
+    production edge sources are :func:`linkgraph.host_link_edges` /
+    :func:`linkgraph.domain_link_edges` over the extraction output —
+    pinned against numpy power iteration in tests/test_linkgraph.py;
+    this seat pins the distributed iteration cross-engine
+    (per-iteration 12-dp rounding makes the doubles identical)."""
+    from document_automation_spark.operators.domains import registrable_domain_col
     from document_automation_spark.operators.linkgraph import pagerank
 
     docs = _t(spark, sf_dir, "documents")
-    edges = docs.select(
-        ((F.col("doc_id") * 7 + 3) % 97).alias("src"),
-        ((F.col("doc_id") * 31 + 11) % 97).alias("dst"),
+    d = F.col("doc_id")
+
+    def leg(tag: str, edges: DataFrame) -> DataFrame:
+        out = pagerank(edges, n_iters=5, damping=0.85)
+        return out.select(
+            F.lit(tag).alias("leg"),
+            F.col("node").cast("string").alias("node"),
+            F.round("rank", 9).alias("rank"),
+        )
+
+    edges_num = docs.select(
+        ((d * 7 + 3) % 97).alias("src"),
+        ((d * 31 + 11) % 97).alias("dst"),
     ).distinct()
-    out = pagerank(edges, n_iters=5, damping=0.85)
-    return out.select(
-        F.col("node").cast("long").alias("node"), F.round("rank", 9).alias("rank")
-    )
+    edges_dom = docs.select(
+        registrable_domain_col(_synth_host_col(d * 7 + 3)).alias("src"),
+        registrable_domain_col(_synth_host_col(d * 17 + 5)).alias("dst"),
+    ).distinct()
+    return leg("graph", edges_num).unionByName(leg("domain", edges_dom))
 
 
 def _hint_count_sql(hints: list) -> str:

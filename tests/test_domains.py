@@ -51,6 +51,32 @@ class TestDomainStats:
         assert "SortMergeJoin" not in buf.getvalue()
 
 
+class TestRegistrableDomain:
+    def test_fold_matrix(self, spark):
+        from document_automation_spark.operators.domains import (
+            registrable_domain_col,
+        )
+
+        cases = [
+            ("www.site.co.uk", "site.co.uk"),   # 2-level ccTLD suffix
+            ("a.b.site.co.uk", "site.co.uk"),   # deep subdomain, same
+            ("site.co.uk", "site.co.uk"),       # already registrable
+            ("co.uk", "co.uk"),                 # bare suffix: verbatim
+            ("www.example.com", "example.com"),
+            ("a.b.c.example.com", "example.com"),
+            ("example.com", "example.com"),
+            ("localhost", "localhost"),         # dot-less: verbatim
+            ("(none)", "(none)"),               # sentinel: verbatim
+            ("10.0.0.5", "10.0.0.5"),           # IPv4 literal: verbatim
+            ("sub.example.com.au", "example.com.au"),
+        ]
+        df = spark.createDataFrame(cases, "host string, expect string")
+        bad = df.where(
+            registrable_domain_col(F.col("host")) != F.col("expect")
+        ).collect()
+        assert bad == []
+
+
 class TestDomainGate:
     def test_blocklist_with_subdomains(self, spark, docs):
         kept, obs = filter_by_domain(docs, blocklist=["example.com", "spam.biz"])

@@ -105,6 +105,29 @@ class TestHostLinkEdges:
         assert rows == [("a.com", "a.com"), ("a.com", "b.com")]
 
 
+class TestDomainLinkEdges:
+    def test_subdomain_farm_folds_onto_registration(self, spark):
+        """A link farm fanning out over subdomains of one registration
+        collapses to registrable-domain edges — host-level sees N distinct
+        sources, domain-level sees one."""
+        from document_automation_spark.operators.linkgraph import domain_link_edges
+
+        html = b'<a href="https://victim.co.uk/page">x</a>'
+        rows = [
+            (f"https://spam{i}.farm.com/p{i}", bytearray(html)) for i in range(6)
+        ] + [("https://www.other.com/q", bytearray(html))]
+        df = spark.createDataFrame(rows, "url string, html binary")
+        host_edges = sorted((r.src, r.dst) for r in host_link_edges(df).collect())
+        assert len(host_edges) == 7  # every subdomain its own source
+        dom_edges = sorted(
+            (r.src, r.dst) for r in domain_link_edges(df).collect()
+        )
+        assert dom_edges == [
+            ("farm.com", "victim.co.uk"),
+            ("other.com", "victim.co.uk"),
+        ]
+
+
 class TestAnchorTextTerms:
     def test_resolution_branches_and_counts(self, spark):
         from document_automation_spark.operators.linkgraph import anchor_text_terms
