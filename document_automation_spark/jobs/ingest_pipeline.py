@@ -4,6 +4,8 @@
       → [--robots SNAPSHOT]         REP opt-out gate (blocked pages never
                                      reach extraction)
       → url-level dedup            (operators/urls.dedup_by_url, newest wins)
+      → [--link-graph]              host + registrable-domain PageRank
+                                     artifacts off the same gated pages
       → durable extraction          (plans/checkpoint.run_extraction_job:
                                      bucketed write + resume manifests)
       → curation                    (operators/curate.curate_extracted:
@@ -86,6 +88,8 @@ def run_ingest_pipeline(
     pack_seqlen: int | None = None,
     robots_path: str | None = None,
     robots_agent: str = "CCBot",
+    link_graph: bool = False,
+    pagerank_iters: int = 5,
     classifier_good_path: str | None = None,
     classifier_alpha: float = 9.0,
     dedup_against_path: str | None = None,
@@ -299,6 +303,10 @@ def run_ingest_pipeline(
             raise ValueError(
                 "semantic_dedup rewrites the corpus and needs curated_mode='copy'"
             )
+    if link_graph and from_text:
+        raise ValueError(
+            "link_graph needs html pages (WET text carries no anchors)"
+        )
     if quality_filter and curated_mode != "copy":
         raise ValueError("quality_filter re-reads text and needs curated_mode='copy'")
     if (decontaminate_path or pii_redact) and curated_mode != "copy":
@@ -369,6 +377,15 @@ def run_ingest_pipeline(
 
         docs_fn = fused_docs_fn
 
+    lg_summary: dict = {}
+    if link_graph:
+        # runs on the SAME gated+deduped pages the extractor consumes —
+        # blocked hosts contribute no edges, re-crawls don't double-count;
+        # running BEFORE extraction warms the url-dedup persist both share
+        lg_summary = _link_graph_stage(
+            spark, pages, output_path, n_iters=pagerank_iters
+        )
+
     # both payload paths run through the SAME durable writer: bucketed
     # dynamic-overwrite data commit + per-bucket resume manifests + real
     # counter totals (a crashed --wet run resumes exactly like --warc)
@@ -383,6 +400,7 @@ def run_ingest_pipeline(
             handle.unpersist()
     if robots_blocked is not None:
         extract_summary["robots_blocked"] = robots_blocked
+    extract_summary.update(lg_summary)
 
     if curated_mode == "fused":
         stats = fused_stats["collect"]()
@@ -825,6 +843,52 @@ def run_ingest_pipeline(
         return summary
 
 
+def _link_graph_stage(
+    spark: SparkSession, pages: DataFrame, output_path: str, n_iters: int = 5
+) -> dict:
+    """Crawl link-graph artifacts off the raw (gated, deduped) pages —
+    the authority signal web curation mixes in (Common Crawl publishes
+    both granularities of this ranking for every crawl).
+
+    The html is scanned ONCE: host edges persist, and the domain edges
+    derive from that (registrable-domain fold then distinct commutes
+    with the host-level distinct — the fold is deterministic per pair).
+    Writes ``link_graph/host_rank`` and ``link_graph/domain_rank``
+    (node, rank); row counts ride the writes as Observations.  Rank
+    tables are |hosts|-sized — feed them to
+    ``operators.domains.filter_by_domain`` blocklists or mix
+    token-weighted (``operators.mixing``) downstream."""
+    from pyspark.sql import Observation
+
+    from document_automation_spark.operators.domains import registrable_domain_col
+    from document_automation_spark.operators.linkgraph import (
+        host_link_edges,
+        pagerank,
+    )
+
+    edges = host_link_edges(pages).persist()
+    domain_edges = edges.select(
+        registrable_domain_col(F.col("src")).alias("src"),
+        registrable_domain_col(F.col("dst")).alias("dst"),
+    ).distinct()
+    out: dict = {}
+    try:
+        for tag, e in (("host", edges), ("domain", domain_edges)):
+            obs = Observation(f"lg_{tag}")
+            path = os.path.join(output_path, "link_graph", f"{tag}_rank")
+            (
+                pagerank(e, n_iters=n_iters)
+                .observe(obs, F.count(F.lit(1)).alias("n"))
+                .write.mode("overwrite")
+                .parquet(path)
+            )
+            out[f"link_graph_{tag}_nodes"] = int(obs.get["n"] or 0)
+            out[f"link_graph_{tag}_rank_path"] = path
+    finally:
+        edges.unpersist()
+    return out
+
+
 def _classifier_stage(
     spark: SparkSession,
     curated: DataFrame,
@@ -1156,6 +1220,14 @@ def main(argv=None) -> None:
     )
     parser.add_argument("--robots-agent", default="CCBot")
     parser.add_argument(
+        "--link-graph",
+        action="store_true",
+        help="write crawl link-graph artifacts (link_graph/host_rank and "
+        "link_graph/domain_rank — PageRank at both granularities, the "
+        "authority signal for domain curation); html pages only",
+    )
+    parser.add_argument("--pagerank-iters", type=int, default=5)
+    parser.add_argument(
         "--dedup-paragraphs",
         metavar="MODE",
         help="append CCNet-style cross-document paragraph dedup over the "
@@ -1301,6 +1373,8 @@ def main(argv=None) -> None:
             dedup_paragraphs_mode=args.dedup_paragraphs,
             robots_path=args.robots,
             robots_agent=args.robots_agent,
+            link_graph=args.link_graph,
+            pagerank_iters=args.pagerank_iters,
             quality_filter=args.quality_filter,
             curated_mode=args.curated_mode,
             decontaminate_path=args.decontaminate,

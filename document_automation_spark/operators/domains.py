@@ -97,6 +97,7 @@ def domain_stats(
     *,
     url_col: str = "url",
     text_col: str = "text",
+    level: str = "host",
 ) -> DataFrame:
     """Per-host corpus datasheet: volume, size and shape of each domain's
     contribution.
@@ -110,9 +111,21 @@ def domain_stats(
     rounded ratio.  All inputs to the aggregation are computed in the
     scan projection (host string + char length), so the single shuffle
     moves a few dozen bytes per doc regardless of text size.
+
+    ``level='domain'`` groups by the registrable domain instead
+    (:func:`registrable_domain_col` — the fold runs in the same scan
+    projection): subdomain spam farms that dilute host-level stats
+    aggregate onto their one registration.  The grouping column is still
+    named ``host`` so downstream gates (:func:`filter_by_domain`) work
+    unchanged at either granularity.
     """
+    if level not in ("host", "domain"):
+        raise ValueError(f"level must be 'host' or 'domain', got {level!r}")
+    key = host_col(url_col)
+    if level == "domain":
+        key = registrable_domain_col(key)
     per_doc = documents.select(
-        host_col(url_col).alias("host"),
+        key.alias("host"),
         F.length(F.col(text_col)).cast("long").alias("_chars"),
         F.col(url_col).alias("_url"),
     )

@@ -77,6 +77,25 @@ class TestRegistrableDomain:
         assert bad == []
 
 
+    def test_domain_stats_at_domain_level(self, spark):
+        from document_automation_spark.operators.domains import domain_stats
+
+        rows = [
+            (f"https://sub{i}.farm.com/p{i}", f"text {i}") for i in range(5)
+        ] + [("https://solo.example.org/q", "solo text")]
+        df = spark.createDataFrame(rows, "url string, text string")
+        by_host = {r.host: r.n_docs for r in domain_stats(df).collect()}
+        assert len(by_host) == 6 and by_host["solo.example.org"] == 1
+        by_dom = {
+            r.host: r.n_docs for r in domain_stats(df, level="domain").collect()
+        }
+        assert by_dom == {"farm.com": 5, "example.org": 1}
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="host.*domain"):
+            domain_stats(df, level="registrar")
+
+
 class TestDomainGate:
     def test_blocklist_with_subdomains(self, spark, docs):
         kept, obs = filter_by_domain(docs, blocklist=["example.com", "spam.biz"])

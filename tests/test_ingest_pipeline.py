@@ -1031,6 +1031,35 @@ class TestParagraphDedupStage:
             )
 
 
+class TestLinkGraphStage:
+    def test_rank_artifacts_written(self, spark, tmp_path):
+        """--link-graph writes host_rank + domain_rank; domain nodes fold
+        subdomains onto registrations (fewer or equal nodes), rank masses
+        each sum to 1."""
+        base = pages_df(spark, 40, partitions=2)
+        out = str(tmp_path / "corpus_lg")
+        summary = run_ingest_pipeline(
+            spark, base, out, "test-lg",
+            cfg=ExtractConfig(n_buckets=2),
+            link_graph=True, pagerank_iters=3,
+        )
+        assert summary["link_graph_host_nodes"] > 0
+        assert 0 < summary["link_graph_domain_nodes"] <= summary["link_graph_host_nodes"]
+        for tag in ("host", "domain"):
+            ranks = spark.read.parquet(summary[f"link_graph_{tag}_rank_path"])
+            total = sum(r["rank"] for r in ranks.collect())
+            assert abs(total - 1.0) < 1e-9
+
+    def test_rejected_on_text_path(self, spark, tmp_path):
+        base = pages_df(spark, 8, partitions=1)
+        with pytest.raises(ValueError, match="link_graph"):
+            run_ingest_pipeline(
+                spark, base, str(tmp_path / "x"), "t",
+                cfg=ExtractConfig(n_buckets=2),
+                from_text=True, link_graph=True,
+            )
+
+
 class TestSemanticDedupStage:
     def test_corpus_and_embeddings_both_cut(self, spark, tmp_path):
         """--semantic-dedup: the loser passages leave BOTH tables, counters
