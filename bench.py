@@ -357,8 +357,23 @@ def main() -> None:
         ).distinct()
         return pagerank(edges, n_iters=5, damping=0.85)
 
+    # lm_perplexity's seat gained the CCNet head/middle/tail bucket tag in
+    # round 5 session 6; keep the bare train+score as the bench row
+    def _lm_perplexity_only(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from document_automation_spark.operators.webtext_quality import (
+            score_with_bigram_lm,
+            train_bigram_lm,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        lm = train_bigram_lm(docs.filter(F.col("lang") == "en"), cache_registry=[])
+        return score_with_bigram_lm(docs, lm)
+
     qs = {
         **qs,
+        "lm_perplexity": _lm_perplexity_only,
         "host_pagerank": _host_pagerank_only,
         "bpe_train_encode": _bpe_train_encode,
         "quality_classifier": _quality_classifier,

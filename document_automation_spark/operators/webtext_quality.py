@@ -58,6 +58,7 @@ __all__ = [
     "QualityRules",
     "train_bigram_lm",
     "score_with_bigram_lm",
+    "ccnet_ppl_buckets",
     "BigramLM",
 ]
 
@@ -711,3 +712,46 @@ def score_with_bigram_lm(
         avg_lp.alias("avg_logprob"),
         F.round(F.exp(-avg_lp), 4).alias("ppl"),
     )
+
+
+def ccnet_ppl_buckets(
+    scored: DataFrame,
+    ppl_col: str = "ppl",
+    by: str | None = None,
+    labels: tuple = ("head", "middle", "tail"),
+    cuts: tuple = (0.3333333333, 0.6666666667),
+    exact: bool = True,
+) -> DataFrame:
+    """CCNet's final corpus shape (Wenzek et al. 2020 §4.4): tag every
+    document ``head`` / ``middle`` / ``tail`` by LM perplexity at the
+    1/3 and 2/3 quantile thresholds — head is the cleanest slice LM
+    pretraining oversamples; the paper buckets per language (``by``).
+
+    Scale shape: thresholds are an AGGREGATE (two doubles per ``by``
+    group) broadcast back; tagging is a row-local comparison.  No global
+    sort and no corpus-wide window — the naive rank/NTILE formulation
+    would funnel the corpus through one partition.  ``exact=True`` uses
+    Spark's exact ``percentile`` (sort-based per group — fine up to a
+    few 10^8 rows per group, and what the DuckDB oracle replays with
+    ``quantile_cont``); pass ``exact=False`` for ``approx_percentile``
+    at the 100 TB tier (documented deviation: bucket edges move within
+    the sketch's rank error, the three slices keep their meaning).
+    Thresholds round to 6 dp on both engines so interpolation-order ulp
+    noise can never flip a tag."""
+    fn = "percentile" if exact else "approx_percentile"
+    gcols = [by] if by else []
+    th = scored.groupBy(*gcols).agg(
+        F.round(F.expr(f"{fn}({ppl_col}, {cuts[0]})"), 6).alias("_t1"),
+        F.round(F.expr(f"{fn}({ppl_col}, {cuts[1]})"), 6).alias("_t2"),
+    )
+    joined = (
+        scored.join(F.broadcast(th), gcols)
+        if gcols
+        else scored.crossJoin(F.broadcast(th))
+    )
+    bucket = (
+        F.when(F.col(ppl_col) <= F.col("_t1"), F.lit(labels[0]))
+        .when(F.col(ppl_col) <= F.col("_t2"), F.lit(labels[1]))
+        .otherwise(F.lit(labels[2]))
+    )
+    return joined.withColumn("ppl_bucket", bucket).drop("_t1", "_t2")

@@ -3026,22 +3026,41 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN bi b ON b.pw = p.pw AND b.w = p.w
         LEFT JOIN uni u1 ON u1.w = p.pw
         LEFT JOIN uni u2 ON u2.w = p.w
+    ),
+    base AS (
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               ROUND(AVG(lp), 6) AS avg_logprob,
+               ROUND(exp(-ROUND(AVG(lp), 6)), 4) AS ppl
+        FROM scored GROUP BY doc_id
+    ),
+    th AS (
+        SELECT ROUND(quantile_cont(ppl, 0.3333333333), 6) AS t1,
+               ROUND(quantile_cont(ppl, 0.6666666667), 6) AS t2
+        FROM base
     )
-    SELECT doc_id, COUNT(*) AS n_bigrams,
-           ROUND(AVG(lp), 6) AS avg_logprob,
-           ROUND(exp(-ROUND(AVG(lp), 6)), 4) AS ppl
-    FROM scored GROUP BY doc_id
+    SELECT b.doc_id, b.n_bigrams, b.avg_logprob, b.ppl,
+           CASE WHEN b.ppl <= th.t1 THEN 'head'
+                WHEN b.ppl <= th.t2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM base b CROSS JOIN th
     """,
 )
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality scoring
     (operators/webtext_quality.train_bigram_lm / score_with_bigram_lm):
     a Stupid-Backoff bigram LM fit on the lang='en' slice, every document
-    scored by mean log-probability and perplexity.  Train = two map-side-
-    combined hash aggregations; score = pair explode + broadcast joins
-    against the count tables.  The oracle refits the identical LM in SQL
-    (unigram/bigram CTEs) and replays the backoff formula."""
+    scored by mean log-probability and perplexity, then tagged with
+    CCNet's final corpus shape — head/middle/tail at the 1/3,2/3
+    perplexity quantiles (``ccnet_ppl_buckets``: thresholds are a
+    broadcast 2-double aggregate, tagging row-local, NO corpus-wide
+    rank/window).  Train = two map-side-combined hash aggregations;
+    score = pair explode + broadcast joins against the count tables.
+    The oracle refits the identical LM in SQL (unigram/bigram CTEs),
+    replays the backoff formula, and recomputes the thresholds with
+    ``quantile_cont`` (same interpolation as Spark's exact
+    ``percentile``; both rounded 6 dp)."""
     from document_automation_spark.operators.webtext_quality import (
+        ccnet_ppl_buckets,
         score_with_bigram_lm,
         train_bigram_lm,
     )
@@ -3050,7 +3069,7 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the LM-sized unigram table across its three consumers (same
     # run-once-session rationale as semantic_dedup / ann_recall_eval)
     lm = train_bigram_lm(docs.filter(F.col("lang") == "en"), cache_registry=[])
-    return score_with_bigram_lm(docs, lm)
+    return ccnet_ppl_buckets(score_with_bigram_lm(docs, lm))
 
 
 @register(

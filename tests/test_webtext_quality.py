@@ -143,6 +143,53 @@ class TestBigramLM:
         assert got == {22}
 
 
+class TestCcnetPplBuckets:
+    """ccnet_ppl_buckets: head/middle/tail at the 1/3,2/3 quantiles —
+    thresholds broadcast, tagging row-local (no corpus window)."""
+
+    def test_buckets_order_and_balance(self, spark):
+        from document_automation_spark.operators.webtext_quality import (
+            ccnet_ppl_buckets,
+        )
+
+        rows = [(i, float(10 + i)) for i in range(9)]  # ppl 10..18
+        df = spark.createDataFrame(rows, "doc_id long, ppl double")
+        got = {r.doc_id: r.ppl_bucket for r in ccnet_ppl_buckets(df).collect()}
+        # exact thirds: 3/3/3, lower ppl = cleaner = head
+        assert [got[i] for i in range(9)] == (
+            ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+        )
+
+    def test_per_language_partition(self, spark):
+        from document_automation_spark.operators.webtext_quality import (
+            ccnet_ppl_buckets,
+        )
+
+        rows = [(i, "en", float(i)) for i in range(6)] + [
+            (i + 10, "de", float(100 + i)) for i in range(6)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, ppl double")
+        got = {r.doc_id: r.ppl_bucket for r in ccnet_ppl_buckets(df, by="lang").collect()}
+        # each language gets its own thresholds: de's low ppls are heads
+        # within de even though they dwarf every en value
+        assert got[0] == "head" and got[10] == "head"
+        assert got[5] == "tail" and got[15] == "tail"
+
+    def test_approx_path_runs(self, spark):
+        from document_automation_spark.operators.webtext_quality import (
+            ccnet_ppl_buckets,
+        )
+
+        df = spark.createDataFrame(
+            [(i, float(i % 37)) for i in range(200)], "doc_id long, ppl double"
+        )
+        out = ccnet_ppl_buckets(df, exact=False)
+        counts = {r.ppl_bucket: r.n for r in out.groupBy("ppl_bucket").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        assert set(counts) == {"head", "middle", "tail"}
+        assert sum(counts.values()) == 200
+
+
 class TestQualityFilterGate:
     """filter_by_quality: the actionable half of the features — keep/drop
     with per-rule Observation counters riding the first action."""
