@@ -289,7 +289,14 @@ def run_ingest_pipeline(
             )
         _para_mode, _, _para_k = dedup_paragraphs_mode.partition(":")
         _para_mode, _, _para_flag = _para_mode.partition("+")
-        if _para_mode not in ("first", "common") or _para_flag not in ("", "norm"):
+        if (
+            _para_mode not in ("first", "common")
+            or _para_flag not in ("", "norm")
+            # MIN_DOCS must parse NOW — 'common:3+norm' (the natural
+            # mis-ordering of '+norm') would otherwise crash hours later
+            # at the paragraph stage's int() call
+            or (_para_k and not _para_k.isdigit())
+        ):
             raise ValueError(
                 "dedup_paragraphs_mode must be 'first[+norm]' or "
                 f"'common[+norm][:MIN_DOCS]', got {dedup_paragraphs_mode!r}"
@@ -858,19 +865,16 @@ def _link_graph_stage(
     tables are |hosts|-sized — feed them to
     ``operators.domains.filter_by_domain`` blocklists or mix
     token-weighted (``operators.mixing``) downstream."""
-    from pyspark.sql import Observation
-
-    from document_automation_spark.operators.domains import registrable_domain_col
     from document_automation_spark.operators.linkgraph import (
+        fold_edges_to_domains,
         host_link_edges,
         pagerank,
     )
 
     edges = host_link_edges(pages).persist()
-    domain_edges = edges.select(
-        registrable_domain_col(F.col("src")).alias("src"),
-        registrable_domain_col(F.col("dst")).alias("dst"),
-    ).distinct()
+    # persisted too: pagerank re-references its edge frame 2-3x per
+    # iteration — unpersisted, the fold + distinct would recompute each time
+    domain_edges = fold_edges_to_domains(edges).persist()
     out: dict = {}
     try:
         for tag, e in (("host", edges), ("domain", domain_edges)):
@@ -886,6 +890,7 @@ def _link_graph_stage(
             out[f"link_graph_{tag}_rank_path"] = path
     finally:
         edges.unpersist()
+        domain_edges.unpersist()
     return out
 
 
@@ -932,7 +937,6 @@ def _classifier_stage(
     kept = pareto_importance_filter(scored, alpha=alpha)
     classifier_path = os.path.join(output_path, "curated_classifier")
     # the kept count rides the write as an Observation — no re-read job
-    from pyspark.sql import Observation
 
     obs = Observation("classifier_stage")
     (
@@ -1044,7 +1048,6 @@ def _bpe_stage(
     )
     bpe_path = os.path.join(output_path, "curated_bpe")
     # total-token counter rides the write as an Observation — no re-read
-    from pyspark.sql import Observation
 
     obs = Observation("bpe_stage")
     (

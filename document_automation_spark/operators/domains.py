@@ -77,7 +77,13 @@ def registrable_domain_col(host) -> F.Column:
     One JVM expression (split + F.get + isin), no Python, replayed
     exactly by the DuckDB oracle — the host→domain fold behind the
     domain-level link graph (Common Crawl publishes host- AND
-    domain-level rankings of its crawl)."""
+    domain-level rankings of its crawl).
+
+    Trailing-dot FQDNs (``example.com.`` — valid DNS, present in crawl
+    data) are dot-stripped FIRST: the empty last label would otherwise
+    make ``last2`` = ``com.`` and merge every ``.com.`` site into one
+    phantom node."""
+    host = F.regexp_replace(host, r"\.+$", "")
     labels = F.split(host, "\\.")
     n = F.size(labels)
     # F.get is 0-based and NULL-safe out of bounds (element_at throws

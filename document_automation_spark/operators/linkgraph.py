@@ -192,10 +192,21 @@ def domain_link_edges(
     aliases collapsing onto their registration turn into self-edges and
     are kept — :func:`pagerank` treats self-loops as ordinary edges, the
     same contract as the host graph."""
+    return fold_edges_to_domains(
+        _host_edges_raw(pages, url_col, html_col, html_is_binary)
+    )
+
+
+def fold_edges_to_domains(edges: DataFrame) -> DataFrame:
+    """(src, dst) host edges → distinct registrable-domain edges — the
+    ONE definition of the host→domain edge fold (shared by
+    :func:`domain_link_edges` and the ingest ``--link-graph`` stage, so
+    the artifact and the operator cannot diverge).  Works on raw or
+    already-distinct host edges: the fold is deterministic per pair, so
+    fold-then-distinct commutes with a prior host-level distinct."""
     from document_automation_spark.operators.domains import registrable_domain_col
 
-    raw = _host_edges_raw(pages, url_col, html_col, html_is_binary)
-    return raw.select(
+    return edges.select(
         registrable_domain_col(F.col("src")).alias("src"),
         registrable_domain_col(F.col("dst")).alias("dst"),
     ).distinct()

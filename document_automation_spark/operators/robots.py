@@ -41,8 +41,13 @@ def _fold_lines(lines: F.Column) -> F.Column:
     )
 
     def step(acc, raw):
-        # strip comments + whitespace, lowercase the directive key
-        line = F.trim(F.regexp_replace(raw, "#.*$", ""))
+        # strip CR (RFC 9309 allows CRLF line endings and F.trim only
+        # removes spaces — a '\r' left on the agent name would make the
+        # gate's isin('ccbot','*') never match and fail OPEN), then
+        # comments + whitespace; lowercase the directive key
+        line = F.trim(
+            F.regexp_replace(F.regexp_replace(raw, "\r", ""), "#.*$", "")
+        )
         key = F.lower(F.trim(F.substring_index(line, ":", 1)))
         val = F.trim(F.substr(line, F.instr(line, ":") + 1))
         has_colon = F.instr(line, ":") > 0

@@ -744,11 +744,18 @@ def ccnet_ppl_buckets(
         F.round(F.expr(f"{fn}({ppl_col}, {cuts[0]})"), 6).alias("_t1"),
         F.round(F.expr(f"{fn}({ppl_col}, {cuts[1]})"), 6).alias("_t2"),
     )
-    joined = (
-        scored.join(F.broadcast(th), gcols)
-        if gcols
-        else scored.crossJoin(F.broadcast(th))
-    )
+    if gcols:
+        # NULL-SAFE join: groupBy puts NULL-keyed docs in their own
+        # threshold group, and a plain equi-join would silently DROP them
+        # (NULL never equals NULL) — corpus shrinkage in the final stage
+        joined = scored.join(
+            F.broadcast(th),
+            [scored[c].eqNullSafe(th[c]) for c in gcols],
+        )
+        for c in gcols:
+            joined = joined.drop(th[c])
+    else:
+        joined = scored.crossJoin(F.broadcast(th))
     bucket = (
         F.when(F.col(ppl_col) <= F.col("_t1"), F.lit(labels[0]))
         .when(F.col(ppl_col) <= F.col("_t2"), F.lit(labels[1]))

@@ -2288,7 +2288,7 @@ def _synth_host_sql(e: str) -> str:
         f"WHEN 0 THEN 'www.site' || {m13} || '.co.uk' "
         f"WHEN 1 THEN 'site' || {m13} || '.co.uk' "
         f"WHEN 2 THEN 'a' || CAST(({e}) % 7 AS VARCHAR) || '.site' || {m13} || '.com' "
-        f"WHEN 3 THEN 'site' || {m13} || '.com' "
+        f"WHEN 3 THEN 'site' || {m13} || '.com.' "  # trailing-dot FQDN
         f"ELSE '10.0.0.' || {m13} END"
     )
 
@@ -2296,7 +2296,8 @@ def _synth_host_sql(e: str) -> str:
 def _registrable_sql(h: str, s: str) -> str:
     """DuckDB replay of operators.domains.registrable_domain_col over a
     host column ``h`` with its pre-split label list ``s`` — SAME suffix
-    list (imported, not copied)."""
+    list (imported, not copied).  Callers must strip trailing dots from
+    ``h`` BEFORE splitting (mirroring the operator's FQDN handling)."""
     from document_automation_spark.operators.domains import TWO_LEVEL_SUFFIXES
 
     suffixes = ", ".join(f"'{x}'" for x in TWO_LEVEL_SUFFIXES)
@@ -2315,8 +2316,10 @@ def _pagerank_union_sql(n_iters: int = 5) -> str:
                         {_registrable_sql('h2', 's2')} AS dst
         FROM (SELECT h1, h2, string_split(h1, '.') AS s1,
                      string_split(h2, '.') AS s2
-              FROM (SELECT {_synth_host_sql('doc_id * 7 + 3')} AS h1,
-                           {_synth_host_sql('doc_id * 17 + 5')} AS h2
+              FROM (SELECT regexp_replace({_synth_host_sql('doc_id * 7 + 3')},
+                                          '\\.+$', '') AS h1,
+                           regexp_replace({_synth_host_sql('doc_id * 17 + 5')},
+                                          '\\.+$', '') AS h2
                     FROM documents))"""
     return (
         f"SELECT 'graph' AS leg, * FROM ({_pagerank_leg_sql(_PAGERANK_NUM_EDGES_SQL, n_iters)})"
@@ -2336,7 +2339,10 @@ def _pagerank_union_sql(n_iters: int = 5) -> str:
                WHEN doc_id % 4 = 1 THEN
                  'User-agent: otherbot' || chr(10) || 'Disallow: /'
                WHEN doc_id = 4 THEN
-                 'User-agent: *' || chr(10) || 'Disallow: /'
+                 -- CRLF line endings (RFC 9309 allows them; must gate
+                 -- identically to LF)
+                 'User-agent: *' || chr(13) || chr(10) || 'Disallow: /'
+                 || chr(13)
                ELSE
                  '# snapshot' || chr(10) || 'User-agent: CCBot' || chr(10)
                  || '# ai crawlers' || chr(10) || chr(10)
@@ -2350,7 +2356,11 @@ def _pagerank_union_sql(n_iters: int = 5) -> str:
         FROM documents WHERE doc_id < 11
     ),
     lines0 AS (
-        SELECT host, i, trim(regexp_replace(s[i], '#.*$', '')) AS line FROM (
+        -- CR stripped first (RFC 9309 allows CRLF; trim() only removes
+        -- spaces), mirroring the Spark fold
+        SELECT host, i,
+               trim(regexp_replace(regexp_replace(s[i], chr(13), '', 'g'),
+                                   '#.*$', '')) AS line FROM (
             SELECT host, string_split(txt, chr(10)) AS s,
                    unnest(generate_series(1, len(string_split(txt, chr(10))))) AS i
             FROM hosts)
@@ -2456,7 +2466,11 @@ def q_robots_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             d % 4 == 1,
             F.concat(F.lit("User-agent: otherbot"), nl, F.lit("Disallow: /")),
         )
-        .when(d == 4, F.concat(F.lit("User-agent: *"), nl, F.lit("Disallow: /")))
+        .when(
+            d == 4,
+            # CRLF endings — must gate identically to LF (RFC 9309)
+            F.concat(F.lit("User-agent: *\r\nDisallow: /\r")),
+        )
         .otherwise(
             F.concat(
                 F.lit("# snapshot"), nl,
@@ -2599,7 +2613,7 @@ def _synth_host_col(e: F.Column) -> F.Column:
                 F.lit("a"), (e % 7).cast("string"), F.lit(".site"), m13, F.lit(".com")
             ),
         )
-        .when(e % 5 == 3, F.concat(F.lit("site"), m13, F.lit(".com")))
+        .when(e % 5 == 3, F.concat(F.lit("site"), m13, F.lit(".com.")))
         .otherwise(F.concat(F.lit("10.0.0."), m13))
     )
 

@@ -69,6 +69,8 @@ class TestRegistrableDomain:
             ("(none)", "(none)"),               # sentinel: verbatim
             ("10.0.0.5", "10.0.0.5"),           # IPv4 literal: verbatim
             ("sub.example.com.au", "example.com.au"),
+            ("a.example.com.", "example.com"),  # trailing-dot FQDN
+            ("example.com.", "example.com"),
         ]
         df = spark.createDataFrame(cases, "host string, expect string")
         bad = df.where(

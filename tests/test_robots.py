@@ -23,6 +23,8 @@ def snapshot(spark):
             "User-agent: *\nDisallow: /all",
         ),
         ("b.com", "User-agent: *\nDisallow: /"),
+        # CRLF line endings (RFC 9309 allows them) — must gate like b.com
+        ("crlf.com", "User-agent: *\r\nDisallow: /\r\n"),
         ("c.com", "User-agent: OtherBot\nDisallow: /"),
         ("t.com", "User-agent: *\nDisallow: /dir\nAllow: /dir"),
         ("u.com", "User-agent: *\nAllow: /dir\nDisallow: /dir"),
@@ -64,6 +66,7 @@ class TestGate:
                 ("http://a.com/all", True),             # exact group REPLACES '*'
                 ("http://b.com/anything", False),       # '*' Disallow /
                 ("http://b.com", False),                # bare URL = root path
+                ("http://crlf.com/x", False),           # CRLF robots.txt
                 ("http://v.com", True),                 # bare URL, rule-less host
                 ("http://c.com/x", True),               # no group for this agent
                 ("http://d.com/x", True),               # host absent from snapshot
@@ -147,7 +150,7 @@ class TestRandomizedReplay:
             fresh = False
             rules: list = []
             for raw in txt.split("\n"):
-                line = _re.sub(r"#.*$", "", raw).strip()
+                line = _re.sub(r"#.*$", "", raw.replace("\r", "")).strip()
                 if not line:  # blank/comment: skippable, keeps the UA run
                     continue
                 if ":" not in line:

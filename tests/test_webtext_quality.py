@@ -165,15 +165,20 @@ class TestCcnetPplBuckets:
             ccnet_ppl_buckets,
         )
 
-        rows = [(i, "en", float(i)) for i in range(6)] + [
-            (i + 10, "de", float(100 + i)) for i in range(6)
-        ]
+        rows = (
+            [(i, "en", float(i)) for i in range(6)]
+            + [(i + 10, "de", float(100 + i)) for i in range(6)]
+            + [(20, None, 5.0), (21, None, 7.0), (22, None, 9.0)]
+        )
         df = spark.createDataFrame(rows, "doc_id long, lang string, ppl double")
         got = {r.doc_id: r.ppl_bucket for r in ccnet_ppl_buckets(df, by="lang").collect()}
         # each language gets its own thresholds: de's low ppls are heads
         # within de even though they dwarf every en value
         assert got[0] == "head" and got[10] == "head"
         assert got[5] == "tail" and got[15] == "tail"
+        # NULL-lang docs form their own group and are NOT dropped
+        assert len(got) == len(rows)
+        assert got[20] == "head" and got[22] == "tail"
 
     def test_approx_path_runs(self, spark):
         from document_automation_spark.operators.webtext_quality import (
