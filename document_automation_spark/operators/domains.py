@@ -74,26 +74,36 @@ def registrable_domain_col(host) -> F.Column:
     to ``site.com``.  IPv4 literals and dot-less hosts (including the
     ``(none)`` sentinel) pass through verbatim.
 
-    One JVM expression (split + F.get + isin), no Python, replayed
-    exactly by the DuckDB oracle — the host→domain fold behind the
-    domain-level link graph (Common Crawl publishes host- AND
-    domain-level rankings of its crawl).
+    One JVM expression (substring_index + a translate-based dot count +
+    isin), no Python, replayed exactly by the DuckDB oracle — the
+    host→domain fold behind the domain-level link graph (Common Crawl
+    publishes host- AND domain-level rankings of its crawl).
+
+    Deliberately NOT the split()/F.get() formulation: that version
+    inlines the split-array construction ~8× per call site, and with the
+    fold applied to BOTH endpoints of an edge inside a fused
+    distinct-aggregate stage the generated ``hashAgg_doAggregateWithKeys``
+    method blew past janino's 64 KB limit (Spark then silently runs the
+    whole stage interpreted — observed on the ``host_pagerank`` seat).
+    ``substring_index(host, '.', -k)`` IS "the last k labels" (empty
+    labels from consecutive dots included, exactly like split), and the
+    dot count replaces size(split(...)): n_labels = dots + 1.
 
     Trailing-dot FQDNs (``example.com.`` — valid DNS, present in crawl
     data) are dot-stripped FIRST: the empty last label would otherwise
     make ``last2`` = ``com.`` and merge every ``.com.`` site into one
     phantom node."""
     host = F.regexp_replace(host, r"\.+$", "")
-    labels = F.split(host, "\\.")
-    n = F.size(labels)
-    # F.get is 0-based and NULL-safe out of bounds (element_at throws
-    # under ANSI for out-of-range indexes)
-    l1, l2, l3 = F.get(labels, n - 1), F.get(labels, n - 2), F.get(labels, n - 3)
-    last2 = F.concat_ws(".", l2, l1)
+    dots = F.length(host) - F.length(F.translate(host, ".", ""))
+    last2 = F.substring_index(host, ".", -2)
     is_ipv4 = host.rlike(r"^[0-9]+(\.[0-9]+){3}$")
     return (
-        F.when(is_ipv4 | (n <= 2), host)
-        .when(last2.isin(*TWO_LEVEL_SUFFIXES), F.concat_ws(".", l3, l2, l1))
+        # NULL→'' parity with the original (concat_ws over all-NULL labels
+        # yielded ''); no production path feeds NULL hosts (host_col
+        # coalesces to the sentinel) but the hash gate holds regardless
+        F.when(host.isNull(), F.lit(""))
+        .when(is_ipv4 | (dots <= 1), host)
+        .when(last2.isin(*TWO_LEVEL_SUFFIXES), F.substring_index(host, ".", -3))
         .otherwise(last2)
     )
 

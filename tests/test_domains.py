@@ -71,6 +71,12 @@ class TestRegistrableDomain:
             ("sub.example.com.au", "example.com.au"),
             ("a.example.com.", "example.com"),  # trailing-dot FQDN
             ("example.com.", "example.com"),
+            # edge cases pinned when the fold moved from split()/F.get()
+            # to substring_index (codegen-size fix): empty labels from
+            # consecutive/leading dots must fold identically
+            ("a..com", ".com"),                 # consecutive dots: empty label kept
+            (".com", ".com"),                   # leading dot: 2 labels, verbatim
+            ("", ""),                           # empty host: verbatim
         ]
         df = spark.createDataFrame(cases, "host string, expect string")
         bad = df.where(
