@@ -1125,3 +1125,127 @@ class TestRobotsStage:
         ).count() == 0
         # other hosts unaffected
         assert curated.count() > 0
+
+
+class TestKitchenSink:
+    def test_every_optional_stage_composes_in_one_run(self, spark, tmp_path):
+        """EVERY optional stage on at once — the composition contract the
+        per-stage tests cannot see: summary keys must not collide,
+        curated_path must hand off correctly through each rewriting stage,
+        content-derived identities must hold at the END of the chain (the
+        last rewriting stage re-derived them), and the artifacts of every
+        stage (tombstones, merges, chunk map, rank tables, embeddings)
+        must coexist under one output root."""
+        base = pages_df(spark, 120, partitions=4)
+
+        # robots snapshot: block one real host outright
+        hosts = sorted(
+            r.h
+            for r in base.select(
+                F.expr("parse_url(url, 'HOST')").alias("h")
+            ).distinct().collect()
+        )
+        blocked_host = hosts[0]
+        robots_path = str(tmp_path / "robots")
+        spark.createDataFrame(
+            [(blocked_host, "User-agent: CCBot\nDisallow: /")],
+            "host string, robots_txt string",
+        ).write.parquet(robots_path)
+
+        # seed ingest: supplies the decontamination eval slices, the
+        # classifier/DSIR reference texts, and the prior snapshot for
+        # cross-snapshot dedup (built from a deterministic half of the
+        # pages so the main run has genuine carry-over to drop)
+        prior = run_ingest_pipeline(
+            spark,
+            base.where(F.crc32(F.col("url")) % 2 == 0),
+            str(tmp_path / "prior"), "ks-prior",
+            cfg=ExtractConfig(n_buckets=4),
+        )
+        prior_curated = spark.read.parquet(prior["curated_path"])
+        bench_path = str(tmp_path / "benchmark")
+        (
+            prior_curated.orderBy("doc_id").limit(2)
+            .select(F.col("content").alias("text")).write.parquet(bench_path)
+        )
+        good_path = str(tmp_path / "good")
+        (
+            prior_curated.select(F.col("content").alias("text"))
+            .limit(120).write.parquet(good_path)
+        )
+
+        out = str(tmp_path / "corpus_all")
+        summary = run_ingest_pipeline(
+            spark, base, out, "ks-all",
+            cfg=ExtractConfig(n_buckets=4),
+            robots_path=robots_path,
+            dedup_against_path=prior["curated_path"],
+            cut_dup_spans=True,
+            dedup_paragraphs_mode="common:2",
+            quality_filter=True,
+            decontaminate_path=bench_path,
+            pii_redact=True,
+            classifier_good_path=good_path,
+            classifier_alpha=0.2,
+            dsir_target_path=good_path,
+            dsir_keep_frac=0.9,
+            train_bpe_merges=8,
+            embed=True,
+            embed_dim=8,
+            semantic_dedup_threshold=0.99,
+            semantic_clusters=4,
+            pack_seqlen=32,
+            link_graph=True,
+            pagerank_iters=2,
+        )
+
+        # every stage reported in (key-collision guard: each counter present)
+        for key in (
+            "rows_in", "rows_out", "robots_blocked",
+            "xsnap_rows_in", "xsnap_rows_kept",
+            "cut_chars", "spanned_passages",
+            "dropped_paragraphs",
+            "quality_n_docs", "quality_n_kept",
+            "decontam_n_docs_in", "decontam_n_docs_dropped",
+            "classifier_n_docs", "classifier_n_kept",
+            "dsir_n_docs", "dsir_n_kept",
+            "bpe_n_merges", "bpe_total_tokens",
+            "semdedup_dropped", "n_vectors",
+            "pack_n_chunks", "pack_n_segments",
+            "link_graph_host_nodes", "link_graph_domain_nodes",
+        ):
+            assert key in summary, f"missing stage counter: {key}"
+
+        # front-end accounting still closes with robots in front
+        assert summary["rows_in"] == (
+            summary["quarantined"] + summary["gated"]
+            + summary["deduped"] + summary["rows_out"]
+        )
+        # cross-snapshot dedup actually dropped carry-over rows
+        assert summary["xsnap_rows_kept"] < summary["xsnap_rows_in"]
+
+        final = spark.read.parquet(summary["curated_path"])
+        n_final = final.count()
+        assert 0 < n_final <= summary["dsir_n_kept"] * 1000  # nonempty chain
+        # the blocked host never leaks through any later stage
+        assert final.where(
+            F.expr("parse_url(url, 'HOST')") == blocked_host
+        ).count() == 0
+        # content-derived identities hold at the END of the rewrite chain
+        # (span cut, paragraph cut, PII redaction all rewrote text)
+        assert final.filter(
+            F.col("content_sha") != F.unhex(F.sha2(F.col("content"), 256))
+        ).count() == 0
+        # score columns from the two learned stages coexist
+        assert "quality_score" in final.columns
+        assert "dsir_score" in final.columns
+        assert "n_tokens_bpe" in final.columns
+
+        # artifacts all coexist under the one output root
+        assert os.path.isdir(os.path.join(out, "bpe_merges"))
+        assert os.path.isdir(os.path.join(out, "chunk_map"))
+        emb = spark.read.parquet(summary["embeddings_path"])
+        assert emb.count() == summary["n_vectors"] > 0
+        for tag in ("host", "domain"):
+            ranks = spark.read.parquet(summary[f"link_graph_{tag}_rank_path"])
+            assert abs(sum(r["rank"] for r in ranks.collect()) - 1.0) < 1e-9
