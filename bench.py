@@ -185,6 +185,7 @@ def main() -> None:
         "bpe_train_encode",
         "quality_classifier",
         "dsir_selection",
+        "mojibake_repair",
     ]
     qs = registry.queries()
 
@@ -371,8 +372,17 @@ def main() -> None:
         lm = train_bigram_lm(docs.filter(F.col("lang") == "en"), cache_registry=[])
         return score_with_bigram_lm(docs, lm)
 
+    # round-5 addition: encoding repair as a bare corpus pass (the seat
+    # runs it joined into language_id_kernel; this row isolates the op)
+    def _mojibake_repair(spark, sf_dir):
+        from document_automation_spark.operators.encoding import repair_mojibake
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return repair_mojibake(docs.select("doc_id", "text"))
+
     qs = {
         **qs,
+        "mojibake_repair": _mojibake_repair,
         "lm_perplexity": _lm_perplexity_only,
         "host_pagerank": _host_pagerank_only,
         "bpe_train_encode": _bpe_train_encode,

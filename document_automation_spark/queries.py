@@ -2669,9 +2669,54 @@ def _hint_count_sql(hints: list) -> str:
     )
 
 
+# deterministic mojibake synthesis for the encoding-repair leg of the
+# language_id_kernel seat: every 7th doc gets this prefix in its
+# UTF-8-as-cp1252 corrupted form (the real codec produces the literal at
+# import time — covers 2-byte Latin-1 repairs, 3-byte punctuation repairs,
+# and an adversarial repaired-chars-abut case via «…»).  No ASCII quote
+# can appear in either form (all corruption bytes are >= 0x80), so both
+# literals embed in single-quoted SQL verbatim.
+_MOJI_CLEAN_PREFIX = "It’s a café — «naïve» über façade €99 ™ “quote… "
+_MOJI_PREFIX = _MOJI_CLEAN_PREFIX.encode("utf-8").decode("cp1252")
+
+
+def _mojibake_leg_sql() -> str:
+    """DuckDB replay of operators.encoding.repair_mojibake over the
+    synthesized corruption: same single-pass semantics (RE2 alternation is
+    leftmost-first like Java's), same generated table — the CASE ladder is
+    built from MOJIBAKE_TABLE, never hand-typed."""
+    from document_automation_spark.operators.encoding import (
+        MOJIBAKE_PATTERN,
+        MOJIBAKE_TABLE,
+    )
+
+    whens = " ".join(f"WHEN '{m}' THEN '{r}'" for m, r in MOJIBAKE_TABLE)
+    return f"""
+    moji_in AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN '{_MOJI_PREFIX}' || text
+                    ELSE text END AS mt
+        FROM documents
+    ),
+    moji AS (
+        SELECT doc_id, mt,
+               array_to_string(list_transform(
+                   string_split(
+                       regexp_replace(replace(mt, chr(0), ''),
+                                      '{MOJIBAKE_PATTERN}',
+                                      chr(0) || '\\1' || chr(0), 'g'),
+                       chr(0)),
+                   t -> CASE t {whens} ELSE t END), '') AS repaired
+        FROM moji_in
+    )
+    """
+
+
 @register(
     "language_id_kernel",
-    f"""
+    lambda: f"""
+    WITH {_mojibake_leg_sql()},
+    lang AS (
     SELECT doc_id,
       {_SCRIPT_CASE_SQL},
       CASE WHEN regexp_matches(text, '[\\x{{3040}}-\\x{{30ff}}]') THEN 'ja'
@@ -2690,6 +2735,12 @@ def _hint_count_sql(hints: list) -> str:
                {_hint_count_sql([' le ', ' la ', ' les ', ' et ', ' des ', ' est '])} AS s_fr
         FROM (SELECT doc_id, text, ' ' || lower(text) || ' ' AS padded FROM documents)
     )
+    )
+    SELECT l.*,
+           CAST(CASE WHEN m.repaired IS DISTINCT FROM m.mt THEN 1 ELSE 0 END
+                AS BIGINT) AS was_mojibake,
+           sha256(m.repaired) AS repaired_sha
+    FROM lang l JOIN moji m USING (doc_id)
     """,
 )
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2701,14 +2752,40 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     script CASE column (operators/text_analysis.detect_language_script,
     formerly its own seat — merged to free a slot under the driver's
     50-entry cap): same doc, kernel verdict and pure-SQL script verdict
-    side by side."""
+    side by side.
+
+    Round 5 adds the ENCODING-REPAIR leg (operators/encoding.py, the
+    ftfy-style UTF-8-as-cp1252 mojibake fix every webtext pipeline runs):
+    every 7th doc's text is deterministically corrupted with the real
+    codec's mojibake prefix IN BOTH ENGINES, repaired by the single-pass
+    JVM expression (Spark) vs the generated replace/tokenize replay
+    (DuckDB), and pinned via was_mojibake + sha256 of the repaired text."""
+    from document_automation_spark.operators.encoding import repair_mojibake
     from document_automation_spark.operators.text_analysis import (
         detect_language_script,
         language_id_kernel,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return language_id_kernel(docs).join(detect_language_script(docs), "doc_id")
+    corrupted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(_MOJI_PREFIX), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    moji = repair_mojibake(corrupted).select(
+        "doc_id",
+        F.col("was_mojibake").cast("long").alias("was_mojibake"),
+        F.sha2(F.col("text"), 256).alias("repaired_sha"),
+    )
+    return (
+        language_id_kernel(docs)
+        .join(detect_language_script(docs), "doc_id")
+        .join(moji, "doc_id")
+    )
 
 
 # --- webtext curation: Gopher/C4 repetition rules + CCNet LM perplexity ---

@@ -1,0 +1,122 @@
+"""operators/encoding: UTF-8-as-cp1252 mojibake repair."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_automation_spark.operators.encoding import (
+    MOJIBAKE_GUARD_CLASS,
+    MOJIBAKE_TABLE,
+    _repair_alphabet,
+    repair_mojibake,
+    repair_mojibake_col,
+)
+
+
+class TestTable:
+    def test_generated_from_real_codec_roundtrip(self):
+        """Every entry is exactly the codec corruption of its repair, and
+        every repairable alphabet char is covered (the five cp1252
+        unmapped bytes excluded by construction)."""
+        covered = set()
+        for moji, rep in MOJIBAKE_TABLE:
+            assert rep.encode("utf-8").decode("cp1252") == moji
+            assert 2 <= len(moji) <= 3  # 2/3-byte UTF-8 only
+            covered.add(rep)
+        expected = set()
+        for ch in _repair_alphabet():
+            try:
+                ch.encode("utf-8").decode("cp1252")
+            except UnicodeDecodeError:
+                continue
+            expected.add(ch)
+        assert covered == expected and len(MOJIBAKE_TABLE) == len(expected)
+
+    def test_no_entry_occurs_inside_another(self):
+        """UTF-8 continuation bytes never map to lead chars, so no table
+        entry can appear as a substring of a different entry — the fold
+        order cannot matter."""
+        mojis = [m for m, _ in MOJIBAKE_TABLE]
+        for a in mojis:
+            for b in mojis:
+                if a != b:
+                    assert a not in b
+
+    def test_guard_covers_every_entry(self):
+        leads = {m[0] for m, _ in MOJIBAKE_TABLE}
+        assert leads == set(MOJIBAKE_GUARD_CLASS[1:-1])
+
+
+class TestRepair:
+    def test_randomized_roundtrip_vs_codec(self, spark):
+        """200 seeded random strings mixing ASCII and the repair alphabet:
+        corrupt with the REAL codec, repair with the Spark expression,
+        require the original back byte-for-byte — two implementations,
+        one spec (the codec itself is the spec)."""
+        rng = random.Random(42)
+        alphabet = [
+            ch
+            for ch in _repair_alphabet()
+            if any(r == ch for _, r in MOJIBAKE_TABLE)
+        ]
+        ascii_words = ["the", "café-less", "word", "42", "—no wait"]
+        cases = []
+        for i in range(200):
+            parts = []
+            for _ in range(rng.randint(1, 30)):
+                if rng.random() < 0.5:
+                    parts.append(rng.choice(alphabet))
+                else:
+                    parts.append(rng.choice(ascii_words) + " ")
+            clean = "".join(parts)
+            cases.append((i, clean, clean.encode("utf-8").decode("cp1252")))
+        df = spark.createDataFrame(cases, "i long, clean string, text string")
+        out = repair_mojibake(df)
+        assert out.where(~F.col("text").eqNullSafe(F.col("clean"))).count() == 0
+        # every corrupted string that differed from its clean form flags
+        flagged = out.where(F.col("was_mojibake")).count()
+        changed = sum(1 for _, c, m in cases if c != m)
+        assert flagged == changed > 0
+
+    def test_clean_text_untouched_and_unflagged(self, spark):
+        rows = [("plain ascii",), ("tabs\tand\nnewlines",), (None,), ("",)]
+        df = spark.createDataFrame(rows, "text string")
+        out = repair_mojibake(df)
+        assert [r.was_mojibake for r in out.collect()] == [False] * 4
+        assert [r.text for r in out.collect()] == [r[0] for r in rows]
+
+    def test_idempotent(self, spark):
+        corrupted = "donâ€™t cafÃ© â‚¬5 Ã¼ber"
+        df = spark.createDataFrame([(corrupted,)], "text string")
+        once = repair_mojibake(df).select("text")
+        twice = repair_mojibake(once)
+        row = twice.first()
+        assert row.text == "don’t café €5 über"
+        assert row.was_mojibake is False  # second pass is a no-op
+
+    def test_legit_accented_text_passes_through(self, spark):
+        """Clean text that CONTAINS guard lead chars (real French/Swedish
+        letters) but no full mojibake sequence must survive unchanged —
+        the guard admits it to the fold, the fold matches nothing."""
+        rows = [("Ã la carte? no: À la carte, Ångström, âme",)]
+        # none of these two-char windows form a table entry EXCEPT 'Ã '
+        # (A-tilde + space = mojibake of NBSP)?  'Ã' + ' ' is NOT in the
+        # table: NBSP mojibake is 'Â\xa0'.  Verify explicitly:
+        assert all(m not in rows[0][0] for m, _ in MOJIBAKE_TABLE)
+        df = spark.createDataFrame(rows, "text string")
+        out = repair_mojibake(df).first()
+        assert out.text == rows[0][0] and out.was_mojibake is False
+
+    def test_null_in_null_out(self, spark):
+        df = spark.createDataFrame([(None,)], "text string")
+        assert repair_mojibake(df).first().text is None
+
+    def test_expression_is_single_jvm_column(self, spark):
+        """No Python UDF, no shuffle: the repair plans as a pure projection."""
+        df = spark.range(10).select(F.lit("cafÃ©").alias("text"))
+        plan = repair_mojibake(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "PythonUDF" not in plan and "mapInPandas" not in plan.lower()
