@@ -94,6 +94,7 @@ def run_ingest_pipeline(
     classifier_alpha: float = 9.0,
     dedup_against_path: str | None = None,
     trust_existing_sha: bool = False,
+    fix_encoding: bool = False,
     dsir_target_path: str | None = None,
     dsir_keep_frac: float = 0.5,
     train_bpe_merges: int | None = None,
@@ -195,6 +196,16 @@ def run_ingest_pipeline(
     ``classifier_n_kept``; ``curated_path`` moves to the filtered table
     which carries a ``quality_score`` column.  Requires
     ``curated_mode='copy'``.
+
+    ``fix_encoding=True`` appends the encoding-repair stage
+    (``operators.encoding.repair_mojibake``): ftfy-style
+    UTF-8-as-cp1252 mojibake repair as one single-pass JVM expression
+    over the curated text.  Runs right after cross-snapshot dedup and
+    BEFORE span/paragraph dedup (repaired variants of the same text
+    must dedup together) and before every scoring stage (the LM /
+    quality / classifier legs never see corrupted bytes); identities
+    re-derived as in every rewriting stage.  Summary gains
+    ``mojibake_repaired``.  Requires ``curated_mode='copy'``.
 
     ``dedup_against_path`` appends cross-snapshot incremental dedup
     (``operators.curate.dedup_against_corpus``): drop every curated row
@@ -339,6 +350,10 @@ def run_ingest_pipeline(
     if train_bpe_merges is not None and curated_mode != "copy":
         raise ValueError(
             "train_bpe_merges re-reads the corpus and needs curated_mode='copy'"
+        )
+    if fix_encoding and curated_mode != "copy":
+        raise ValueError(
+            "fix_encoding rewrites text and needs curated_mode='copy'"
         )
 
     if from_text:
@@ -564,6 +579,48 @@ def run_ingest_pipeline(
             summary["xsnap_rows_in"] = int(stats_row.get("rows_out") or 0)
             summary["xsnap_rows_kept"] = int(obs_x.get["rows_kept"] or 0)
             summary["curated_path"] = xsnap_path
+
+        if fix_encoding:
+            # ftfy-style UTF-8-as-cp1252 mojibake repair
+            # (operators/encoding.py) — runs BEFORE span/paragraph dedup
+            # so repaired variants of the same text dedup together, and
+            # before every scoring stage so LM/quality/classifier never
+            # see corrupted bytes.  Map-only read→write; the repaired-row
+            # counter rides the write as an Observation.
+            from document_automation_spark.operators.encoding import repair_mojibake
+
+            corpus = spark.read.parquet(summary["curated_path"])
+            repaired = (
+                repair_mojibake(
+                    corpus.withColumnRenamed("content", "text"), text_col="text"
+                )
+                .withColumnRenamed("text", "content")
+                # re-derive both content-derived identities over the
+                # (possibly) rewritten text — same contract as span
+                # surgery / PII redaction
+                .withColumn(
+                    "doc_id",
+                    F.sha2(F.concat(F.col("url"), F.col("content")), 256),
+                )
+                .withColumn(
+                    "content_sha", F.unhex(F.sha2(F.col("content"), 256))
+                )
+            )
+            obs_enc = Observation("fix_encoding")
+            enc_path = os.path.join(output_path, "curated_encfix")
+            (
+                repaired.observe(
+                    obs_enc,
+                    F.sum(F.col("was_mojibake").cast("long")).alias("n_repaired"),
+                )
+                .drop("was_mojibake")
+                .write.mode("overwrite")
+                .option("compression", "zstd")
+                .option("parquet.compression.codec.zstd.level", "1")
+                .parquet(enc_path)
+            )
+            summary["mojibake_repaired"] = int(obs_enc.get["n_repaired"] or 0)
+            summary["curated_path"] = enc_path
 
         if cut_dup_spans:
             from document_automation_spark.operators.dedup import (
@@ -1286,6 +1343,12 @@ def main(argv=None) -> None:
         "content_sha column (only for corpora written by this engine)",
     )
     parser.add_argument(
+        "--fix-encoding",
+        action="store_true",
+        help="append ftfy-style UTF-8-as-cp1252 mojibake repair over the "
+        "curated text (single-pass JVM expression; identities re-derived)",
+    )
+    parser.add_argument(
         "--dsir-target",
         metavar="TARGET_PARQUET",
         help="append DSIR importance resampling: keep the corpus fraction "
@@ -1392,6 +1455,7 @@ def main(argv=None) -> None:
             classifier_alpha=args.classifier_alpha,
             dedup_against_path=args.dedup_against,
             trust_existing_sha=args.trust_existing_sha,
+            fix_encoding=args.fix_encoding,
             dsir_target_path=args.dsir_target,
             dsir_keep_frac=args.dsir_keep_frac,
             train_bpe_merges=args.train_bpe,

@@ -1180,6 +1180,7 @@ class TestKitchenSink:
             cfg=ExtractConfig(n_buckets=4),
             robots_path=robots_path,
             dedup_against_path=prior["curated_path"],
+            fix_encoding=True,
             cut_dup_spans=True,
             dedup_paragraphs_mode="common:2",
             quality_filter=True,
@@ -1203,6 +1204,7 @@ class TestKitchenSink:
         for key in (
             "rows_in", "rows_out", "robots_blocked",
             "xsnap_rows_in", "xsnap_rows_kept",
+            "mojibake_repaired",
             "cut_chars", "spanned_passages",
             "dropped_paragraphs",
             "quality_n_docs", "quality_n_kept",
@@ -1249,3 +1251,66 @@ class TestKitchenSink:
         for tag in ("host", "domain"):
             ranks = spark.read.parquet(summary[f"link_graph_{tag}_rank_path"])
             assert abs(sum(r["rank"] for r in ranks.collect()) - 1.0) < 1e-9
+
+
+class TestFixEncodingStage:
+    def test_mojibake_pages_repaired_and_rederived(self, spark, tmp_path):
+        """--fix-encoding: corrupt a slice of the fixture pages with the
+        REAL codec (utf-8 bytes re-decoded as cp1252 inside the HTML), run
+        the stage, and require the final corpus to carry the repaired text
+        with re-derived identities and an accurate counter."""
+        from document_automation_spark.operators.encoding import (
+            repair_mojibake_col,
+        )
+
+        base = pages_df(spark, 60, partitions=4)
+        # replace ~1/5 of the pages with a double-encoded page: the clean
+        # sentence's utf-8 bytes re-decoded as cp1252 (the REAL corruption),
+        # then served as valid utf-8 of the mojibake characters — exactly
+        # what a crawler stores when a proxy re-encoded the page
+        clean = "It’s a café — naïve über €9 and more words to pass gates."
+        moji = clean.encode("utf-8").decode("cp1252")
+        page = f"<html><body><p>{moji} {moji}</p></body></html>"
+        is_corrupt = F.crc32(F.col("url")) % 5 == 0
+        corrupted = base.withColumn(
+            "html",
+            F.when(is_corrupt, F.encode(F.lit(page), "utf-8")).otherwise(
+                F.col("html")
+            ),
+        )
+        n_corrupt = corrupted.where(is_corrupt).count()
+        assert n_corrupt > 0
+
+        out = str(tmp_path / "corpus_enc")
+        summary = run_ingest_pipeline(
+            spark, corrupted, out, "test-encfix",
+            cfg=ExtractConfig(n_buckets=4),
+            fix_encoding=True,
+        )
+        assert summary["mojibake_repaired"] > 0
+        # the repaired passages carry the CLEAN sentence
+        final_clean = spark.read.parquet(summary["curated_path"])
+        assert final_clean.where(F.col("content").contains(clean[:20])).count() > 0
+        assert final_clean.where(F.col("content").contains(moji[:10])).count() == 0
+        final = final_clean
+        assert summary["curated_path"].endswith("curated_encfix")
+        # no mojibake sequence survives in the corpus
+        assert final.where(
+            ~repair_mojibake_col(F.col("content")).eqNullSafe(F.col("content"))
+        ).count() == 0
+        # identities re-derived over the rewritten text
+        assert final.filter(
+            F.col("content_sha") != F.unhex(F.sha2(F.col("content"), 256))
+        ).count() == 0
+        assert final.filter(
+            F.col("doc_id")
+            != F.sha2(F.concat(F.col("url"), F.col("content")), 256)
+        ).count() == 0
+
+    def test_rejected_outside_copy_mode(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="fix_encoding"):
+            run_ingest_pipeline(
+                spark, pages_df(spark, 10, partitions=1), str(tmp_path / "z"),
+                "fp", cfg=ExtractConfig(n_buckets=2),
+                curated_mode="view", fix_encoding=True,
+            )
