@@ -298,6 +298,41 @@ def start_streaming_pii_redaction(
     )
 
 
+def start_streaming_encoding_repair(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id long, text string",
+) -> StreamingQuery:
+    """Mojibake repair on a document stream — the same stateless single-
+    pass projection as the batch ``--fix-encoding`` stage
+    (``operators.encoding.repair_mojibake``), so double-encoded pages are
+    fixed the moment they arrive instead of waiting for a batch sweep.
+    The repaired-row count surfaces per micro-batch in
+    ``query.lastProgress.observedMetrics['fix_encoding']``."""
+    from pyspark.sql import functions as F
+
+    from document_automation_spark.operators.encoding import repair_mojibake
+
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+    repaired = repair_mojibake(docs).observe(
+        "fix_encoding",
+        F.sum(F.col("was_mojibake").cast("long")).alias("n_repaired"),
+    ).drop("was_mojibake")
+    return (
+        repaired.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def start_streaming_dsir_filter(
     spark: SparkSession,
     input_dir: str,

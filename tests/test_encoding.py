@@ -120,3 +120,43 @@ class TestRepair:
         plan = repair_mojibake(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "PythonUDF" not in plan and "mapInPandas" not in plan.lower()
+
+
+class TestStreamingRepair:
+    def test_streaming_repair_matches_batch(self, spark, tmp_path):
+        """Mojibake repair on a readStream plan: output rows identical to
+        the batch operator, repaired-row counter in observedMetrics."""
+        from document_automation_spark.streaming.pipeline import (
+            start_streaming_encoding_repair,
+        )
+
+        clean = ["It’s a café — über €9", "plain ascii", "naïve «quote» …"]
+        rows = [
+            (i, c.encode("utf-8").decode("cp1252") if i % 2 == 0 else c)
+            for i, c in enumerate(clean)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        input_dir = str(tmp_path / "docs_in")
+        output_dir = str(tmp_path / "docs_fixed")
+        docs.repartition(2).write.parquet(input_dir)
+        q = start_streaming_encoding_repair(
+            spark, input_dir, output_dir, str(tmp_path / "ckpt")
+        )
+        try:
+            q.processAllAvailable()
+            progress = [
+                p.observedMetrics["fix_encoding"]
+                for p in q.recentProgress
+                if "fix_encoding" in (p.observedMetrics or {})
+            ]
+        finally:
+            q.stop()
+        streamed = {
+            (r.doc_id, r.text) for r in spark.read.parquet(output_dir).collect()
+        }
+        batch = repair_mojibake(docs).drop("was_mojibake")
+        assert streamed == {(r.doc_id, r.text) for r in batch.collect()}
+        # doc 0 and 2 were corrupted and repaired back to clean
+        assert dict(streamed)[0] == clean[0]
+        assert dict(streamed)[2] == clean[2]
+        assert sum(p.n_repaired or 0 for p in progress) == 2
