@@ -200,12 +200,15 @@ def run_ingest_pipeline(
     ``fix_encoding=True`` appends the encoding-repair stage
     (``operators.encoding.repair_mojibake``): ftfy-style
     UTF-8-as-cp1252 mojibake repair as one single-pass JVM expression
-    over the curated text.  Runs right after cross-snapshot dedup and
-    BEFORE span/paragraph dedup (repaired variants of the same text
-    must dedup together) and before every scoring stage (the LM /
-    quality / classifier legs never see corrupted bytes); identities
-    re-derived as in every rewriting stage.  Summary gains
-    ``mojibake_repaired``.  Requires ``curated_mode='copy'``.
+    over the curated text.  Runs FIRST among the optional stages —
+    before cross-snapshot dedup (a re-crawled page stored corrupted
+    must match its repaired copy in the prior corpus, so content
+    identity is made canonical before any comparison), before
+    span/paragraph dedup (repaired variants of the same text must dedup
+    together) and before every scoring stage (the LM / quality /
+    classifier legs never see corrupted bytes); identities re-derived
+    as in every rewriting stage.  Summary gains ``mojibake_repaired``.
+    Requires ``curated_mode='copy'``.
 
     ``dedup_against_path`` appends cross-snapshot incremental dedup
     (``operators.curate.dedup_against_corpus``): drop every curated row
@@ -215,9 +218,10 @@ def run_ingest_pipeline(
     ``trust_existing_sha=True`` prunes the existing-corpus scan to its
     ``content_sha`` column alone (pass it only for corpora written by
     this engine's durable writer).  Summary gains ``xsnap_rows_in`` /
-    ``xsnap_rows_kept``.  Requires ``curated_mode='copy'``.  Runs FIRST
-    among the optional stages (right after curation) so carried-over
-    rows never reach span surgery / quality / hygiene / classifier.
+    ``xsnap_rows_kept``.  Requires ``curated_mode='copy'``.  Runs right
+    after curation (only encoding repair precedes it, to canonicalize
+    content identity first) so carried-over rows never reach span
+    surgery / quality / hygiene / classifier.
 
     ``dsir_target_path`` appends DSIR importance resampling
     (``operators.dsir``): fit hashed-ngram bucket models to the trusted
@@ -549,37 +553,6 @@ def run_ingest_pipeline(
         )
         summary = {**extract_summary, **stats_row, "curated_path": curated_path}
 
-        if dedup_against_path:
-            from document_automation_spark.operators.curate import (
-                dedup_against_corpus,
-            )
-
-            existing = spark.read.parquet(dedup_against_path)
-            fresh = dedup_against_corpus(
-                spark.read.parquet(curated_path),
-                existing,
-                # curated_path was just written, but a RESUMED extraction
-                # can carry pre-content_sha buckets through untouched
-                # (buckets_skipped > 0) — null shas would silently bypass
-                # the anti-join, so only trust the pruned path when this
-                # run materialized every bucket itself (the same
-                # invariant curation trusts, round-4 advisory)
-                new_sha_complete=sha_complete,
-                existing_sha_complete=trust_existing_sha,
-            )
-            obs_x = Observation("xsnap")
-            xsnap_path = os.path.join(output_path, "curated_incremental")
-            (
-                fresh.observe(obs_x, F.count(F.lit(1)).alias("rows_kept"))
-                .write.mode("overwrite")
-                .option("compression", "zstd")
-                .option("parquet.compression.codec.zstd.level", "1")
-                .parquet(xsnap_path)
-            )
-            summary["xsnap_rows_in"] = int(stats_row.get("rows_out") or 0)
-            summary["xsnap_rows_kept"] = int(obs_x.get["rows_kept"] or 0)
-            summary["curated_path"] = xsnap_path
-
         if fix_encoding:
             # ftfy-style UTF-8-as-cp1252 mojibake repair
             # (operators/encoding.py) — runs BEFORE span/paragraph dedup
@@ -621,6 +594,42 @@ def run_ingest_pipeline(
             )
             summary["mojibake_repaired"] = int(obs_enc.get["n_repaired"] or 0)
             summary["curated_path"] = enc_path
+
+        if dedup_against_path:
+            from document_automation_spark.operators.curate import (
+                dedup_against_corpus,
+            )
+
+            existing = spark.read.parquet(dedup_against_path)
+            fresh = dedup_against_corpus(
+                # summary["curated_path"], NOT the raw curated_path local:
+                # when fix_encoding ran, the comparison must see REPAIRED
+                # content or every corrupted carry-over row leaks back in
+                # as a "fresh" duplicate (pinned by the ordering test)
+                spark.read.parquet(summary["curated_path"]),
+                existing,
+                # the curated table was just written, but a RESUMED
+                # extraction can carry pre-content_sha buckets through
+                # untouched (buckets_skipped > 0) — null shas would
+                # silently bypass the anti-join, so only trust the pruned
+                # path when this run materialized every bucket itself
+                # (round-4 advisory) OR when the encoding-repair stage
+                # just re-derived every row's sha from scratch
+                new_sha_complete=sha_complete or fix_encoding,
+                existing_sha_complete=trust_existing_sha,
+            )
+            obs_x = Observation("xsnap")
+            xsnap_path = os.path.join(output_path, "curated_incremental")
+            (
+                fresh.observe(obs_x, F.count(F.lit(1)).alias("rows_kept"))
+                .write.mode("overwrite")
+                .option("compression", "zstd")
+                .option("parquet.compression.codec.zstd.level", "1")
+                .parquet(xsnap_path)
+            )
+            summary["xsnap_rows_in"] = int(stats_row.get("rows_out") or 0)
+            summary["xsnap_rows_kept"] = int(obs_x.get["rows_kept"] or 0)
+            summary["curated_path"] = xsnap_path
 
         if cut_dup_spans:
             from document_automation_spark.operators.dedup import (

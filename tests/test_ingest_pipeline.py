@@ -1314,3 +1314,46 @@ class TestFixEncodingStage:
                 "fp", cfg=ExtractConfig(n_buckets=2),
                 curated_mode="view", fix_encoding=True,
             )
+
+    def test_repair_precedes_cross_snapshot_dedup(self, spark, tmp_path):
+        """Ordering pin: a re-crawl STORED corrupted must still match its
+        repaired copy in the previously-published corpus — encoding repair
+        makes content identity canonical BEFORE the cross-snapshot
+        anti-join (running it after would leak every corrupted carry-over
+        row back into the new snapshot as a 'fresh' duplicate)."""
+        import datetime as dt
+
+        clean_rows = [
+            (
+                f"https://site{i}.example.com/a",
+                dt.datetime(2024, 1, 1),
+                None,
+                f"It’s doc {i} — a café of naïve words für €{i} and padding "
+                f"so the gate keeps it around comfortably.",
+                "en",
+            )
+            for i in range(12)
+        ]
+        schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+        clean = spark.createDataFrame(clean_rows, schema)
+        corrupted = spark.createDataFrame(
+            [
+                (u, ts, h, t.encode("utf-8").decode("cp1252"), lang)
+                for (u, ts, h, t, lang) in clean_rows
+            ],
+            schema,
+        )
+
+        prior = run_ingest_pipeline(
+            spark, clean, str(tmp_path / "prior"), "fp-clean",
+            cfg=ExtractConfig(n_buckets=2), from_text=True, fix_encoding=True,
+        )
+        s2 = run_ingest_pipeline(
+            spark, corrupted, str(tmp_path / "next"), "fp-corrupt",
+            cfg=ExtractConfig(n_buckets=2), from_text=True, fix_encoding=True,
+            dedup_against_path=prior["curated_path"],
+        )
+        assert s2["mojibake_repaired"] > 0
+        # every row is carry-over once repaired: the anti-join drops all
+        assert s2["xsnap_rows_in"] > 0
+        assert s2["xsnap_rows_kept"] == 0
