@@ -565,7 +565,13 @@ def run_ingest_pipeline(
             corpus = spark.read.parquet(summary["curated_path"])
             repaired = (
                 repair_mojibake(
-                    corpus.withColumnRenamed("content", "text"), text_col="text"
+                    corpus.withColumnRenamed("content", "text"),
+                    text_col="text",
+                    # passes=2 also heals generation-2 mojibake
+                    # ("Ã¢â‚¬â„¢" — a corrupted page re-crawled through
+                    # another bad proxy); a pass over clean text is a
+                    # no-op, so this is free for the common case
+                    passes=2,
                 )
                 .withColumnRenamed("text", "content")
                 # re-derive both content-derived identities over the

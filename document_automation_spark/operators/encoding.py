@@ -146,13 +146,27 @@ def repair_mojibake_col(text: F.Column) -> F.Column:
 
 
 def repair_mojibake(
-    documents: DataFrame, text_col: str = "text"
+    documents: DataFrame, text_col: str = "text", passes: int = 1
 ) -> DataFrame:
     """``text_col`` repaired in place + ``was_mojibake`` (did the repair
     change anything).  All other columns pass through untouched — callers
     that derive content identities from text (the ingest pipeline) must
-    re-derive them afterwards, same contract as every rewriting stage."""
-    repaired = repair_mojibake_col(F.col(text_col))
+    re-derive them afterwards, same contract as every rewriting stage.
+
+    ``passes`` handles GENERATION-N mojibake ("Ã¢â‚¬â„¢" — text that was
+    double-encoded twice, real in crawls where a corrupted page was
+    itself re-crawled through another bad proxy): each pass provably
+    inverts the OUTERMOST corruption generation (the generation-1 image
+    characters all lie inside the repair alphabet, so deeper generations
+    stay invertible), and a pass over already-clean text is a no-op —
+    ftfy iterates to the same fixpoint.  passes=2 covers everything
+    observed in practice; the default stays 1 (the oracle-seated
+    setting)."""
+    if passes < 1:
+        raise ValueError(f"passes must be >= 1, got {passes}")
+    repaired = F.col(text_col)
+    for _ in range(passes):
+        repaired = repair_mojibake_col(repaired)
     return documents.withColumn(
         "was_mojibake", ~repaired.eqNullSafe(F.col(text_col))
     ).withColumn(text_col, repaired)

@@ -160,3 +160,29 @@ class TestStreamingRepair:
         assert dict(streamed)[0] == clean[0]
         assert dict(streamed)[2] == clean[2]
         assert sum(p.n_repaired or 0 for p in progress) == 2
+
+
+class TestMultiPass:
+    def test_generation2_mojibake_needs_two_passes(self, spark):
+        """Each pass inverts the outermost corruption generation: gen-2
+        text comes back clean with passes=2 and only half-fixed with the
+        default single pass."""
+        # NOTE: not every char survives two generations — gen-1 of '—'
+        # contains '”', whose utf-8 hits cp1252's unmapped 0x9D, so real
+        # gen-2 mojibake only exists for chars whose gen-1 images decode
+        clean = "It’s a café über €9 «naïve»"
+        gen1 = clean.encode("utf-8").decode("cp1252")
+        gen2 = gen1.encode("utf-8").decode("cp1252")
+        df = spark.createDataFrame([(gen2,)], "text string")
+        once = repair_mojibake(df).first()
+        assert once.text == gen1 and once.was_mojibake is True
+        twice = repair_mojibake(df, passes=2).first()
+        assert twice.text == clean and twice.was_mojibake is True
+        # fixpoint: extra passes beyond the depth are no-ops
+        thrice = repair_mojibake(df, passes=3).first()
+        assert thrice.text == clean
+
+    def test_rejects_zero_passes(self, spark):
+        df = spark.createDataFrame([("x",)], "text string")
+        with pytest.raises(ValueError, match="passes"):
+            repair_mojibake(df, passes=0)
