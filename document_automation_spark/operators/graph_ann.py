@@ -108,6 +108,12 @@ def knn_graph(
     cand = cand.distinct()
     graph = _topk_per_src(_score_pairs(cand, emb), k)
 
+    # each round references the previous graph ~4x (undirected union, then
+    # the 2-hop self-join on that union), so an unbroken lineage grows
+    # ~4^rounds — rounds=3 measured 6.7x slower than rounds=2 before this.
+    # localCheckpoint per round truncates it (same discipline as
+    # dedup.connected_components); the checkpointed edge table is n*k rows.
+    graph = graph.localCheckpoint(eager=False)
     for _ in range(n_rounds):
         und = (
             graph.select("src", "dst")
@@ -123,7 +129,9 @@ def knn_graph(
             .select(F.col("x.src").alias("src"), F.col("y.dst").alias("dst"))
         )
         cand = und.unionByName(two_hop).distinct()
-        graph = _topk_per_src(_score_pairs(cand, emb), k)
+        graph = _topk_per_src(_score_pairs(cand, emb), k).localCheckpoint(
+            eager=False
+        )
     return graph
 
 
