@@ -61,6 +61,17 @@ def _conf_override(spark: SparkSession, key: str, value: str):
         spark.conf.set(key, before)
 
 
+def _rederive_identities(df: DataFrame, text_col: str = "content") -> DataFrame:
+    """Recompute BOTH content-derived identities after a text rewrite:
+    ``doc_id``'s invariant is sha256(url || content) (kernels/page.
+    doc_id_for — sha2 over the UTF-8 concat matches hexdigest) and
+    ``content_sha`` is the dedup key.  Every rewriting stage calls THIS —
+    the invariant lives in one place."""
+    return df.withColumn(
+        "doc_id", F.sha2(F.concat(F.col("url"), F.col(text_col)), 256)
+    ).withColumn("content_sha", F.unhex(F.sha2(F.col(text_col), 256)))
+
+
 def run_ingest_pipeline(
     spark: SparkSession,
     pages: DataFrame,
@@ -207,8 +218,12 @@ def run_ingest_pipeline(
     span/paragraph dedup (repaired variants of the same text must dedup
     together) and before every scoring stage (the LM / quality /
     classifier legs never see corrupted bytes); identities re-derived
-    as in every rewriting stage.  Summary gains ``mojibake_repaired``.
-    Requires ``curated_mode='copy'``.
+    as in every rewriting stage, and (when ``drop_exact_dups``) the exact
+    keeper rule is re-applied on the repaired shas — curation's dedup
+    keyed on UNREPAIRED content, so a clean copy and a corrupted copy of
+    the same text in one snapshot both survived it and collide only
+    here.  Summary gains ``mojibake_repaired`` +
+    ``mojibake_dedup_losers``.  Requires ``curated_mode='copy'``.
 
     ``dedup_against_path`` appends cross-snapshot incremental dedup
     (``operators.curate.dedup_against_corpus``): drop every curated row
@@ -574,23 +589,35 @@ def run_ingest_pipeline(
                     passes=2,
                 )
                 .withColumnRenamed("text", "content")
-                # re-derive both content-derived identities over the
-                # (possibly) rewritten text — same contract as span
-                # surgery / PII redaction
-                .withColumn(
-                    "doc_id",
-                    F.sha2(F.concat(F.col("url"), F.col("content")), 256),
-                )
-                .withColumn(
-                    "content_sha", F.unhex(F.sha2(F.col("content"), 256))
-                )
             )
+            # re-derive both content-derived identities over the
+            # (possibly) rewritten text — same contract as span
+            # surgery / PII redaction
+            repaired = _rederive_identities(repaired)
+            if drop_exact_dups:
+                # curation's exact dedup keyed on the UNREPAIRED content,
+                # so a clean copy and a corrupted copy of the same text in
+                # ONE snapshot both survived it and became byte-identical
+                # here — re-apply the same keeper rule (min (url,
+                # passage_idx) per content key) on the repaired shas
+                keep = repaired.groupBy("content_sha").agg(
+                    F.min(F.struct("url", "passage_idx")).alias("_keep")
+                )
+                repaired = (
+                    repaired.join(keep, "content_sha")
+                    .filter(
+                        (F.col("url") == F.col("_keep.url"))
+                        & (F.col("passage_idx") == F.col("_keep.passage_idx"))
+                    )
+                    .drop("_keep")
+                )
             obs_enc = Observation("fix_encoding")
             enc_path = os.path.join(output_path, "curated_encfix")
             (
                 repaired.observe(
                     obs_enc,
                     F.sum(F.col("was_mojibake").cast("long")).alias("n_repaired"),
+                    F.count(F.lit(1)).alias("n_rows"),
                 )
                 .drop("was_mojibake")
                 .write.mode("overwrite")
@@ -599,6 +626,9 @@ def run_ingest_pipeline(
                 .parquet(enc_path)
             )
             summary["mojibake_repaired"] = int(obs_enc.get["n_repaired"] or 0)
+            summary["mojibake_dedup_losers"] = int(
+                (stats_row.get("rows_out") or 0) - (obs_enc.get["n_rows"] or 0)
+            )
             summary["curated_path"] = enc_path
 
         if dedup_against_path:
@@ -660,14 +690,10 @@ def run_ingest_pipeline(
                     ),
                 )
                 .withColumnRenamed("text", "content")
-                # re-derive BOTH content-derived identities after surgery:
-                # doc_id's invariant is sha256(url || content) (kernels/page.
-                # doc_id_for — sha2 over UTF-8 concat matches hexdigest), and
-                # content_sha is the dedup key
-                .withColumn("doc_id", F.sha2(F.concat(F.col("url"), F.col("content")), 256))
-                .withColumn("content_sha", F.unhex(F.sha2(F.col("content"), 256)))
                 .drop("n_cut_chars")
             )
+            # surgery rewrote text → re-derive both content-derived ids
+            surgered = _rederive_identities(surgered)
             cut_path = os.path.join(output_path, "curated_cut")
             try:
                 (
@@ -722,13 +748,9 @@ def run_ingest_pipeline(
                 .where(F.trim("text") != "")
                 .drop("_row_key", "n_dropped_paragraphs")
                 .withColumnRenamed("text", "content")
-                # text rewritten -> re-derive both content-derived identities
-                # (same invariants as the span-surgery stage above)
-                .withColumn(
-                    "doc_id", F.sha2(F.concat(F.col("url"), F.col("content")), 256)
-                )
-                .withColumn("content_sha", F.unhex(F.sha2(F.col("content"), 256)))
             )
+            # text rewritten → re-derive both content-derived identities
+            surgered = _rederive_identities(surgered)
             para_path = os.path.join(output_path, "curated_paradedup")
             (
                 surgered.write.mode("overwrite")
@@ -789,11 +811,8 @@ def run_ingest_pipeline(
                 )
             if pii_redact:
                 corpus, obs_p = redact_pii(corpus, count_cols=False)
-                # redaction rewrites text → re-derive BOTH content-derived
-                # identities (same invariants as the span-surgery stage)
-                corpus = corpus.withColumn(
-                    "doc_id", F.sha2(F.concat(F.col("url"), F.col("text")), 256)
-                ).withColumn("content_sha", F.unhex(F.sha2(F.col("text"), 256)))
+                # redaction rewrites text → re-derive both identities
+                corpus = _rederive_identities(corpus, text_col="text")
             hygiene_path = os.path.join(output_path, "curated_hygiene")
             (
                 corpus.withColumnRenamed("text", "content")

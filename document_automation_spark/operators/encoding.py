@@ -167,6 +167,11 @@ def repair_mojibake(
     repaired = F.col(text_col)
     for _ in range(passes):
         repaired = repair_mojibake_col(repaired)
+    # flag means "mojibake was repaired", so compare against the
+    # NUL-stripped input: a text whose only change was losing a stray
+    # NUL (the token sentinel, stripped unconditionally) is NOT mojibake
+    # and must not inflate repair counters
+    nul_stripped = F.replace(F.col(text_col), F.lit(_SENTINEL), F.lit(""))
     return documents.withColumn(
-        "was_mojibake", ~repaired.eqNullSafe(F.col(text_col))
+        "was_mojibake", ~repaired.eqNullSafe(nul_stripped)
     ).withColumn(text_col, repaired)

@@ -2764,7 +2764,8 @@ def _mojibake_leg_sql() -> str:
     )
     )
     SELECT l.*,
-           CAST(CASE WHEN m.repaired IS DISTINCT FROM m.mt THEN 1 ELSE 0 END
+           CAST(CASE WHEN m.repaired IS DISTINCT FROM replace(m.mt, chr(0), '')
+                     THEN 1 ELSE 0 END
                 AS BIGINT) AS was_mojibake,
            sha256(m.repaired) AS repaired_sha
     FROM lang l JOIN moji m USING (doc_id)

@@ -304,12 +304,16 @@ def start_streaming_encoding_repair(
     output_dir: str,
     checkpoint_dir: str,
     schema: str = "doc_id long, text string",
+    passes: int = 2,
 ) -> StreamingQuery:
-    """Mojibake repair on a document stream — the same stateless single-
-    pass projection as the batch ``--fix-encoding`` stage
+    """Mojibake repair on a document stream — the same stateless
+    projection as the batch ``--fix-encoding`` stage
     (``operators.encoding.repair_mojibake``), so double-encoded pages are
     fixed the moment they arrive instead of waiting for a batch sweep.
-    The repaired-row count surfaces per micro-batch in
+    ``passes`` DEFAULTS TO 2 to match the batch stage exactly (depth-2
+    heals generation-2 mojibake; a pass over clean text is a no-op) — a
+    stream and a batch run over the same input must produce the same
+    corpus.  The repaired-row count surfaces per micro-batch in
     ``query.lastProgress.observedMetrics['fix_encoding']``."""
     from pyspark.sql import functions as F
 
@@ -320,7 +324,7 @@ def start_streaming_encoding_repair(
         .option("maxFilesPerTrigger", 4)
         .parquet(input_dir)
     )
-    repaired = repair_mojibake(docs).observe(
+    repaired = repair_mojibake(docs, passes=passes).observe(
         "fix_encoding",
         F.sum(F.col("was_mojibake").cast("long")).alias("n_repaired"),
     ).drop("was_mojibake")

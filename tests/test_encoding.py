@@ -186,3 +186,25 @@ class TestMultiPass:
         df = spark.createDataFrame([("x",)], "text string")
         with pytest.raises(ValueError, match="passes"):
             repair_mojibake(df, passes=0)
+
+
+class TestNulSemantics:
+    def test_nul_only_change_not_flagged_as_mojibake(self, spark):
+        """A stray NUL is stripped (it is the token sentinel) but that is
+        NOT an encoding repair: the text changes, was_mojibake stays
+        false, so repair counters never report phantom mojibake."""
+        rows = [("clean\x00text",), ("cafÃ© with \x00 nul",)]
+        df = spark.createDataFrame(rows, "text string")
+        out = {r.text: r.was_mojibake for r in repair_mojibake(df).collect()}
+        assert out["cleantext"] is False          # NUL gone, not flagged
+        assert out["café with  nul"] is True      # real repair still flags
+
+    def test_streaming_default_matches_batch_stage_depth(self):
+        import inspect
+
+        from document_automation_spark.streaming.pipeline import (
+            start_streaming_encoding_repair,
+        )
+
+        sig = inspect.signature(start_streaming_encoding_repair)
+        assert sig.parameters["passes"].default == 2

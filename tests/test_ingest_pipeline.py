@@ -1204,7 +1204,7 @@ class TestKitchenSink:
         for key in (
             "rows_in", "rows_out", "robots_blocked",
             "xsnap_rows_in", "xsnap_rows_kept",
-            "mojibake_repaired",
+            "mojibake_repaired", "mojibake_dedup_losers",
             "cut_chars", "spanned_passages",
             "dropped_paragraphs",
             "quality_n_docs", "quality_n_kept",
@@ -1357,3 +1357,36 @@ class TestFixEncodingStage:
         # every row is carry-over once repaired: the anti-join drops all
         assert s2["xsnap_rows_in"] > 0
         assert s2["xsnap_rows_kept"] == 0
+
+    def test_clean_and_corrupted_copies_collapse_after_repair(self, spark, tmp_path):
+        """Within ONE snapshot, a clean copy and a mojibake-corrupted copy
+        of the same text both survive curation's exact dedup (their
+        UNREPAIRED shas differ) — the repair stage must re-apply the
+        keeper rule on the repaired shas or the corpus ships byte-identical
+        duplicates."""
+        import datetime as dt
+
+        text = ("It’s the same café article für €5 with enough words that "
+                "the gates keep it either way, clean or repaired.")
+        moji = text.encode("utf-8").decode("cp1252")
+        schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+        pages = spark.createDataFrame(
+            [
+                ("https://a.example.com/x", dt.datetime(2024, 1, 1), None, text, "en"),
+                ("https://b.example.com/y", dt.datetime(2024, 1, 1), None, moji, "en"),
+                ("https://c.example.com/z", dt.datetime(2024, 1, 1), None,
+                 "an unrelated control document with plenty of plain words", "en"),
+            ],
+            schema,
+        )
+        summary = run_ingest_pipeline(
+            spark, pages, str(tmp_path / "c"), "fp-collide",
+            cfg=ExtractConfig(n_buckets=2), from_text=True, fix_encoding=True,
+        )
+        final = spark.read.parquet(summary["curated_path"])
+        # exactly ONE copy of the repaired article survives + the control
+        assert final.count() == 2
+        assert final.where(F.col("content") == text).count() == 1
+        assert summary["mojibake_dedup_losers"] == 1
+        # keeper rule matches curation's: min (url, passage_idx) wins
+        assert final.where(F.col("content") == text).first().url == "https://a.example.com/x"
