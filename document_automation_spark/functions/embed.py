@@ -92,7 +92,11 @@ def embed_documents(documents: DataFrame, dim: int = 16) -> DataFrame:
                 }
             )
 
-    return documents.select("doc_id", "text").mapInPandas(embed_batches, schema)
+    from document_automation_spark.partitioning import fan_out
+
+    # the Python hash-embed kernel fuses with the scan — fan an
+    # under-split input out so every core runs a worker (no-op at scale)
+    return fan_out(documents).select("doc_id", "text").mapInPandas(embed_batches, schema)
 
 
 # per-PYTHON-WORKER model cache for embed_with_model: Spark reuses python

@@ -446,7 +446,7 @@ def run_ingest_pipeline(
     if curated_mode == "fused":
         stats = fused_stats["collect"]()
         stats_row = stats.first().asDict()
-        stats.coalesce(1).write.mode("overwrite").parquet(
+        stats.repartition(1).write.mode("overwrite").parquet(
             os.path.join(output_path, "_curation_stats")
         )
         summary = {
@@ -522,14 +522,14 @@ def run_ingest_pipeline(
             spark.createDataFrame(
                 [(min_chars, ",".join(scripts) if scripts else None)],
                 "min_chars int, scripts string",
-            ).coalesce(1).write.mode("overwrite").json(
+            ).repartition(1).write.mode("overwrite").json(
                 os.path.join(output_path, "_curation_config")
             )
             spark.createDataFrame(
                 [tuple(stats_row[k] for k in
                        ("rows_in", "quarantined", "gated", "deduped", "rows_out"))],
                 "rows_in long, quarantined long, gated long, deduped long, rows_out long",
-            ).coalesce(1).write.mode("overwrite").parquet(
+            ).repartition(1).write.mode("overwrite").parquet(
                 os.path.join(output_path, "_curation_stats")
             )
             summary = {
@@ -563,7 +563,7 @@ def run_ingest_pipeline(
         )
         stats = collect_stats()
         stats_row = stats.first().asDict()
-        stats.coalesce(1).write.mode("overwrite").parquet(
+        stats.repartition(1).write.mode("overwrite").parquet(
             os.path.join(output_path, "_curation_stats")
         )
         summary = {**extract_summary, **stats_row, "curated_path": curated_path}
@@ -1123,7 +1123,7 @@ def _bpe_stage(
     spark.createDataFrame(
         [(i, a, b, m, int(n)) for i, (a, b, m, n) in enumerate(merges)],
         "rank int, a string, b string, merged string, pair_count long",
-    ).coalesce(1).write.mode("overwrite").parquet(merges_path)
+    ).repartition(1).write.mode("overwrite").parquet(merges_path)
 
     vocab = segment_vocabulary(wf, merges)
     # lpad TRUNCATES over-width input — pad to 10 digits (covers all of

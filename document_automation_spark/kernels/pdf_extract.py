@@ -41,7 +41,13 @@ _STREAM_START = re.compile(
 # the lookahead), (?!\s+\d+\s+R) rejects indirect references of ANY
 # generation number ('/Length 30 0 R' must not parse as length 3)
 _LENGTH = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
-_TEXT_OBJECT = re.compile(rb"BT(.*?)ET", re.DOTALL)
+# string-aware scan: an 'ET' byte pair INSIDE a (string) literal must not
+# terminate the text object ('(NETWORK) Tj' would otherwise cut the page at
+# 'N|ET|WORK' and lose everything after it).  The body is consumed as
+# complete string literals or single non-'(' bytes, so the lazy ET match
+# can only land OUTSIDE a string.  Nested unescaped parens stay unsupported,
+# matching the _TOKEN/_ARRAY_STRING grammar.
+_TEXT_OBJECT = re.compile(rb"BT((?:\((?:[^()\\]|\\.)*\)|[^(])*?)ET", re.DOTALL)
 # one token stream: show ops AND line-move ops, in document order.
 # PDF reals allow leading/trailing-dot forms ('.5', '5.', '-.5') — all
 # must count as move operands or distinct baselines merge silently.
@@ -138,7 +144,15 @@ def _content_chunks(payload: bytes) -> List[bytes]:
         else:  # no direct /Length (or it didn't line up)
             end = payload.find(b"endstream", start)
             if end < 0:
-                # unterminated (truncated) stream: its binary body must
+                if b"/Length" not in m.group("dict"):
+                    # no /Length token (direct OR indirect) AND no
+                    # endstream: a framing look-alike (e.g. '<<x>>stream'
+                    # inside page TEXT), not a truncated content stream —
+                    # real stream dicts carry /Length.  Skip it so the
+                    # surrounding text keeps flowing to the whole-buffer
+                    # scan.
+                    continue
+                # declared /Length but truncated body: its binary tail must
                 # never be scanned as text — consume to end of payload
                 spans.append((m.start(), len(payload)))
                 consumed_until = len(payload)

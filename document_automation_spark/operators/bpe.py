@@ -54,6 +54,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from document_automation_spark.partitioning import fan_out
+
 END_OF_WORD = "▁"  # sentencepiece-style word-boundary marker
 
 
@@ -64,7 +66,7 @@ def word_frequencies(
     corpus-scale pass.  ``min_freq`` prunes the hapax tail (at web scale
     the distinct-word table is dominated by typos/ids seen once; BPE
     statistics barely move, cardinality drops ~10x)."""
-    words = documents.select(
+    words = fan_out(documents).select(
         F.explode(F.split(F.col(text_col), r"\s+")).alias("word")
     ).where(F.col("word") != "")
     freqs = words.groupBy("word").agg(F.count("*").alias("freq"))
@@ -120,9 +122,13 @@ def learn_bpe(
     """
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+    # lazy checkpoints: still truncate lineage, but materialize inside the
+    # NEXT round's pair-count job instead of as their own job — one Spark
+    # job per merge round instead of two, and the final round's fold
+    # (whose output nobody reads) never materializes at all
     words = word_freqs.select(
         _initial_symbols(F.col("word")).alias("syms"), F.col("freq")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     merges: list[tuple[str, str, str, int]] = []
     for _ in range(n_merges):
         n_syms = F.size(F.col("syms"))
@@ -147,7 +153,7 @@ def learn_bpe(
         merges.append((a, b, a + b, n))
         words = words.select(
             _merge_fold(F.col("syms"), a, b).alias("syms"), F.col("freq")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return merges
 
 
@@ -161,16 +167,17 @@ def segment_vocabulary(
     back to the corpus."""
     out = word_freqs.select(
         F.col("word"), _initial_symbols(F.col("word")).alias("tokens")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for i, (a, b, _merged, _n) in enumerate(merges):
         out = out.select(
             F.col("word"), _merge_fold(F.col("tokens"), a, b).alias("tokens")
         )
         # fold lambdas nest per merge — truncate so 1000 merges can't
         # stack a 1000-deep expression tree (every 8 amortizes the
-        # materialization; the table is |vocab| rows)
+        # materialization; the table is |vocab| rows).  Lazy: materializes
+        # inside the consumer's job, not as its own.
         if i % 8 == 7:
-            out = out.localCheckpoint()
+            out = out.localCheckpoint(eager=False)
     return out
 
 
@@ -249,7 +256,7 @@ def encode_documents(
     voc = vocab.select("word", "tokens")
     if broadcast_vocab:
         voc = F.broadcast(voc)
-    exploded = documents.select(
+    exploded = fan_out(documents).select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "word"),
     ).where(F.col("word") != "")

@@ -122,7 +122,11 @@ def ngram_contamination(
         # CodegenFallback generator re-evaluates under the fused loop).
         # Token hashes materialize in their own projection so the
         # tokenizer and per-token hash run exactly once per row.
-        toks = df.select(*id_cols, tokens_col(text).alias("_toks"))
+        from document_automation_spark.partitioning import fan_out
+
+        # tokenize + per-window hash fold fuse with the scan — fan an
+        # under-split input out first (no-op at corpus scale)
+        toks = fan_out(df).select(*id_cols, tokens_col(text).alias("_toks"))
         hashed = toks.select(
             *id_cols, F.transform("_toks", lambda w: F.xxhash64(w)).alias("_th")
         )

@@ -34,6 +34,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from document_automation_spark.partitioning import fan_out
+
 
 def exact_dedup(documents: DataFrame) -> DataFrame:
     """Keep the lowest-doc_id representative of each exact-text group.
@@ -46,7 +48,8 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     hashes, whose birthday bound bites at that scale).
     """
     keep = (
-        documents.select("doc_id", F.sha2(F.col("text"), 256).alias("content_key"))
+        fan_out(documents)
+        .select("doc_id", F.sha2(F.col("text"), 256).alias("content_key"))
         .groupBy("content_key")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
@@ -105,7 +108,9 @@ def minhash_signatures(
                 }
             )
 
-    return documents.select("doc_id", "text").mapInPandas(sig_batches, schema)
+    # the Python MinHash kernel fuses with the scan: fan an under-split
+    # input out so every core runs a worker (no-op at corpus scale)
+    return fan_out(documents).select("doc_id", "text").mapInPandas(sig_batches, schema)
 
 
 def minhash_lsh_candidates(
@@ -160,7 +165,8 @@ def minhash_lsh_candidates(
     # every empty pair a mutual candidate (they're EXACT dups — that's
     # exact_dedup's job), and the SQL oracle twin excludes them likewise.
     banded = (
-        documents.select("doc_id", "text")
+        fan_out(documents)
+        .select("doc_id", "text")
         .filter(F.length("text") > 0)
         .mapInPandas(band_batches, schema)
         .persist()
@@ -298,7 +304,7 @@ def near_dup_dedup(
             lambda i: F.xxhash64(F.col("text").substr(i, F.lit(shingle_k))),
         )
     )
-    with_grams = documents.select("doc_id", grams.alias("grams")).persist()
+    with_grams = fan_out(documents).select("doc_id", grams.alias("grams")).persist()
     a = with_grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("g_a"))
     b = with_grams.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("g_b"))
     inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
@@ -335,7 +341,7 @@ def simhash_fingerprints(
     def simhash_udf(texts: pd.Series) -> pd.Series:
         return texts.map(lambda t: to_signed64(simhash64(t, k=k, hash_impl=hash_impl)))
 
-    return documents.select(
+    return fan_out(documents).select(
         "doc_id", simhash_udf(F.col("text")).alias("simhash")
     )
 
@@ -431,7 +437,7 @@ def ngram_jaccard_pairs(
     )
     # persist: the self-join would otherwise rebuild every n-gram array on
     # both sides — the array construction dominates the operator's cost
-    with_grams = documents.select(
+    with_grams = fan_out(documents).select(
         "doc_id", "lang", "n_chars", grams.alias("grams")
     ).persist()
     a, b = with_grams.alias("a"), with_grams.alias("b")
@@ -490,7 +496,8 @@ def duplicate_spans(
     # unpersist() after consuming the spans (loop/pipeline callers —
     # a global clearCache() would nuke the caller's own persisted data).
     grams = (
-        documents.filter(F.length("text") >= k)
+        fan_out(documents)
+        .filter(F.length("text") >= k)
         .select(
             "doc_id",
             F.posexplode(
@@ -696,7 +703,10 @@ def dedup_paragraphs(
     lit_sep = "\\Q" + sep + "\\E"  # literal separator under Java regex split
     segs = F.split(F.col(text_col), lit_sep)
     cand = (
-        documents.select(F.col(id_col), F.posexplode(segs).alias("pos", "_para"))
+        # sha2 per paragraph fuses with the scan — spread an under-split
+        # input first (no-op at corpus scale)
+        fan_out(documents)
+        .select(F.col(id_col), F.posexplode(segs).alias("pos", "_para"))
         .where(F.trim("_para") != "")
         .select(
             id_col, "pos", _paragraph_key(F.trim(F.col("_para")), normalize).alias("_pkey")
@@ -726,7 +736,9 @@ def dedup_paragraphs(
     drops = losers.groupBy(id_col).agg(
         F.sort_array(F.collect_list("pos")).alias("_drop_pos")
     )
-    joined = documents.join(drops, id_col, "left")
+    # the rebuild expression (re-split + indexed filter) also fuses with
+    # the corpus scan on this branch — fan it out likewise
+    joined = fan_out(documents).join(drops, id_col, "left")
     rebuilt = F.array_join(
         F.filter(segs, lambda x, i: ~F.array_contains(F.col("_drop_pos"), i)),
         sep,
@@ -766,7 +778,8 @@ def hot_paragraph_keys(
         raise ValueError(f"sep must be a non-empty literal without '\\E', got {sep!r}")
     lit_sep = "\\Q" + sep + "\\E"
     cand = (
-        documents.select(
+        fan_out(documents)
+        .select(
             F.col(id_col),
             F.explode(F.split(F.col(text_col), lit_sep)).alias("_para"),
         )

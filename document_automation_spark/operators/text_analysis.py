@@ -68,6 +68,12 @@ def token_stats(
         cols.append(bpe_udf(F.col("text")).alias("n_tokens_bpe"))
     if include_fingerprint:
         cols.append(_fingerprint_expr().alias("fingerprint"))
+    if include_bpe or include_fingerprint:
+        # the per-char fingerprint fold / Python BPE counter dominate and
+        # fuse with the scan — spread an under-split input first
+        from document_automation_spark.partitioning import fan_out
+
+        documents = fan_out(documents)
     return documents.select(*cols)
 
 
@@ -134,7 +140,9 @@ def quality_features(documents: DataFrame) -> DataFrame:
                 }
             )
 
-    return documents.select("doc_id", "text").mapInPandas(score_batches, schema)
+    from document_automation_spark.partitioning import fan_out
+
+    return fan_out(documents).select("doc_id", "text").mapInPandas(score_batches, schema)
 
 
 def bpe_token_counts(documents: DataFrame) -> DataFrame:
@@ -159,7 +167,11 @@ def language_id_kernel(documents: DataFrame) -> DataFrame:
     def lang_udf(texts: pd.Series) -> pd.Series:
         return texts.map(detect_language)
 
-    return documents.select("doc_id", lang_udf(F.col("text")).alias("detected_lang"))
+    from document_automation_spark.partitioning import fan_out
+
+    return fan_out(documents).select(
+        "doc_id", lang_udf(F.col("text")).alias("detected_lang")
+    )
 
 
 def line_assembly_table(documents: DataFrame, max_tokens: int = 24) -> DataFrame:

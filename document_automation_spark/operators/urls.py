@@ -183,6 +183,17 @@ def dedup_by_url(
     if cache_registry is not None:
         special = special.persist()
         cache_registry.append(special)
+        # Clean-ingest fast path: on a re-crawl-free corpus `special` is
+        # EMPTY, and the anti-join + copy-collapse branches below would
+        # still cost two full probe passes over the payload scan.  The
+        # table is persisted and tiny by construction, so one bounded
+        # isEmpty() probe (it materializes the persist the first consumer
+        # needs anyway) lets a clean corpus skip both branches outright —
+        # identical output (anti-join against ∅ is the identity, the copy
+        # branch is ∅).  Probed only on the persisted path so cache-free
+        # callers never pay a throwaway computation of the chain.
+        if special.isEmpty():
+            return pages.withColumn("canonical_url", canon)
     copy_keys = special.filter(~F.col("_is_loser")).drop("_is_loser")
 
     def _key_join(left: DataFrame, keys: DataFrame, how: str) -> DataFrame:

@@ -51,6 +51,8 @@ from typing import NamedTuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from document_automation_spark.partitioning import fan_out
+
 __all__ = [
     "repetition_features",
     "filter_by_quality",
@@ -162,7 +164,9 @@ def _feature_frame(documents: DataFrame, text_col: str, keep_cols: list):
     columns, then returns ``(frame, ordered {feature name: expression})``
     over those attributes.  ``keep_cols`` are passed through untouched."""
     text = F.col(text_col)
-    d = documents.select(
+    # the per-row HOF folds below are the whole cost and fuse with the
+    # scan — spread an under-split input first (no-op at corpus scale)
+    d = fan_out(documents).select(
         *keep_cols,
         text.alias("_t"),
         lines_col(text).alias("_lines"),
@@ -601,7 +605,9 @@ def train_bigram_lm(
     # it once instead of re-tokenizing the corpus per consumer (table is
     # LM-sized, bounded by min_count pruning; caller owns the unpersist —
     # dedup_by_url's contract)
-    ws = corpus.select(words_col(F.col(text_col)).alias("_ws"))
+    # tokenization fuses with the scan; fan an under-split corpus out
+    # across the cluster first (no-op at real-corpus scale)
+    ws = fan_out(corpus).select(words_col(F.col(text_col)).alias("_ws"))
     uni = (
         ws.select(F.explode("_ws").alias("w"))
         .groupBy("w")
@@ -692,7 +698,7 @@ def score_with_bigram_lm(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pw:string,w:string>>"))
-    pairs = documents.select(
+    pairs = fan_out(documents).select(
         id_col, F.explode(pair_structs).alias("g")
     ).select(id_col, F.col("g.pw").alias("pw"), F.col("g.w").alias("w"))
 

@@ -211,7 +211,12 @@ def run_extraction_job(
     # then count()ing it would re-run the post-commit scan+agg twice
     # (measured ~0.7 s of the 3.4 s durable job at 20k pages / 8 cores)
     stat_rows = stats.collect()
-    spark.createDataFrame(stat_rows, stats.schema).coalesce(1).write.mode(
+    # repartition(1), NOT coalesce(1): a parallelize()-backed local frame
+    # coalesced without a shuffle chains its ~defaultParallelism python
+    # partitions SERIALLY through one task (each a worker round-trip —
+    # measured 5.4 s for 64 manifest rows on local[32]); the one-row
+    # shuffle runs them in parallel and costs ~0.5 s.
+    spark.createDataFrame(stat_rows, stats.schema).repartition(1).write.mode(
         "append"
     ).parquet(manifest_path(output_path))
 
