@@ -77,11 +77,10 @@ def build_bm25_index(documents: DataFrame) -> Bm25Index:
     term), so the corpus is scanned and tokenized exactly once.  tf is
     persisted because three plan branches (scoring join, df, doclen) would
     otherwise each recompute the tokenize+shuffle."""
-    from document_automation_spark.partitioning import fan_out
-
-    # tokenization fuses with the scan — fan an under-split corpus out
-    # first (no-op at real-corpus scale)
-    tokens = tokenize(fan_out(documents.select("doc_id", "text")))
+    # no fan_out: the tokenize explode feeds straight into the tf groupBy
+    # shuffle, which already redistributes — an extra repartition of the
+    # text measured net-negative (1.7 s → 2.2 s at sf0.1)
+    tokens = tokenize(documents.select("doc_id", "text"))
     tf = (
         tokens.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))

@@ -47,9 +47,10 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     key collisions a non-event even at 10^12 documents (unlike 64-bit
     hashes, whose birthday bound bites at that scale).
     """
+    # no fan_out: one sha2 per doc is too cheap to amortize a repartition
+    # shuffle (measured 0.34 s → 0.71 s WITH the fan-out at sf0.1)
     keep = (
-        fan_out(documents)
-        .select("doc_id", F.sha2(F.col("text"), 256).alias("content_key"))
+        documents.select("doc_id", F.sha2(F.col("text"), 256).alias("content_key"))
         .groupBy("content_key")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
