@@ -144,7 +144,13 @@ def run_extraction_job(
         docs = docs.filter(F.col("bucket") < fail_buckets_above)
 
     if write_partitions is None:
-        write_partitions = max(cfg.n_buckets, spark.sparkContext.defaultParallelism * 2)
+        # 4× parallelism (round 6, was 2×): the writer stage is zstd-
+        # encode CPU-bound and bucket sizes are uneven, so at 2× cores the
+        # encode tail left cores idle — 200k-page durable write measured
+        # 6.6 s → 4.9 s at 4×.  File count equals write_partitions either
+        # way (bounded); at cluster scale n_buckets usually dominates the
+        # max() and nothing changes.
+        write_partitions = max(cfg.n_buckets, spark.sparkContext.defaultParallelism * 4)
     salt_k = max(1, write_partitions // cfg.n_buckets)
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -3080,8 +3080,13 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot-paragraph cut, and the byte-exact text surgery on the identically
     derived corpus; per-doc rewritten text compared by md5."""
     from document_automation_spark.operators.dedup import dedup_paragraphs
+    from document_automation_spark.partitioning import fan_out
 
-    ml = _docs_multiline(spark, sf_dir)
+    # the three legs below make ~6 passes over the derived corpus (each
+    # dedup_paragraphs consumes its source twice); derive + fan out once,
+    # persist, and let every leg read the cached copy (freed with the
+    # session cache — the bench clears it between reps)
+    ml = fan_out(_docs_multiline(spark, sf_dir)).persist()
     sfx = F.when(
         F.col("doc_id") % 2 == 0, F.lit(_NORM_SFX_EVEN)
     ).otherwise(F.lit(_NORM_SFX_ODD))
