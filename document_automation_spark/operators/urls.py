@@ -153,6 +153,14 @@ def dedup_by_url(
     # sorted.  (Measured: the full-corpus window + agg was ~3.4 s of the
     # 200k-page composed ingest; the pre-filtered path is ~1 s.)
     keys = pages.select(url_col, ts_col).withColumn("canonical_url", canon)
+    if cache_registry is not None:
+        # the canonicalization expression is the narrow path's main CPU
+        # cost and `keys` feeds BOTH the multi-count aggregate and the
+        # ranked join — persist it so canonical_url is computed once, not
+        # per consumer (registered for the caller's unpersist, same
+        # contract as `special` below)
+        keys = keys.persist()
+        cache_registry.append(keys)
     multi = (
         keys.groupBy("canonical_url")
         .agg(F.count(F.lit(1)).alias("_cnt"))
