@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from document_automation_spark.partitioning import fan_out
+
 _TOKEN = re.compile(r"\w+", re.UNICODE)
 
 
@@ -91,8 +93,6 @@ def embed_documents(documents: DataFrame, dim: int = 16) -> DataFrame:
                     "embedding": [embed_text(t, dim) for t in batch["text"]],
                 }
             )
-
-    from document_automation_spark.partitioning import fan_out
 
     # the Python hash-embed kernel fuses with the scan — fan an
     # under-split input out so every core runs a worker (no-op at scale)

@@ -46,7 +46,12 @@ _LENGTH = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 # 'N|ET|WORK' and lose everything after it).  The body is consumed as
 # complete string literals or single non-'(' bytes, so the lazy ET match
 # can only land OUTSIDE a string.  Nested unescaped parens stay unsupported,
-# matching the _TOKEN/_ARRAY_STRING grammar.
+# matching the _TOKEN/_ARRAY_STRING grammar.  Known trade (round 6): a
+# spec-invalid UNCLOSED '(' inside a text object now fails the whole
+# object's match (→ quarantine when nothing else extracts), where the old
+# byte-blind regex emitted whatever preceded the first ET — quarantining a
+# malformed page beats silently truncating mid-string (pinned by
+# tests/test_properties.py::test_unclosed_paren_quarantines).
 _TEXT_OBJECT = re.compile(rb"BT((?:\((?:[^()\\]|\\.)*\)|[^(])*?)ET", re.DOTALL)
 # one token stream: show ops AND line-move ops, in document order.
 # PDF reals allow leading/trailing-dot forms ('.5', '5.', '-.5') — all

@@ -43,6 +43,8 @@ from typing import Tuple
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
+from document_automation_spark.partitioning import fan_out
+
 __all__ = ["ngram_contamination", "decontaminate", "tokens_col", "gram_hashes_col"]
 
 #: Word tokenizer shared with the oracle twin: letters/digits/underscore
@@ -122,8 +124,6 @@ def ngram_contamination(
         # CodegenFallback generator re-evaluates under the fused loop).
         # Token hashes materialize in their own projection so the
         # tokenizer and per-token hash run exactly once per row.
-        from document_automation_spark.partitioning import fan_out
-
         # tokenize + per-window hash fold fuse with the scan — fan an
         # under-split input out first (no-op at corpus scale)
         toks = fan_out(df).select(*id_cols, tokens_col(text).alias("_toks"))

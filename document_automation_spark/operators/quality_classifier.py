@@ -99,7 +99,11 @@ def train_quality_classifier(
     try:
         parts = labelled.rdd.getNumPartitions()
         par = labelled.sparkSession.sparkContext.defaultParallelism
-        if parts < par:
+        # strict guard (par // 4, not par): a sample planning at
+        # just-below parallelism may be genuinely large, and coalesce
+        # propagates up into featurization — only clearly-under-split
+        # samples (≤ a quarter of the cluster's parallelism) qualify
+        if parts < max(2, par // 4):
             labelled = labelled.coalesce(max(2, par // 8))
     except Exception:
         pass

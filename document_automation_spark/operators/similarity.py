@@ -26,6 +26,8 @@ from typing import List
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from document_automation_spark.partitioning import fan_out
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -239,8 +241,6 @@ def embedding_near_dup_pairs(
 
     Norms precomputed once per vector (not once per PAIR — a blocked
     self-join visits each vector |block| times)."""
-    from document_automation_spark.partitioning import fan_out
-
     # fan an under-split scan out BEFORE the blocked self-join: the join
     # key has few distinct values (a blocking key, by design), so the
     # scan-side parallelism is what spreads the pair-scoring work
@@ -299,10 +299,13 @@ def semantic_dedup(
     cross-engine parity knob the IVF oracle uses.
 
     The scored projection feeds THREE plan branches (both pair sides and
-    the final join); pass ``cache_registry=[]`` to persist it once —
-    otherwise the cluster assignment recomputes per branch (three corpus
-    scans at scale).  Caller owns the lifecycle: unpersist each handle in
-    the registry after the terminal action (dedup_by_url's contract).
+    the final join), so it is ALWAYS persisted (round 6 — recomputing the
+    cluster assignment per branch was three corpus scans); pass
+    ``cache_registry=[]`` to receive the handle for a targeted
+    ``unpersist()`` after the terminal action.  One-shot-operator
+    contract (same as ``minhash_lsh_candidates``): loop callers without a
+    registry should ``spark.catalog.clearCache()`` between rounds or the
+    per-call pinned projections accumulate.
 
     Returns ALL input rows with ``bucket``, ``centroid_sim`` (rounded 6)
     and ``kept`` — filter ``kept`` for the dedup corpus, aggregate for
@@ -311,7 +314,6 @@ def semantic_dedup(
     import numpy as np
 
     from document_automation_spark.operators.ivf import assign_buckets, train_centroids
-    from document_automation_spark.partitioning import fan_out
 
     C = train_centroids(
         embeddings, n_centroids=n_clusters, sample_size=sample_size, seed=seed

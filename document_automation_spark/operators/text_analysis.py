@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from document_automation_spark.partitioning import fan_out
+
 ROLLING_BASE = 31
 ROLLING_MOD = 140_737_488_355_213  # ≈2^47: intermediates stay < 2^53
 
@@ -71,8 +73,6 @@ def token_stats(
     if include_bpe or include_fingerprint:
         # the per-char fingerprint fold / Python BPE counter dominate and
         # fuse with the scan — spread an under-split input first
-        from document_automation_spark.partitioning import fan_out
-
         documents = fan_out(documents)
     return documents.select(*cols)
 
@@ -140,8 +140,6 @@ def quality_features(documents: DataFrame) -> DataFrame:
                 }
             )
 
-    from document_automation_spark.partitioning import fan_out
-
     return fan_out(documents).select("doc_id", "text").mapInPandas(score_batches, schema)
 
 
@@ -166,8 +164,6 @@ def language_id_kernel(documents: DataFrame) -> DataFrame:
     @F.pandas_udf(T.StringType())
     def lang_udf(texts: pd.Series) -> pd.Series:
         return texts.map(detect_language)
-
-    from document_automation_spark.partitioning import fan_out
 
     return fan_out(documents).select(
         "doc_id", lang_udf(F.col("text")).alias("detected_lang")

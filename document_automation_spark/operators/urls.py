@@ -199,7 +199,12 @@ def dedup_by_url(
         # needs anyway) lets a clean corpus skip both branches outright —
         # identical output (anti-join against ∅ is the identity, the copy
         # branch is ∅).  Probed only on the persisted path so cache-free
-        # callers never pay a throwaway computation of the chain.
+        # callers never pay a throwaway computation of the chain.  NOTE:
+        # this makes the registry path EAGER (jobs run at plan-build
+        # time) and freezes the branch decision — consistent with the
+        # persisted `special` itself, whose lifecycle the caller already
+        # owns; re-running the returned plan against mutated source data
+        # was never supported on this path.
         if special.isEmpty():
             return pages.withColumn("canonical_url", canon)
     copy_keys = special.filter(~F.col("_is_loser")).drop("_is_loser")

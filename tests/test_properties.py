@@ -150,6 +150,23 @@ class TestPdfProperties:
             pdf = b"%PDF-1.4\n" + self._stream(lines) + b"\n%%EOF"
             assert extract_text_pdf(pdf) == join_clean_lines(lines)
 
+    def test_unclosed_paren_quarantines(self):
+        """Documented trade of the string-aware scanner: a spec-invalid
+        UNCLOSED '(' inside a text object fails the whole object (→
+        PdfExtractError when nothing else extracts) instead of the old
+        silent mid-string truncation at the first ET byte pair."""
+        from document_automation_spark.kernels.pdf_extract import (
+            PdfExtractError,
+            extract_text_pdf,
+        )
+
+        pdf = b"%PDF-1.4\nBT (Hello) Tj ( junk ET\n%%EOF"
+        try:
+            extract_text_pdf(pdf)
+            assert False, "expected PdfExtractError"
+        except PdfExtractError:
+            pass
+
     @given(lines_strategy)
     @settings(max_examples=150, deadline=None)
     def test_flate_roundtrip_matches_uncompressed(self, lines):

@@ -63,7 +63,6 @@ def main() -> None:
 
     # bench-row callables, including the bare-operator overrides and the
     # durable/ingest flagship rows (reconstructed like bench.py does)
-    import glob
     import shutil
     import tempfile
 

@@ -76,11 +76,6 @@ def bench_callables(spark, sf_dir):
 
     qs = dict(registry.queries())
 
-    import importlib.util
-
-    spec = importlib.util.spec_from_file_location(
-        "bench_frozen", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py")
-    )
     # bench.py wraps overrides inside main(); re-declare the handful used here
     from document_automation_spark.operators.dedup import (
         exact_dedup,
