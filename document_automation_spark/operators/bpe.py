@@ -125,10 +125,20 @@ def learn_bpe(
     # lazy checkpoints: still truncate lineage, but materialize inside the
     # NEXT round's pair-count job instead of as their own job — one Spark
     # job per merge round instead of two, and the final round's fold
-    # (whose output nobody reads) never materializes at all
-    words = word_freqs.select(
-        _initial_symbols(F.col("word")).alias("syms"), F.col("freq")
-    ).localCheckpoint(eager=False)
+    # (whose output nobody reads) never materializes at all.
+    # The training table keeps only multi-symbol words: a word collapsed
+    # to ONE symbol can never produce an adjacent pair again (merges are
+    # word-local), so carrying it through every round's fold + checkpoint
+    # is dead weight — the merge sequence is provably unchanged, and
+    # encoding still covers every word because segment_vocabulary replays
+    # the merges over the FULL word table.
+    words = (
+        word_freqs.select(
+            _initial_symbols(F.col("word")).alias("syms"), F.col("freq")
+        )
+        .where(F.size("syms") >= 2)
+        .localCheckpoint(eager=False)
+    )
     merges: list[tuple[str, str, str, int]] = []
     for _ in range(n_merges):
         n_syms = F.size(F.col("syms"))
@@ -151,9 +161,14 @@ def learn_bpe(
             break
         a, b, n = best[0]["a"], best[0]["b"], int(best[0]["n"])
         merges.append((a, b, a + b, n))
-        words = words.select(
-            _merge_fold(F.col("syms"), a, b).alias("syms"), F.col("freq")
-        ).localCheckpoint(eager=False)
+        words = (
+            words.select(
+                _merge_fold(F.col("syms"), a, b).alias("syms"), F.col("freq")
+            )
+            # a word that just collapsed to one symbol is done — drop it
+            .where(F.size("syms") >= 2)
+            .localCheckpoint(eager=False)
+        )
     return merges
 
 
