@@ -222,7 +222,8 @@ def run_ingest_pipeline(
     keeper rule is re-applied on the repaired shas — curation's dedup
     keyed on UNREPAIRED content, so a clean copy and a corrupted copy of
     the same text in one snapshot both survived it and collide only
-    here.  Summary gains ``mojibake_repaired`` +
+    here.  Summary gains ``mojibake_repaired`` (surviving repaired rows
+    — a repaired row that then loses the re-applied dedup counts in) +
     ``mojibake_dedup_losers``.  Requires ``curated_mode='copy'``.
 
     ``dedup_against_path`` appends cross-snapshot incremental dedup
@@ -599,7 +600,13 @@ def run_ingest_pipeline(
                 # so a clean copy and a corrupted copy of the same text in
                 # ONE snapshot both survived it and became byte-identical
                 # here — re-apply the same keeper rule (min (url,
-                # passage_idx) per content key) on the repaired shas
+                # passage_idx) per content key) on the repaired shas.
+                # Curate's byte-identical (url, passage_idx) collision
+                # guard is intentionally omitted: post-curation rows have
+                # unique (url, passage_idx) by construction (extraction
+                # emits one row per passage), so two rows can never tie on
+                # the min key here.  A future caller feeding NON-unique
+                # keys through this stage must add the guard back.
                 keep = repaired.groupBy("content_sha").agg(
                     F.min(F.struct("url", "passage_idx")).alias("_keep")
                 )
@@ -625,6 +632,15 @@ def run_ingest_pipeline(
                 .option("parquet.compression.codec.zstd.level", "1")
                 .parquet(enc_path)
             )
+            # Counter contract: mojibake_repaired counts SURVIVING repaired
+            # rows (the Observation rides the post-dedup write), so a
+            # repaired row that then loses the re-applied exact dedup — the
+            # corrupted-copy-collides-with-clean-copy case — is counted in
+            # mojibake_dedup_losers, not here.  Observing pre-dedup instead
+            # would pin a CollectMetrics node into a plan the keeper-rule
+            # self-join reads twice; the losers counter already carries the
+            # collapsed rows, so the pair (repaired, dedup_losers) is
+            # complete.
             summary["mojibake_repaired"] = int(obs_enc.get["n_repaired"] or 0)
             summary["mojibake_dedup_losers"] = int(
                 (stats_row.get("rows_out") or 0) - (obs_enc.get["n_rows"] or 0)

@@ -113,6 +113,14 @@ def knn_graph(
     # ~4^rounds — rounds=3 measured 6.7x slower than rounds=2 before this.
     # localCheckpoint per round truncates it (same discipline as
     # dedup.connected_components); the checkpointed edge table is n*k rows.
+    # Retention note: earlier rounds' checkpointed blocks stay in executor
+    # storage for the application lifetime (localCheckpoint blocks can't be
+    # unpersisted while a LAZY successor may still read them — dropping a
+    # non-reliable checkpoint loses the data, there is no lineage to
+    # recompute from).  Bounded by construction: n_rounds+1 copies of an
+    # n*k edge table (the seat's 3 rounds over 500 vectors × k=8 retain
+    # ~16k longs); production builds with large n should checkpoint
+    # eagerly and unpersist the prior round explicitly.
     graph = graph.localCheckpoint(eager=False)
     for _ in range(n_rounds):
         und = (
